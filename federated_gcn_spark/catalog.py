@@ -1,0 +1,93 @@
+"""Table catalog over the driver testdata + the engine's graph-store layout.
+
+The reference's "catalog" is a filename template —
+``{path}{graph_id}_nodes_{partition_id}.csv`` (fl_server.py:202,
+fl_client.py:194). Here that becomes (a) a plain loader for the driver's
+parquet tables and (b) a Hive-partitioned parquet graph store
+(``.../graph_id=G/partition_id=P/``) so partition pruning replaces string
+formatting (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from federated_gcn_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    tune(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    tune(spark)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Partitioned graph store (nodes/edges as Hive-partitioned parquet)
+# ---------------------------------------------------------------------------
+
+def write_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a (possibly multi-graph, multi-partition) graph.
+
+    Layout: ``{path}/nodes/graph_id=G/partition_id=P/*.parquet`` — the Spark
+    equivalent of the reference's per-partition CSV files. Reading one
+    partition is partition *pruning*, not a filename lookup, and a scan over
+    all partitions is a single parquet read.
+    """
+    part_cols = [c for c in ("graph_id", "partition_id") if c in nodes.columns]
+    w = nodes.write.mode(mode)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(os.path.join(path, "nodes"))
+
+    part_cols = [c for c in ("graph_id", "partition_id") if c in edges.columns]
+    w = edges.write.mode(mode)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(os.path.join(path, "edges"))
+
+
+def read_graph(
+    spark: SparkSession,
+    path: str,
+    graph_id: int | None = None,
+    partition_id: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read nodes+edges; equality filters prune to single partitions."""
+    nodes = spark.read.parquet(os.path.join(path, "nodes"))
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    if graph_id is not None:
+        nodes = nodes.where(nodes.graph_id == graph_id)
+        edges = edges.where(edges.graph_id == graph_id)
+    if partition_id is not None:
+        nodes = nodes.where(nodes.partition_id == partition_id)
+        edges = edges.where(edges.partition_id == partition_id)
+    return nodes, edges

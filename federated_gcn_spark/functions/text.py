@@ -1,0 +1,126 @@
+"""Text-analysis expression library (driver extension ops, SURVEY.md §2.10).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over the ``documents`` table — all as pure Catalyst expressions (split /
+filter / transform higher-order functions), so they run JVM-side inside
+whole-stage codegen and scale linearly with no Python in the hot path.
+
+Every builder here has an exact ANSI-SQL twin (see __spark_entry__.py
+oracle_sql) so the DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+# Chosen for determinism, not linguistic completeness.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de", "le", "shi", "wo", "ni"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    text = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """# tokens that are in the marker set (case-insensitive)."""
+    toks = F.transform(tokens(text), F.lower)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, marker_hits(text, STOPWORDS).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """# punctuation chars / # chars (0 for empty text)."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.translate(text, PUNCT_CHARS, "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic:
+    0.4·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.3·min(1, 4·stopword_ratio)
+    """
+    n = token_count(text).cast("double")
+    len_part = F.least(F.lit(1.0), n / F.lit(64.0))
+    sw_part = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
+    return (
+        F.lit(0.4) * len_part
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * sw_part
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over per-language marker hits; ties broken by fixed language
+    order (en, de, es, fr, zh); all-zero → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    order = list(LANG_MARKERS.keys())
+    best = F.greatest(*[scores[lang] for lang in order])
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(order):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Whitespace-normalized, case-folded MD5 content fingerprint —
+    the exact-dedup key (generalizes merge.py:38-39 keep-first dedup from
+    node-ids to content hashes)."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as ARRAY<STRING> (input to MinHash / Jaccard).
+
+    Computed with sequence+transform+slice HOFs — one pass, JVM-side.
+    Documents with fewer than k tokens yield a single shingle of the whole
+    (normalized) text so they still participate in dedup.
+    """
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    whole = F.array(F.concat_ws(" ", toks))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(whole)

@@ -1,0 +1,742 @@
+"""Declared query catalog: PySpark plans + DuckDB oracle SQL twins.
+
+Each entry exercises one (or a few) operators from SURVEY.md §2 over the
+driver's TPC-H-ish testdata. The Spark side is pure DataFrame API — no
+Python UDFs in any of these — so Catalyst gets full pushdown/pruning and
+whole-stage codegen; the oracle side is ANSI SQL for DuckDB.
+
+Cross-engine determinism rules used throughout (see SURVEY.md §5):
+- every aggregate / computed column is aliased identically on both sides;
+- integer outputs are cast to BIGINT on both sides (DuckDB SUM(int) is
+  HUGEINT, Spark row_number is INT, ...);
+- floating-point aggregates are ROUND()ed to a precision far above the
+  accumulated summation-order error;
+- event time is computed on epoch-nano BIGINTs (integer division), never
+  through tz-dependent timestamp functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.functions.scalar import (
+    cosine_similarity,
+    f1_score,
+    mem_cost_gb,
+)
+from federated_gcn_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from federated_gcn_spark.operators.merge import union_all, union_keep_first
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: multi-way star join + filtered aggregate (J1; TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation in ASIA, 1996-1997.
+
+    Scale shape: fact-fact join (lineitem⋈orders) shuffles on orderkey;
+    both dims (nation, region) and post-filter customer are broadcast —
+    `.explain()` shows a single big shuffle + BroadcastHashJoins, with the
+    orderdate filter pushed into the orders scan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge.py pipeline: union + keep-first dedup (SET1-SET3, P5; merge.py:38-40)
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_keep_first",
+    """
+    WITH tagged AS (
+        SELECT c_custkey, c_name, c_mktsegment, 'local' AS store, 0 AS pri
+        FROM customer WHERE c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, 'central' AS store, 1 AS pri
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT c_custkey, c_name, c_mktsegment, store
+    FROM tagged
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pri) = 1
+    """,
+)
+def merge_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-store ∪ central-store with local-wins keep-first dedup —
+    the node half of merge.py:38-39 on a customer stand-in (FIXTURES.md §8)."""
+    customer = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    local = customer.where(F.col("c_custkey") % 3 != 0).select(
+        *cols, F.lit("local").alias("store")
+    )
+    central = customer.where(F.col("c_custkey") % 2 == 0).select(
+        *cols, F.lit("central").alias("store")
+    )
+    return union_keep_first([local, central], keys=["c_custkey"])
+
+
+@register(
+    "edge_union_all",
+    """
+    SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+    UNION ALL
+    SELECT l_orderkey AS src, l_suppkey AS dst FROM lineitem
+    """,
+)
+def edge_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge bag-union (SET2; merge.py:40 keeps duplicates deliberately)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e1 = orders.select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+    e2 = lineitem.select(
+        F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return union_all([e1, e2])
+
+
+@register(
+    "distinct_nodes",
+    """
+    SELECT DISTINCT node_id FROM (
+        SELECT o_custkey AS node_id FROM orders
+        UNION ALL
+        SELECT o_orderkey AS node_id FROM orders
+    )
+    """,
+)
+def distinct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex set of an edge list (P7; models/unsupervised.py:49
+    `list(graph.nodes())`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_custkey").alias("node_id"))
+        .unionAll(orders.select(F.col("o_orderkey").alias("node_id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-shaped joins/aggregations (J2 neighbor expansion, degrees)
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_counts",
+    """
+    SELECT l_orderkey AS src,
+           CAST(COUNT(*) AS BIGINT) AS out_degree,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_neighbors
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.countDistinct("dst").alias("n_neighbors"),
+        )
+    )
+
+
+@register(
+    "two_hop_paths",
+    """
+    SELECT o_custkey AS src, l_suppkey AS dst2, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+    """,
+)
+def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighbor expansion (J2): customer→order→supplier path counts —
+    the frontier⋈edges step of GraphSAGE message passing as a plain plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst2"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# FedAvg-algebra aggregations (A1-A3; fl_server.py:60-74)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fedavg_weighted_scalar",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg,
+           ROUND(SUM(l_quantity), 6) AS total_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fedavg_weighted_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ(nᵢwᵢ)/Σnᵢ — the exact FedAvg algebra of fl_server.py:60-74 with
+    quantity as the example count (FIXTURES.md §8 mapping)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg"),
+        F.round(F.sum("l_quantity"), 6).alias("total_n"),
+    )
+
+
+@register(
+    "fedavg_tensor",
+    """
+    WITH ex AS (
+        SELECT label,
+               CAST(vec_id % 5 + 1 AS DOUBLE) AS w,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS idx
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(idx AS BIGINT) AS idx,
+           ROUND(SUM(v * w) / SUM(w), 6) AS avg_v
+    FROM ex GROUP BY label, idx
+    """,
+)
+def fedavg_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise weighted tensor mean (A1 over ARRAY<FLOAT>), long format:
+    one row per (group, element index). This is FedAvg where `label` plays
+    the layer id and `vec_id % 5 + 1` the per-client example count.
+
+    Scale shape: posexplode → shuffle on (label, idx) with map-side partial
+    aggregation; no Python involved.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 5 + 1).cast("double").alias("w"),
+        F.posexplode("embedding").alias("pos", "v0"),
+    ).select(
+        "label", "w", (F.col("pos") + 1).cast("long").alias("idx"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    return ex.groupBy("label", "idx").agg(
+        F.round(F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6).alias("avg_v")
+    )
+
+
+@register(
+    "unweighted_mean",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_id,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def unweighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain mean (A2; fl_server_unsupervised.py:58-67 np.mean(axis=0))."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation_id")
+    ).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "count_examples",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_examples
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: training-example counting (models/supervised.py:107)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_examples"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F1 guard, memory cost model; §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_metrics",
+    """
+    WITH m AS (
+        SELECT o_orderpriority,
+               AVG(CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END) AS p,
+               AVG(CASE WHEN o_totalprice > 150000 THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END) AS r
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           ROUND(p, 6) AS prec,
+           ROUND(r, 6) AS rec,
+           CASE WHEN p + r <> 0 THEN ROUND(2 * p * r / (p + r), 6) END AS f1
+    FROM m
+    """,
+)
+def f1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 = 2PR/(P+R) with the reference's zero-division guard
+    (fl_client.py:132-137: "undefined" → NULL here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.avg(
+            F.when(F.col("o_orderstatus") == "F", F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("p"),
+        F.avg(
+            F.when(F.col("o_totalprice") > 150000, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("r"),
+    )
+    return m.select(
+        "o_orderpriority",
+        F.round(F.col("p"), 6).alias("prec"),
+        F.round(F.col("r"), 6).alias("rec"),
+        F.round(f1_score(F.col("p"), F.col("r")), 6).alias("f1"),
+    )
+
+
+@register(
+    "mem_cost_model",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS partition_id,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND(3.6 * ((2.0 * COUNT(*) * 64 / 8.0
+                         + CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) * 1433 * 64 / 8.0)
+                        / 1073741824.0) + 2.0, 6) AS est_ram_gb
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def mem_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's analytic partition-memory model (mem.py:1-8) computed
+    from per-partition stats (A7): suppkey plays partition id, distinct parts
+    play nodes, lineitems play edges, F=1433, 64-bit dtypes (mem.py:22-34)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    stats = lineitem.groupBy(F.col("l_suppkey").cast("long").alias("partition_id")).agg(
+        F.countDistinct("l_partkey").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    return stats.select(
+        "partition_id",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            mem_cost_gb(F.col("n_nodes"), F.col("n_edges"), 1433, 64, 64), 6
+        ).alias("est_ram_gb"),
+    )
+
+
+@register(
+    "project_cast",
+    """
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS nation_id,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+           LOWER(c_mktsegment) AS segment
+    FROM customer
+    """,
+)
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4/P6: projection + rename + explicit casts (merge.py:15,32-35).
+    FLOOR (not CAST) for double→int: Spark truncates toward zero while
+    DuckDB rounds, so the portable spelling is explicit FLOOR."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation_id"),
+        F.floor("c_acctbal").cast("long").alias("bal_floor"),
+        F.lower("c_mktsegment").alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / limit (§2.8 — absent in reference, required of the engine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the windowed top-k that also implements
+    keep-first dedup (SET3) and fanout sampling (G3) when the ORDER BY is a
+    priority / seeded rand."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn0")
+        )
+        .where(F.col("rn0") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn0").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "top_customers",
+    """
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject — no full sort at scale)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (batch twins of the streaming ops; §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    """
+    SELECT event_type,
+           CAST((epoch_ns(ts) // 300000000000) * 300 AS BIGINT) AS bucket_start_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregate over the event stream table.
+
+    Time math on epoch-nano BIGINTs (integer division) — exact, engine-
+    portable, and cheaper than timestamp conversion. The streaming twin
+    (readStream + window + watermark) lives in streaming/events.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.expr("ts div 300000000000") * 300).cast("long").alias(
+        "bucket_start_sec"
+    )
+    return events.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH t AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000000000 AS sec,
+               LAG(epoch_ns(ts) // 1000000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM t GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-min inactivity) via lag + conditional
+    count — the batch twin of a session_window streaming aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id"),
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    )
+    new_session = F.when(
+        F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 600), 1
+    ).otherwise(0)
+    return t.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sum(new_session).cast("long").alias("n_sessions")
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + bucket count."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis extension operators (§2.10) over `documents`
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(LOWER(TRIM(text)), '\\s+') END"
+)
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized MD5 content fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT doc_id, fp FROM (
+        SELECT doc_id,
+               md5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ) t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: fingerprint → keep lowest doc_id per group.
+    The scalable exact-dedup primitive (hash-groupBy; one shuffle on the
+    128-bit fingerprint, skew-free by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS n,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(list_filter(
+                        string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                        x -> x IN ({_in_list(STOPWORDS)}))) END AS sw,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(text) - LENGTH(translate(text, '.,!?;:', ''))
+                              AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(1.0, CAST(n AS DOUBLE) / 64.0)
+                 + 0.3 * (1.0 - punct)
+                 + 0.3 * LEAST(1.0, 4.0 * (CASE WHEN n > 0
+                       THEN CAST(sw AS DOUBLE) / n ELSE 0.0 END)), 6) AS quality
+    FROM t
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite doc-quality heuristic (length / punctuation / stopword
+    ratios) — pure codegen'd expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    f"           LEN(list_filter(t, x -> x IN ({_in_list(m)}))) AS s_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+
+@register(
+    "lang_id_detect",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), s AS (
+        SELECT doc_id,
+{_LANG_SCORE_SQL}
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic; argmax over per-language
+    marker-token hits, fixed tie order (en,de,es,fr,zh), 'und' if no hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (extension): brute-force cosine top-k vs a query vector
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), ex AS (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ), qx AS (
+        SELECT CAST(UNNEST(qe) AS DOUBLE) AS qv,
+               GENERATE_SUBSCRIPTS(qe, 1) AS i
+        FROM q
+    ), d AS (
+        SELECT vec_id, SUM(v * qv) AS dot, SUM(v * v) AS n1, SUM(qv * qv) AS n2
+        FROM ex JOIN qx USING (i) GROUP BY vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos_sim
+    FROM d
+    WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of the min-vec_id query vector.
+
+    JVM-side HOF dot products against a broadcast 1-row query side; top-k
+    is TakeOrdered (no global sort). This is the exact-baseline the ANN
+    (LSH-bucketed) variant is benchmarked against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    qv = emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            cosine_similarity("embedding", "query_embedding").alias("sim_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("sim_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("sim_raw", 6).alias("cos_sim"))
+    )
