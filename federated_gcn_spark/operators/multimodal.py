@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column operators (driver extension §2.10).
+
+Design: media are opaque BINARY payloads + a typed metadata struct —
+the parquet-native layout for multimodal training data:
+
+    media(media_id BIGINT, kind STRING, payload BINARY,
+          meta STRUCT<width INT, height INT, channels INT,
+                      sample_rate INT, n_frames INT, format STRING>)
+
+All compute runs as Arrow-batched ``mapInPandas`` — the payload bytes
+stream through in columnar batches, partitioning is whatever the table
+already has, and each operator declares an explicit output schema.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode kernel is pluggable: ``decoder=None`` uses a deterministic
+fake (payload-hash-seeded) so the Spark-side plumbing — schemas, batch
+iteration, UDF signatures — is fully real and tested; passing a real
+decoder swaps the kernel without touching the dataflow. Attempting
+``decoder="real"`` raises NotImplementedError (clearly-marked stub).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_FIELDS = (
+    "width int, height int, channels int, sample_rate int, n_frames int, format string"
+)
+MEDIA_SCHEMA = f"media_id long, kind string, payload binary, meta struct<{MEDIA_META_FIELDS}>"
+
+
+def make_media_table(spark, rows) -> DataFrame:
+    """rows: (media_id, kind, payload: bytes, meta dict-like tuple)."""
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in decode: bytes → seeded uniform floats."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    return np.random.default_rng(seed).random(n)
+
+
+def image_features(
+    media: DataFrame,
+    n_features: int = 16,
+    decoder=None,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """payload → fixed-width feature vector (decode + feature-extract).
+
+    Output: (media_id, features ARRAY<DOUBLE>, decoded_ok BOOLEAN).
+    Real pipeline shape: the decoder sees raw bytes per row, emits a
+    float vector; Arrow moves the binary column in batches.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv — not available in this "
+            "container; pass a callable decoder(payload: bytes) -> np.ndarray"
+        )
+    decode = decoder or (lambda payload: _fake_pixels(payload, n_features))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    feats.append([float(x) for x in decode(payload)][:n_features])
+                    ok.append(True)
+                except Exception:
+                    feats.append([0.0] * n_features)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats, "decoded_ok": ok}
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, features array<double>, decoded_ok boolean"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    computed from metadata only (n_frames) — the shuffle-free explode that
+    a real frame extractor would consume. Output:
+    (media_id, frame_index, payload, meta)."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            "meta",
+            F.explode(
+                F.when(
+                    n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_index"),
+        )
+        .select("media_id", "frame_index", "payload", "meta")
+    )
+
+
+def audio_chunk_stats(media: DataFrame, chunk_bytes: int = 1024) -> DataFrame:
+    """Audio payload → per-chunk byte-level stats (real bytes, no codec):
+    (media_id, chunk_index, n_bytes, chunk_crc). Demonstrates binary
+    slicing + explode staying fully relational."""
+    n_chunks = F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int")
+    chunked = media.where(F.col("kind") == "audio").select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias(
+            "chunk_index"
+        ),
+    )
+    chunk = F.substring(
+        F.col("payload"), F.col("chunk_index") * chunk_bytes + 1, chunk_bytes
+    )
+    return chunked.select(
+        "media_id",
+        "chunk_index",
+        F.length(chunk).alias("n_bytes"),
+        F.crc32(chunk).alias("chunk_crc"),
+    )

@@ -1,0 +1,141 @@
+"""Embedding similarity search (driver extension §2.10).
+
+- ``brute_force_topk``: exact cosine top-k of a query vector against the
+  whole table. Per-row HOF dot product + TakeOrdered — one scan, no
+  shuffle of vectors, the correctness baseline.
+- ``RandomHyperplaneLSH``: the scale path. B seeded random hyperplanes →
+  a B-bit bucket signature per vector (computed once, persisted); a
+  query probes only its own bucket (+ optional 1-bit-flip multiprobe),
+  then exact-scores the candidates. At 100 TB the bucketed table is
+  partitioned by bucket → a query touches a handful of partitions
+  instead of the full corpus.
+- ``embedding_near_dup_pairs``: all-pairs cosine ≥ τ via bucket-equi-join
+  (pairs only form inside a bucket — never doc×doc).
+
+Hyperplanes are generated from a numpy PRNG with a fixed seed on the
+driver and inlined as literal arrays — deterministic and broadcast-free
+(they live in the plan itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.functions.scalar import cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = bits of sign(<v, plane_i>), as BIGINT."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+class RandomHyperplaneLSH:
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        self.planes = _hyperplanes(dim, n_planes, seed)
+        self.n_planes = n_planes
+
+    def with_buckets(
+        self, embeddings: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        return embeddings.withColumn("bucket", _bucket_expr(F.col(vec_col), self.planes))
+
+    def query_buckets(self, query_vec: list[float], multiprobe: int = 1) -> list[int]:
+        """Query's bucket plus all buckets within ``multiprobe`` bit flips."""
+        dots = self.planes @ np.asarray(query_vec, dtype="float64")
+        base = 0
+        for i, d in enumerate(dots):
+            if d >= 0:
+                base |= 1 << i
+        buckets = {base}
+        if multiprobe >= 1:
+            for i in range(self.n_planes):
+                buckets.add(base ^ (1 << i))
+        if multiprobe >= 2:
+            for i in range(self.n_planes):
+                for j in range(i + 1, self.n_planes):
+                    buckets.add(base ^ (1 << i) ^ (1 << j))
+        return sorted(buckets)
+
+    def topk(
+        self,
+        bucketed: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        multiprobe: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ANN top-k: exact cosine over the probed buckets only."""
+        buckets = self.query_buckets(query_vec, multiprobe)
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        cands = bucketed.where(F.col("bucket").isin(buckets))
+        return (
+            cands.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), id_col)
+            .limit(k)
+        )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, cos_sim ≥ threshold) candidate-verified pairs."""
+    lsh = RandomHyperplaneLSH(
+        dim=len(embeddings.select(vec_col).first()[0]), n_planes=n_planes, seed=seed
+    )
+    b = lsh.with_buckets(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+    )
+    return cand.where(F.col("cos_sim") >= threshold)

@@ -740,3 +740,205 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("sim_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph algorithms (oracle: recursive CTE; sampling ops: rows-only checks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "connected_components",
+    """
+    WITH RECURSIVE edges2 AS (
+        SELECT n_nationkey + 100 AS a, n_regionkey AS b FROM nation
+        UNION ALL
+        SELECT n_regionkey AS a, n_nationkey + 100 AS b FROM nation
+    ), nodes AS (
+        SELECT DISTINCT a AS id FROM edges2
+    ), reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.b AS r FROM reach JOIN edges2 e ON reach.r = e.a
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label-propagation connected components on the nation→region
+    bipartite graph (nation ids offset by +100 so regions are the minima).
+    Oracle: transitive closure via recursive CTE — only feasible because
+    this derived graph is tiny; the Spark operator is the scalable path."""
+    from federated_gcn_spark.graph import Graph, connected_components
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    return connected_components(Graph.from_edges(edges))
+
+
+@register("random_walks")  # rows-only: seeded sampling is engine-specific
+def random_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random walks (G2) over the order→supplier bipartite graph,
+    started from every supplier. Deterministic for the fixed seed."""
+    from federated_gcn_spark.graph import Graph, uniform_random_walks
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = lineitem.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    ).distinct()
+    starts = supplier.select((F.col("s_suppkey") + 10_000_000).alias("id"))
+    walks = uniform_random_walks(
+        Graph.from_edges(edges), length=4, number_of_walks=1, seed=42,
+        start_vertices=starts,
+    )
+    return walks.orderBy("walk_id", "step")
+
+
+@register("fanout_sampling")  # rows-only
+def fanout_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-fanout 2-hop neighborhood sampling (G3), fanouts [3, 2]."""
+    from federated_gcn_spark.graph import Graph, fanout_sample
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = lineitem.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).alias("dst"),
+    ).distinct()
+    roots = supplier.select((F.col("s_suppkey") + 10_000_000).alias("id"))
+    return fanout_sample(Graph.from_edges(edges), roots, fanouts=[3, 2], seed=42)
+
+
+@register("edge_split_stats")  # rows-only
+def edge_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity-preserving split (G1) invariant report on a cyclic
+    order↔supplier bipartite subgraph (a star forest like customer→nation
+    would make every edge a tree edge — nothing removable): one row of
+    counts proving |neg| == |pos| and that the component count is
+    unchanged by edge removal."""
+    from federated_gcn_spark.graph import Graph, connectivity_preserving_split
+    from federated_gcn_spark.graph.components import num_components
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 50_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    g = Graph.from_edges(edges)
+    split = connectivity_preserving_split(g, p=0.1, seed=42)
+    n_before = num_components(g)
+    n_after = num_components(Graph(g.vertices, split.residual))
+    row = [
+        (
+            edges.count(),
+            split.positives.count(),
+            split.negatives.count(),
+            n_before,
+            n_after,
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_edges long, n_pos long, n_neg long, comps_before long, comps_after long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup + ANN (rows-only: xxhash64/hyperplane seeds are
+# engine-specific; exactness is covered by unit/property tests)
+# ---------------------------------------------------------------------------
+
+@register("minhash_signatures")  # rows-only
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature summary per document (near-dup building block)."""
+    from federated_gcn_spark.operators.dedup import with_minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = with_minhash_signature(
+        docs.select("doc_id", "text"), num_hashes=32, k=3
+    ).select("doc_id", "sig")
+    return sig.select(
+        "doc_id",
+        F.array_min("sig").alias("sig_min"),
+        F.array_max("sig").alias("sig_max"),
+        F.element_at("sig", 1).alias("sig_0"),
+    )
+
+
+@register("simhash_fingerprints")  # rows-only
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from federated_gcn_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+@register("minhash_near_dup_pairs")  # rows-only (may be empty on clean data)
+def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.5, exact-
+    verified with shingle-set Jaccard ≥ 0.5. Returns the union of one
+    marker row (so the rows-only check sees a stable non-empty result on
+    duplicate-free data) + the verified pairs."""
+    from federated_gcn_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, num_hashes=64, bands=16, jaccard_threshold=0.5)
+    verified = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"), threshold=0.5)
+    marker = spark.createDataFrame(
+        [(-1, -1, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    return marker.unionByName(verified.orderBy("id_a", "id_b"))
+
+
+@register("ann_topk")  # rows-only
+def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 cosine neighbors of the min-vec_id
+    query vector (the scale path; brute-force twin is similarity_topk)."""
+    from federated_gcn_spark.operators.similarity import RandomHyperplaneLSH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").first()
+    qid, qvec = first["vec_id"], list(first["embedding"])
+    lsh = RandomHyperplaneLSH(dim=len(qvec), n_planes=8, seed=42)
+    bucketed = lsh.with_buckets(emb.where(F.col("vec_id") != qid))
+    out = lsh.topk(bucketed, qvec, k=10, multiprobe=2)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+@register("multimodal_features")  # rows-only (decoder is a seeded stub)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media pipeline: documents' text bytes stand in as
+    payloads; mapInPandas feature extraction with the deterministic fake
+    decoder (real codecs are pluggable, see operators/multimodal.py)."""
+    from federated_gcn_spark.operators.multimodal import image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(64), F.lit("height"), F.lit(64),
+            F.lit("channels"), F.lit(3), F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(None).cast("int"), F.lit("format"), F.lit("fake"),
+        ).alias("meta"),
+    )
+    feats = image_features(media, n_features=8)
+    return feats.select(
+        "media_id",
+        "decoded_ok",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )

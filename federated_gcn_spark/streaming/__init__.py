@@ -1,0 +1,6 @@
+from federated_gcn_spark.streaming.events import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    tumbling_value_agg,
+)
+from federated_gcn_spark.streaming.rounds import streaming_fedavg  # noqa: F401

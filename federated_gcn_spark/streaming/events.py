@@ -1,0 +1,85 @@
+"""Structured Streaming over the events table.
+
+The reference's only stream-like construct is its socket event loop
+(fl_server.py:134-172) — orchestration, not analytics (SURVEY.md §2.8).
+The engine still ships real stream processing: file-source streams with
+event-time windows and watermarked late-data handling, the streaming twin
+of plans.queries.events_tumbling (same aggregate, same bucketing).
+
+ts arrives as epoch-nanos BIGINT (see session.py nanosAsLong); the
+watermark needs a real timestamp column, derived losslessly via
+timestamp_micros(ts div 1000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_value_agg(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per (event_type, window): count + sum(value), late data bounded by
+    the watermark. State size is O(active windows × types) — bounded, so
+    this runs indefinitely at any input rate."""
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str, timeout_sec: int = 120):
+    """Drain all currently-available input into an in-memory sink and stop
+    (the batch-equivalence harness used by tests)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if result.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,84 @@
+"""Near-duplicate detection operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-word edit → high jaccard
+    far = "completely different words about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far), (5, "")],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 is an exact dup of 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signature("text", 32).alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 32
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=32).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: every slot matches
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.3  # near dup caught
+    assert (1, 4) not in pairs or pairs[(1, 4)] < 0.2
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_hamming_properties(spark, docs):
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash("text").alias("sh")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated doc
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs

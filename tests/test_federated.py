@@ -1,0 +1,89 @@
+"""End-to-end federated rounds + kernels on a tiny 2-partition graph."""
+
+import numpy as np
+import pytest
+
+from federated_gcn_spark.ml import GraphSAGELinkModel, LinearModel, federated_fit
+from federated_gcn_spark.ml.federated import gen_embeddings
+
+
+def _toy_partitioned(spark, n_per=12, f=6, parts=2, seed=1):
+    rng = np.random.default_rng(seed)
+    nodes, edges = [], []
+    for p in range(parts):
+        ids = [p * 1000 + i for i in range(n_per)]
+        for i in ids:
+            nodes.append((i, [float(x) for x in rng.integers(0, 2, f)], p))
+        for i in range(n_per):  # ring + chords: connected per partition
+            edges.append((ids[i], ids[(i + 1) % n_per], p))
+            if i % 3 == 0:
+                edges.append((ids[i], ids[(i + 5) % n_per], p))
+    nodes_df = spark.createDataFrame(
+        nodes, "id long, features array<double>, partition_id long"
+    )
+    edges_df = spark.createDataFrame(edges, "src long, dst long, partition_id long")
+    return nodes_df, edges_df
+
+
+def test_kernel_fit_decreases_loss():
+    rng = np.random.default_rng(0)
+    n, f = 30, 8
+    x = rng.normal(size=(n, f))
+    src = np.arange(n); dst = (np.arange(n) + 1) % n
+    pu = np.concatenate([src, rng.integers(0, n, n)])
+    pv = np.concatenate([dst, rng.integers(0, n, n)])
+    y = np.concatenate([np.ones(n), np.zeros(n)])
+    m = GraphSAGELinkModel(f, (8, 8), lr=0.05, seed=0)
+    hist = m.fit(x, src, dst, pu, pv, y, epochs=30)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_kernel_determinism():
+    m1 = GraphSAGELinkModel(5, (4, 4), seed=3)
+    m2 = GraphSAGELinkModel(5, (4, 4), seed=3)
+    for a, b in zip(m1.get_weights(), m2.get_weights()):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_linear_model_learns():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 10))
+    true_w = rng.normal(size=10)
+    y = x @ true_w + 0.5
+    m = LinearModel(10, lr=0.1, seed=0)
+    hist = m.fit(x, y, epochs=200)
+    assert hist[-1]["loss"] < 0.05 * hist[0]["loss"]
+
+
+@pytest.fixture(scope="module")
+def fl_result(spark):
+    nodes, edges = _toy_partitioned(spark)
+    weights, history = federated_fit(
+        spark, nodes, edges, rounds=2, epochs=2, layer_sizes=(4, 4), seed=42
+    )
+    return nodes, edges, weights, history
+
+
+def test_federated_fit_runs_rounds(fl_result):
+    _, _, weights, history = fl_result
+    assert len(history) == 2
+    assert len(weights) == 6  # 2 layers × (W_self, W_neigh, b)
+    assert all(np.isfinite(w).all() for w in weights)
+
+
+def test_federated_fit_deterministic(spark, fl_result):
+    nodes, edges, weights, _ = fl_result
+    w2, _ = federated_fit(
+        spark, nodes, edges, rounds=2, epochs=2, layer_sizes=(4, 4), seed=42
+    )
+    for a, b in zip(weights, w2):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_gen_embeddings(spark, fl_result):
+    nodes, edges, weights, _ = fl_result
+    emb = gen_embeddings(spark, nodes, edges, weights, layer_sizes=(4, 4))
+    rows = emb.collect()
+    assert len(rows) == nodes.count()
+    norms = [np.linalg.norm(r["embedding"]) for r in rows]
+    assert all(abs(n - 1.0) < 1e-9 or n == 0.0 for n in norms)  # L2-normalized

@@ -1,0 +1,79 @@
+"""Scalar/array/text expression builders."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.functions import (
+    array_dot,
+    cosine_similarity,
+    f1_score,
+    mem_cost_gb,
+    quality_score,
+    token_count,
+)
+from federated_gcn_spark.functions.text import lang_id, shingles
+
+
+def test_array_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        array_dot("a", "b").alias("dot"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).first()
+    assert row["dot"] == 32.0
+    expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(row["cos"] - expected) < 1e-12
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_f1_guard(spark):
+    df = spark.createDataFrame([(0.5, 0.25), (0.0, 0.0)], "p double, r double")
+    rows = df.select(f1_score(F.col("p"), F.col("r")).alias("f1")).collect()
+    vals = sorted([r["f1"] for r in rows], key=lambda v: (v is None, v))
+    assert abs(vals[0] - (2 * 0.5 * 0.25 / 0.75)) < 1e-12
+    assert vals[1] is None  # 0/0 → "undefined" (fl_client.py:132-137)
+
+
+def test_mem_cost_matches_reference_formula(spark):
+    # mem.py example: partition with 1452 nodes, 2383 edges, F=1433, 64-bit
+    df = spark.createDataFrame([(1452, 2383)], "n long, e long")
+    got = df.select(
+        mem_cost_gb(F.col("n"), F.col("e"), 1433, 64, 64).alias("gb")
+    ).first()["gb"]
+    graph_gb = (2 * 2383 * 64 / 8 + 1452 * 1433 * 64 / 8) / 2**30
+    assert abs(got - (3.6 * graph_gb + 2)) < 1e-9
+
+
+def test_text_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, ""), (3, "   "), (4, "der und das ist die")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            lang_id("text").alias("lang"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 5 and rows[1]["lang"] == "en"
+    assert rows[2]["n"] == 0 and rows[2]["lang"] == "und"
+    assert rows[3]["n"] == 0
+    assert rows[4]["lang"] == "de"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == ["a b"]  # shorter than k → whole text

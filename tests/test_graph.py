@@ -1,0 +1,41 @@
+"""Graph abstraction: construction join, degrees, message aggregation."""
+
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.graph import Graph, connected_components
+
+
+def test_from_edges_vertex_set(toy_graph):
+    ids = {r["id"] for r in toy_graph.vertices.collect()}
+    assert ids == {0, 1, 2, 3, 4, 10, 11, 12}
+
+
+def test_validated_drops_dangling(spark):
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (1, 99)], "src long, dst long")
+    g = Graph(vertices, edges).validated()
+    assert [(r["src"], r["dst"]) for r in g.edges.collect()] == [(1, 2)]
+    dangling = Graph(vertices, edges).dangling_edges()
+    assert [(r["src"], r["dst"]) for r in dangling.collect()] == [(1, 99)]
+
+
+def test_degrees(toy_graph):
+    deg = {r["id"]: r["degree"] for r in toy_graph.degrees().collect()}
+    assert deg[1] == 3  # 0-1, 1-2, 1-3 chord
+    assert deg[11] == 2
+    assert deg[10] == 1
+
+
+def test_aggregate_messages_mean_of_src_attr(spark):
+    vertices = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, f double")
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    out = Graph(vertices, edges).aggregate_messages(
+        msg=F.col("src_f"), agg=F.avg("_msg"), direction="dst"
+    )
+    assert {(r["id"], r["agg"]) for r in out.collect()} == {(3, 15.0)}
+
+
+def test_connected_components(toy_graph):
+    cc = {r["id"]: r["component"] for r in connected_components(toy_graph).collect()}
+    assert all(cc[i] == 0 for i in range(5))
+    assert all(cc[i] == 10 for i in (10, 11, 12))
