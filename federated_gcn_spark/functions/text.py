@@ -69,14 +69,39 @@ def punct_ratio(text: Column | str) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] doc-quality heuristic:
     0.4·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.3·min(1, 4·stopword_ratio)
+
+    Single pass over the token array: token count and stopword hits
+    accumulate in one `aggregate` with a struct accumulator, and the
+    score is assembled in the aggregate's *finish* lambda — references to
+    the accumulator are lambda variables (evaluated once), unlike column
+    expressions, which Catalyst re-expands per reference (the ~100×
+    minhash lesson, operators/dedup.py).
     """
-    n = token_count(text).cast("double")
-    len_part = F.least(F.lit(1.0), n / F.lit(64.0))
-    sw_part = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
-    return (
-        F.lit(0.4) * len_part
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
-        + F.lit(0.3) * sw_part
+    toks = F.transform(tokens(text), F.lower)
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    punct = punct_ratio(text)
+    zero = F.struct(F.lit(0).alias("n"), F.lit(0).alias("sw"))
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.struct(
+            (acc["n"] + 1).alias("n"),
+            (
+                acc["sw"] + F.when(F.array_contains(sw_arr, t), 1).otherwise(0)
+            ).alias("sw"),
+        ),
+        lambda acc: (
+            F.lit(0.4) * F.least(F.lit(1.0), acc["n"].cast("double") / F.lit(64.0))
+            + F.lit(0.3) * (F.lit(1.0) - punct)
+            + F.lit(0.3)
+            * F.least(
+                F.lit(1.0),
+                F.lit(4.0)
+                * F.when(
+                    acc["n"] > 0, acc["sw"].cast("double") / acc["n"]
+                ).otherwise(F.lit(0.0)),
+            )
+        ),
     )
 
 
@@ -86,15 +111,40 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str) -> Column:
     """argmax over per-language marker hits; ties broken by fixed language
-    order (en, de, es, fr, zh); all-zero → 'und' (undetermined)."""
-    scores = lang_scores(text)
+    order (en, de, es, fr, zh); all-zero → 'und' (undetermined).
+
+    One pass over the token array: a 5-slot counter array accumulates all
+    language scores simultaneously; the argmax CASE runs in the finish
+    lambda over the final accumulator (see quality_score perf note).
+    """
     order = list(LANG_MARKERS.keys())
-    best = F.greatest(*[scores[lang] for lang in order])
-    expr = F.lit("und")
-    # build reversed so earlier languages win ties
-    for lang in reversed(order):
-        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+    toks = F.transform(tokens(text), F.lower)
+    marker_arrays = [
+        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in order
+    ]
+
+    def per_token(t):
+        return F.array(
+            *[
+                F.when(F.array_contains(ma, t), 1).otherwise(0)
+                for ma in marker_arrays
+            ]
+        )
+
+    def argmax(acc):
+        scores = [F.element_at(acc, i + 1) for i in range(len(order))]
+        best = F.greatest(*scores)
+        expr = F.when(best == 0, F.lit("und"))
+        for lang, s in zip(order, scores):
+            expr = expr.when(s == best, F.lit(lang))
+        return expr.otherwise(F.lit("und"))
+
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(order)),
+        lambda acc, t: F.zip_with(acc, per_token(t), lambda a, b: a + b),
+        argmax,
+    )
 
 
 def normalized_text(text: Column | str) -> Column:

@@ -39,8 +39,16 @@ PARAM_SCHEMA = (
 )
 
 
-def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim):
-    """Build the per-partition trainer (runs inside applyInPandas)."""
+def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
+                   variant: str = "supervised"):
+    """Build the per-partition trainer (runs inside applyInPandas).
+
+    variant="supervised":   positives = the partition's edges
+                            (fl_client.py link prediction)
+    variant="unsupervised": positives = random-walk co-occurrence pairs
+                            (fl_client_unsupervised.py via
+                            UnsupervisedSampler, models/unsupervised.py:54-56)
+    """
 
     def train(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         (partition_id,) = key
@@ -57,20 +65,28 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim):
                                    seed=seed + int(partition_id))
         model.set_weights(weights_bc.value)
 
-        # link-prediction training pairs: the partition's edges are the
-        # positives; negatives are seeded random non-edges, |neg|=|pos|
-        # (G1's invariant, in-kernel edition for the local train split)
-        rng = np.random.default_rng(seed + int(partition_id))
         n = len(ids)
+        if variant == "unsupervised":
+            from federated_gcn_spark.ml.kernels import sample_walk_pairs
+
+            pos_u, pos_v = sample_walk_pairs(
+                src, dst, n, length=5, n_walks=1, window=2,
+                seed=seed + int(partition_id),
+            )
+        else:
+            pos_u, pos_v = src, dst
+        # negatives: seeded random non-edges, |neg|=|pos| (G1's invariant,
+        # in-kernel edition for the local train split)
+        rng = np.random.default_rng(seed + int(partition_id))
         pos = set(zip(src.tolist(), dst.tolist()))
         neg_u, neg_v = [], []
-        while len(neg_u) < len(src) and n > 1:
+        while len(neg_u) < len(pos_u) and n > 1:
             u = int(rng.integers(0, n)); v = int(rng.integers(0, n))
             if u != v and (u, v) not in pos and (v, u) not in pos:
                 neg_u.append(u); neg_v.append(v)
-        pu = np.concatenate([src, np.array(neg_u, dtype="int64")])
-        pv = np.concatenate([dst, np.array(neg_v, dtype="int64")])
-        labels = np.concatenate([np.ones(len(src)), np.zeros(len(neg_u))])
+        pu = np.concatenate([pos_u, np.array(neg_u, dtype="int64")])
+        pv = np.concatenate([pos_v, np.array(neg_v, dtype="int64")])
+        labels = np.concatenate([np.ones(len(pos_u)), np.zeros(len(neg_u))])
 
         model.fit(x, src, dst, pu, pv, labels, epochs=epochs)
         n_examples = int(len(labels))  # NUM_EXAMPLES (fl_client.py:77)
@@ -99,6 +115,7 @@ def federated_fit(
     lr: float = 1e-2,
     seed: int = 42,
     weighted: bool = True,
+    variant: str = "supervised",
     weights_sink: str | None = None,
 ) -> tuple[list[np.ndarray], list[dict]]:
     """Run R federated rounds; returns (global weights, round log).
@@ -122,7 +139,9 @@ def federated_fit(
     for round_no in range(rounds):
         weights_bc = spark.sparkContext.broadcast(global_weights)
         params = grouped_nodes.cogroup(grouped_edges).applyInPandas(
-            _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim),
+            _make_train_fn(
+                weights_bc, layer_sizes, lr, epochs, seed, feature_dim, variant
+            ),
             schema=PARAM_SCHEMA,
         )
         averaged = fedavg(params, weighted=weighted)  # barrier: stage boundary
@@ -143,6 +162,72 @@ def federated_fit(
             }
         )
     return global_weights, history
+
+
+def distributed_nograd(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    epochs: int = 2,
+    layer_sizes: tuple[int, int] = (16, 16),
+    lr: float = 1e-3,
+    seed: int = 42,
+) -> DataFrame:
+    """No-communication distributed pipeline (distributed_nograd.py:19-34 +
+    concat_embeddings.py): every partition trains its own unsupervised
+    model independently (no FedAvg, no rounds) and emits L2-normalized
+    embeddings; partitions are merged first-wins on node id downstream
+    (operators.merge.concat_embeddings / dropDuplicates here, since
+    partition-local ids only collide on boundary replicas).
+    Returns (id, embedding, partition_id).
+    """
+    feature_dim = len(nodes.select("features").first()["features"])
+    init = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr, seed=seed)
+    weights_bc = spark.sparkContext.broadcast(init.get_weights())
+
+    def train_and_embed(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame):
+        (partition_id,) = key
+        ids = nodes_pdf["id"].to_numpy()
+        idx = {v: i for i, v in enumerate(ids)}
+        x = np.stack(nodes_pdf["features"].to_numpy()).astype("float64")
+        e = edges_pdf[edges_pdf["src"].isin(idx) & edges_pdf["dst"].isin(idx)]
+        src = e["src"].map(idx).to_numpy(dtype="int64")
+        dst = e["dst"].map(idx).to_numpy(dtype="int64")
+        from federated_gcn_spark.ml.kernels import sample_walk_pairs
+
+        model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr,
+                                   seed=seed + int(partition_id))
+        model.set_weights(weights_bc.value)
+        n = len(ids)
+        pos_u, pos_v = sample_walk_pairs(src, dst, n, seed=seed + int(partition_id))
+        rng = np.random.default_rng(seed + int(partition_id))
+        pos = set(zip(src.tolist(), dst.tolist()))
+        neg_u, neg_v = [], []
+        while len(neg_u) < len(pos_u) and n > 1:
+            u = int(rng.integers(0, n)); v = int(rng.integers(0, n))
+            if u != v and (u, v) not in pos and (v, u) not in pos:
+                neg_u.append(u); neg_v.append(v)
+        pu = np.concatenate([pos_u, np.array(neg_u, dtype="int64")])
+        pv = np.concatenate([pos_v, np.array(neg_v, dtype="int64")])
+        labels = np.concatenate([np.ones(len(pos_u)), np.zeros(len(neg_u))])
+        model.fit(x, src, dst, pu, pv, labels, epochs=epochs)
+        h = model.embed(x, src, dst)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "embedding": [row.tolist() for row in h],
+                "partition_id": int(partition_id),
+            }
+        )
+
+    return (
+        nodes.groupBy("partition_id")
+        .cogroup(edges.groupBy("partition_id"))
+        .applyInPandas(
+            train_and_embed,
+            schema="id long, embedding array<double>, partition_id long",
+        )
+    )
 
 
 def gen_embeddings(

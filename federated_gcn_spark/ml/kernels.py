@@ -132,6 +132,41 @@ class GraphSAGELinkModel:
         return h / norm
 
 
+def sample_walk_pairs(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    length: int = 5,
+    n_walks: int = 1,
+    window: int = 2,
+    seed: int = 42,
+):
+    """Local uniform random walks → (target, context) positive pairs —
+    the in-kernel analog of UnsupervisedSampler(walk length 5, 1/node)
+    (models/unsupervised.py:54-56), used by the unsupervised FL variant.
+    Deterministic for a fixed seed."""
+    rng = np.random.default_rng(seed)
+    adj: list[list[int]] = [[] for _ in range(n_nodes)]
+    for u, v in zip(src, dst):
+        adj[u].append(v)
+        adj[v].append(u)
+    pu, pv = [], []
+    for start in range(n_nodes):
+        for _ in range(n_walks):
+            walk = [start]
+            while len(walk) < length:
+                nbrs = adj[walk[-1]]
+                if not nbrs:
+                    break
+                walk.append(int(nbrs[rng.integers(0, len(nbrs))]))
+            for i, t in enumerate(walk):
+                for j in range(max(0, i - window), min(len(walk), i + window + 1)):
+                    if i != j and walk[j] != t:  # revisits → skip self-pairs
+                        pu.append(t)
+                        pv.append(walk[j])
+    return np.asarray(pu, dtype="int64"), np.asarray(pv, dtype="int64")
+
+
 class LinearModel:
     """misc/ prototype: y = Xw + b, MSE, SGD (misc/client.py:77-99)."""
 

@@ -1,0 +1,117 @@
+"""Sources layer + the merge.py pipeline end-to-end on reference-format
+fixture files (CORA-shaped, tiny)."""
+
+import numpy as np
+import pytest
+
+from federated_gcn_spark.plans.pipelines import concat_embeddings_pipeline, merge_pipeline
+from federated_gcn_spark.sources import (
+    load_weights_npy,
+    read_edge_csv,
+    read_node_csv,
+    read_raw_attributes,
+    read_raw_edges,
+    save_weights_npy,
+    read_weights_table,
+    write_weights_table,
+)
+
+F_DIM = 4  # stand-in for CORA's 1433
+
+
+@pytest.fixture(scope="module")
+def ref_files(tmp_path_factory):
+    """Reference file formats: headerless whitespace attr/edge files
+    (data/4_attributes_0, data/4_0 shapes) + header CSVs."""
+    d = tmp_path_factory.mktemp("refdata")
+    # local store: ids 1-3; central store replicates boundary node 3 with
+    # DIFFERENT features (the case merge.py's keep-first resolves)
+    (d / "g_attributes_0").write_text(
+        "1 1 0 0 1 Neural_Networks\n"
+        "2 0 1 0 0 Theory\n"
+        "3 1 1 0 0 Case_Based\n"
+    )
+    (d / "g_centralstore_attributes_0").write_text(
+        "3 0 0 0 0 Case_Based\n"
+        "4 0 0 1 1 Genetic_Algorithms\n"
+    )
+    (d / "g_0").write_text("1 2\n2 3\n")
+    (d / "g_centralstore_0").write_text("3 4\n2 3\n")
+    (d / "nodes.csv").write_text("id,0,1,2,3\n7,1,0,1,0\n8,0,1,0,1\n")
+    (d / "edges.csv").write_text("source,target\n7,8\n")
+    return d
+
+
+def test_read_raw_attributes(spark, ref_files):
+    df = read_raw_attributes(spark, str(ref_files / "g_attributes_0"), F_DIM)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["features"] == [1.0, 0.0, 0.0, 1.0]
+    assert rows[1]["label"] == "Neural_Networks"
+    assert len(rows) == 3
+
+
+def test_read_raw_edges(spark, ref_files):
+    df = read_raw_edges(spark, str(ref_files / "g_0"))
+    assert sorted((r["src"], r["dst"]) for r in df.collect()) == [(1, 2), (2, 3)]
+
+
+def test_read_node_and_edge_csv(spark, ref_files):
+    nodes = read_node_csv(spark, str(ref_files / "nodes.csv"))
+    assert {r["id"]: r["features"] for r in nodes.collect()}[7] == [1.0, 0.0, 1.0, 0.0]
+    edges = read_edge_csv(spark, str(ref_files / "edges.csv"))
+    assert [(r["src"], r["dst"]) for r in edges.collect()] == [(7, 8)]
+
+
+def test_merge_pipeline_end_to_end(spark, ref_files, tmp_path):
+    nodes, edges = merge_pipeline(
+        spark,
+        localstore_edges=str(ref_files / "g_0"),
+        localstore_attrs=str(ref_files / "g_attributes_0"),
+        centralstore_edges=str(ref_files / "g_centralstore_0"),
+        centralstore_attrs=str(ref_files / "g_centralstore_attributes_0"),
+        out_nodes=str(tmp_path / "out_nodes"),
+        out_edges=str(tmp_path / "out_edges"),
+        feature_dim=F_DIM,
+    )
+    node_rows = {r["id"]: r["features"] for r in nodes.collect()}
+    # local copy of boundary node 3 wins (merge.py:38-39)
+    assert node_rows[3] == [1.0, 1.0, 0.0, 0.0]
+    assert set(node_rows) == {1, 2, 3, 4}
+    # bag union keeps the duplicated (2,3) edge (merge.py:40)
+    assert edges.count() == 4
+    # sinks round-trip through the reference CSV layout
+    back = read_node_csv(spark, str(tmp_path / "out_nodes"))
+    assert {r["id"]: r["features"] for r in back.collect()} == node_rows
+    back_e = read_edge_csv(spark, str(tmp_path / "out_edges"))
+    assert back_e.count() == 4
+
+
+def test_weights_npy_roundtrip(tmp_path):
+    w = [np.arange(6, dtype="float64").reshape(2, 3), np.array([1.0, 2.0])]
+    path = save_weights_npy(w, str(tmp_path / "wts"), graph_id=4, version=2)
+    assert path.endswith("weights_graphID_4_V2.npy")
+    back = load_weights_npy(path)
+    for a, b in zip(back, w):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_weights_table_roundtrip(spark, tmp_path):
+    w = [np.array([[1.0, 2.0]]), np.array([3.0])]
+    p = str(tmp_path / "param_table")
+    write_weights_table(spark, w, p, round_no=0)
+    w2 = [x * 2 for x in w]
+    write_weights_table(spark, w2, p, round_no=1)
+    latest, df = read_weights_table(spark, p)  # defaults to max round
+    for a, b in zip(latest, w2):
+        np.testing.assert_array_equal(a, b)
+    r0, _ = read_weights_table(spark, p, round_no=0)
+    np.testing.assert_array_equal(r0[0], w[0])
+
+
+def test_concat_embeddings_pipeline(spark, tmp_path):
+    p0 = spark.createDataFrame([(1, [1.0]), (2, [2.0])], "id long, embedding array<double>")
+    p1 = spark.createDataFrame([(2, [9.0]), (3, [3.0])], "id long, embedding array<double>")
+    out = str(tmp_path / "emb")
+    merged = concat_embeddings_pipeline([p0, p1], out_path=out)
+    assert merged.count() == 3
+    assert spark.read.parquet(out).count() == 3
