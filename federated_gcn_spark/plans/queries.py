@@ -942,3 +942,139 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE algebra as SQL-checkable plans (G4 message passing, G5 scoring)
+# ---------------------------------------------------------------------------
+
+@register(
+    "link_scores",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    e AS (
+        SELECT vec_id AS u, (vec_id * 31 + 7) % (SELECT cnt FROM n) AS v
+        FROM embeddings
+    ), ue AS (
+        SELECT e.u, e.v, CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+               GENERATE_SUBSCRIPTS(a.embedding, 1) AS i
+        FROM e JOIN embeddings a ON a.vec_id = e.u
+    ), ve AS (
+        SELECT vec_id AS v, CAST(UNNEST(embedding) AS DOUBLE) AS y,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ), d AS (
+        SELECT u, ue.v, SUM(x * y) AS dot
+        FROM ue JOIN ve ON ue.v = ve.v AND ue.i = ve.i
+        GROUP BY u, ue.v
+    )
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           ROUND(1.0 / (1.0 + EXP(-dot)), 6) AS score
+    FROM d
+    """,
+)
+def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 link scorer sigma(<h_u, h_v>) (models/supervised.py:94-96,
+    edge_embedding_method="ip") over a derived deterministic edge set —
+    pure HOF dot product + sigmoid, JVM-side."""
+    from federated_gcn_spark.functions.scalar import link_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias("u"),
+        ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("v"),
+    )
+    eu = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("h_u"))
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("h_v"))
+    return (
+        edges.join(eu, "u")
+        .join(ev, "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.round(link_score("h_u", "h_v"), 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "neighbor_mean",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    e AS (
+        SELECT vec_id AS src, (vec_id * 31 + 7) % (SELECT cnt FROM n) AS dst
+        FROM embeddings
+    ), ex AS (
+        SELECT e.dst, CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+               GENERATE_SUBSCRIPTS(a.embedding, 1) AS idx
+        FROM e JOIN embeddings a ON a.vec_id = e.src
+    )
+    SELECT CAST(dst AS BIGINT) AS id, CAST(idx AS BIGINT) AS idx,
+           ROUND(AVG(x), 6) AS mean_v
+    FROM ex GROUP BY dst, idx
+    """,
+)
+def neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4's mean-aggregate step — mean of in-neighbor feature vectors per
+    vertex, long format: the edges ⋈ features → groupBy(dst) elementwise
+    average that one GraphSAGE layer performs (models/supervised.py:88-92).
+
+    Scale shape: posexplode before the shuffle keeps the key space
+    (vertex × element) fine-grained → partial aggregation applies and no
+    whole vector is ever a single shuffle value.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("dst"),
+    )
+    feats = emb.select(F.col("vec_id").alias("src"), "embedding")
+    ex = edges.join(feats, "src").select(
+        "dst", F.posexplode("embedding").alias("pos", "x")
+    )
+    return ex.groupBy(
+        F.col("dst").cast("long").alias("id"),
+        (F.col("pos") + 1).cast("long").alias("idx"),
+    ).agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_v"))
+
+
+@register(
+    "embedding_merge",
+    """
+    WITH tagged AS (
+        SELECT vec_id, label, embedding[1] AS e0, 0 AS pri
+        FROM embeddings WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT vec_id, label, embedding[1] AS e0, 1 AS pri
+        FROM embeddings WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id, label, embedding[1] AS e0, 2 AS pri
+        FROM embeddings
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label,
+           ROUND(CAST(e0 AS DOUBLE), 6) AS e0
+    FROM tagged
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY pri) = 1
+    """,
+)
+def embedding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET4/J3: N-way per-partition embedding concat with first-wins dedup
+    (concat_embeddings.py:12-28) — three overlapping slices standing in
+    for per-partition embedding tables."""
+    from federated_gcn_spark.operators.merge import union_keep_first
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
+    parts = [
+        base.where(F.col("vec_id") % 2 == 0),
+        base.where(F.col("vec_id") % 3 == 0),
+        base,
+    ]
+    return union_keep_first(parts, keys=["vec_id"])
