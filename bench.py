@@ -41,8 +41,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on a trivial job so q1 isn't charged for startup
+    # JVM/codegen/datasource warm-up so q1 isn't charged for one-time init:
+    # trivial codegen job + a parquet scan + a noop-sink write.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -32,10 +32,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md)."""
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a scan that produced fewer splits than the session has cores.
+
+    CPU-bound per-row stages (shingling, signature hashing, HOF vector
+    math) parallelize by input split; a small parquet file is one
+    row-group → one split → all work pinned to a single core. At target
+    scale this guard is a structural no-op (a 100 TB table scans as tens
+    of thousands of splits), so it costs nothing where it doesn't help:
+    it only fires in the small-file regime, where the repartitioned data
+    is tiny and the round-robin shuffle is cheap by construction.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``parallel=True`` for tables feeding CPU-heavy per-row expressions —
+    see ensure_parallelism.
+    """
     tune(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ensure_parallelism(df) if parallel else df
 
 
 def load_tables(

@@ -18,12 +18,27 @@ identical results on any cluster layout.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.functions.text import doc_fingerprint, shingles
 
 _PRIME = 2_147_483_647  # 2^31-1; minhash value domain
+
+
+def _affine_params(n: int, seed: int) -> tuple[list[int], list[int]]:
+    """n seeded (a, b) pairs for the affine hash family h_i(x) = (a·x+b) mod P.
+
+    Driver-side constants inlined into the plan as literal arrays: the
+    whole family costs ONE string hash per element plus n long mul-adds,
+    instead of n independent string hashes (a·x stays < 2^62, no overflow).
+    """
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _PRIME) for _ in range(n)]
+    b = [rng.randrange(0, _PRIME) for _ in range(n)]
+    return a, b
 
 
 def exact_dedup(
@@ -42,25 +57,26 @@ def exact_dedup(
 def minhash_signature_over(sh: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """ARRAY<BIGINT> MinHash signature over a *precomputed* shingle array.
 
-    sig[i] = min over shingles s of (xxhash64(s, seed+i) mod PRIME) —
-    one transform over a hash-index sequence with an array_min inside;
-    all codegen'd, linear in (#shingles × num_hashes).
+    sig[i] = min over shingles s of ((a_i·xxhash64(s) + b_i) mod PRIME) —
+    the classic affine-family MinHash: ONE string hash per shingle, then
+    num_hashes long mul-adds, all codegen'd.
 
     Expression shape matters enormously here (measured at sf0.1): the
     naive ``transform(hash_idx, i -> array_min(transform(sh, ...)))``
     references ``sh`` inside every hash lambda; Catalyst re-expands the
     shingle expression per hash (projection collapse un-does any
-    withColumn staging), which measured ~100× slower. This form
-    references ``sh`` exactly once — per-shingle hash vectors folded with
-    zip_with(least) — so shingling runs once per row no matter how many
-    hash functions.
+    withColumn staging), which measured ~100× slower. This form stages
+    base hashes as their own array first — a lambda *variable* is a bound
+    value (evaluated once), unlike a column expression, so the per-hash
+    lambda can reference it freely.
     """
+    a_params, b_params = _affine_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in a_params])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in b_params])
+    bases = F.transform(sh, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_PRIME)))
     per_shingle = F.transform(
-        sh,
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.pmod(F.xxhash64(s, i + F.lit(seed)), F.lit(_PRIME)),
-        ),
+        bases,
+        lambda h: F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * h + b, F.lit(_PRIME))),
     )
     return F.aggregate(
         per_shingle,
@@ -210,25 +226,33 @@ N_SIMHASH_BITS = 63  # top bit dropped: keeps the BIGINT non-negative
 def simhash(text: Column | str, seed: int = 42) -> Column:
     """63-bit SimHash of the token multiset as BIGINT.
 
-    bit j = sign of Σ_tokens ±1 where each bit uses an independent seeded
-    hash xxhash64(token, seed, j) — single aggregate pass over a counter
-    array, JVM-side. (Independent per-bit hashes rather than the bits of
-    one hash: identical SimHash guarantees, and it avoids per-element
-    bit-shift limits of the DSL.)
+    bit j = sign of Σ_tokens ±1 where the per-token bit comes from the
+    affine family parity((a_j·xxhash64(token) + b_j) mod P) — ONE string
+    hash per token, then 63 long mul-adds (pairwise-independent bits,
+    identical SimHash guarantees); single aggregate pass over a counter
+    array, JVM-side. Base hashes are staged as their own array so the
+    per-bit lambda references a bound value, not a re-expanded
+    expression (see minhash_signature_over).
     """
     from federated_gcn_spark.functions.text import tokens
 
-    toks = tokens(text)
+    a_params, b_params = _affine_params(N_SIMHASH_BITS, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in a_params])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in b_params])
+    bases = F.transform(
+        tokens(text), lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(_PRIME))
+    )
     bit_seq = F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1))
     counters = F.aggregate(
-        toks,
+        bases,
         F.array_repeat(F.lit(0), N_SIMHASH_BITS),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                bit_seq,
-                lambda j: F.when(
-                    F.pmod(F.xxhash64(t, F.lit(seed), j), F.lit(2)) == 1, F.lit(1)
+            F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: F.when(
+                    F.pmod(F.pmod(a * h + b, F.lit(_PRIME)), F.lit(2)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1)),
             ),
             lambda a, b: a + b,

@@ -278,7 +278,7 @@ def fedavg_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: posexplode → shuffle on (label, idx) with map-side partial
     aggregation; no Python involved.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     ex = emb.select(
         F.col("label").cast("long").alias("label"),
         (F.col("vec_id") % 5 + 1).cast("double").alias("w"),
@@ -649,7 +649,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite doc-quality heuristic (length / punctuation / stopword
     ratios) — pure codegen'd expressions, no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
 
 
@@ -681,7 +681,7 @@ _LANG_SCORE_SQL = ",\n".join(
 def lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic; argmax over per-language
     marker-token hits, fixed tie order (en,de,es,fr,zh), 'und' if no hits."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
 
 
@@ -722,7 +722,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrdered (no global sort). This is the exact-baseline the ANN
     (LSH-bucketed) variant is benchmarked against.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     qid = emb.agg(F.min("vec_id")).collect()[0][0]
     qv = emb.where(F.col("vec_id") == qid).select(
         F.col("embedding").alias("query_embedding")
@@ -861,7 +861,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature summary per document (near-dup building block)."""
     from federated_gcn_spark.operators.dedup import with_minhash_signature
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     sig = with_minhash_signature(
         docs.select("doc_id", "text"), num_hashes=32, k=3
     ).select("doc_id", "sig")
@@ -877,7 +877,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.operators.dedup import simhash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.select("doc_id", simhash("text").alias("simhash64"))
 
 
@@ -889,7 +889,7 @@ def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-free data) + the verified pairs."""
     from federated_gcn_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     cands = minhash_lsh_pairs(docs, num_hashes=64, bands=16, jaccard_threshold=0.5)
     verified = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"), threshold=0.5)
     marker = spark.createDataFrame(
@@ -904,7 +904,7 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector (the scale path; brute-force twin is similarity_topk)."""
     from federated_gcn_spark.operators.similarity import RandomHyperplaneLSH
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     first = emb.orderBy("vec_id").first()
     qid, qvec = first["vec_id"], list(first["embedding"])
     lsh = RandomHyperplaneLSH(dim=len(qvec), n_planes=8, seed=42)
@@ -923,7 +923,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder (real codecs are pluggable, see operators/multimodal.py)."""
     from federated_gcn_spark.operators.multimodal import image_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -979,7 +979,7 @@ def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure HOF dot product + sigmoid, JVM-side."""
     from federated_gcn_spark.functions.scalar import link_score
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     n = emb.count()
     edges = emb.select(
         F.col("vec_id").alias("u"),
@@ -1024,7 +1024,7 @@ def neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vertex × element) fine-grained → partial aggregation applies and no
     whole vector is ever a single shuffle value.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     n = emb.count()
     edges = emb.select(
         F.col("vec_id").alias("src"),
