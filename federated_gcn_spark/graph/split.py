@@ -38,6 +38,40 @@ class EdgeSplit(NamedTuple):
     negatives: DataFrame  # sampled non-edges (src, dst, label=0)
 
 
+def take_n_smallest_by_hash(
+    df: DataFrame, n: int, hash_col: str, tiebreak: tuple[str, ...]
+) -> DataFrame:
+    """Exactly the n rows with the smallest ``hash_col`` — without a global
+    sort-limit (which single-partitions n rows through the driver).
+
+    Distributed selection: histogram on the hash's top 16 bits (≤65,536
+    buckets, a tiny groupBy collect), find the bucket holding the n-th
+    order statistic on the driver, take every bucket below it wholesale
+    and sort-limit only inside the boundary bucket (~|df|/65,536 rows).
+    Deterministic for ties via ``tiebreak``.
+    """
+    if n <= 0:
+        return df.limit(0)
+    bucket = F.shiftright(F.col(hash_col), 48)  # signed & monotone in hash order
+    counts = sorted(
+        df.groupBy(bucket.alias("__b")).count().collect(), key=lambda r: r["__b"]
+    )
+    cum = 0
+    boundary = None
+    for r in counts:
+        if cum + r["count"] >= n:
+            boundary = r["__b"]
+            break
+        cum += r["count"]
+    if boundary is None:
+        return df  # n >= total rows
+    below = df.where(bucket < boundary)
+    edge_of = (
+        df.where(bucket == boundary).orderBy(hash_col, *tiebreak).limit(n - cum)
+    )
+    return below.unionByName(edge_of)
+
+
 def spanning_forest(graph: Graph, max_iterations: int = 100) -> DataFrame:
     """One BFS tree per connected component, rooted at the component's min
     vertex id. Returns tree edges as (src, dst) in the *stored* edge
@@ -141,9 +175,12 @@ def connectivity_preserving_split(
 
     order = F.xxhash64(F.col(SRC), F.col(DST), F.lit(seed))
     positives = (
-        removable.withColumn("__h", order)
-        .orderBy("__h", SRC, DST)
-        .limit(n_remove)
+        take_n_smallest_by_hash(
+            removable.withColumn("__h", order).localCheckpoint(eager=True),
+            n_remove,
+            "__h",
+            (SRC, DST),
+        )
         .drop("__h")
         .localCheckpoint(eager=True)
     )
@@ -157,39 +194,53 @@ def connectivity_preserving_split(
         negatives = positives.withColumn("label", F.lit(0)).limit(0)
         return EdgeSplit(residual, positives.withColumn("label", F.lit(1)), negatives)
 
-    # deterministic candidate pairs: rank vertices by hash, pair rank i
-    # with rank perm(i) for several salted permutations
+    # deterministic candidate pairs WITHOUT a global rank (a no-partition
+    # window single-threads the whole vertex set): hash vertices into
+    # ~1k-vertex buckets, rank within bucket (partitioned window), then
+    # pair rank i with a salted pseudo-random rank in the same bucket.
+    # Bucket membership is itself hash-random, so within-bucket pairs are
+    # uniform non-edges in expectation at any scale.
     n_cand_rounds = 4
-    ranked = ids.withColumn(
-        "__r",
-        F.row_number().over(Window.orderBy(F.xxhash64(F.col(ID), F.lit(seed)), ID)) - 1,
+    n_vertices = ids.count()
+    n_buckets = max(1, n_vertices // 1024)
+    ranked = (
+        ids.withColumn("__b", F.pmod(F.xxhash64(F.col(ID), F.lit(seed)), F.lit(n_buckets)))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__b").orderBy(F.xxhash64(F.col(ID), F.lit(seed + 17)), ID)
+            )
+            - 1,
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__b")))
     )
-    n_vertices = ranked.count()
     cands = None
     for salt in range(n_cand_rounds):
         other = ranked.select(
+            F.col("__b"),
             F.col(ID).alias("dst_cand"),
             F.pmod(
                 F.xxhash64(F.col("__r") + F.lit(salt * 7919), F.lit(seed + salt)),
-                F.lit(n_vertices),
+                F.col("__n"),
             ).alias("__r2"),
         )
-        pair = ranked.join(other, F.col("__r") == F.col("__r2")).select(
-            F.col(ID).alias(SRC), F.col("dst_cand").alias(DST)
-        )
+        pair = ranked.join(
+            other, (ranked["__b"] == other["__b"]) & (F.col("__r") == F.col("__r2"))
+        ).select(F.col(ID).alias(SRC), F.col("dst_cand").alias(DST))
         cands = pair if cands is None else cands.unionByName(pair)
     sym_edges = edges.unionByName(
         edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
-    negatives = (
+    negatives = take_n_smallest_by_hash(
         cands.where(F.col(SRC) != F.col(DST))
         .distinct()
         .join(sym_edges, [SRC, DST], "left_anti")
         .withColumn("__h", F.xxhash64(F.col(SRC), F.col(DST), F.lit(seed + 1)))
-        .orderBy("__h", SRC, DST)
-        .limit(n_pos)
-        .drop("__h")
-    )
+        .localCheckpoint(eager=True),
+        n_pos,
+        "__h",
+        (SRC, DST),
+    ).drop("__h")
     return EdgeSplit(
         residual,
         positives.withColumn("label", F.lit(1)),
