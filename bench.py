@@ -32,6 +32,9 @@ HEADLINE = [
     "lang_id_detect",
     "similarity_topk",
     "minhash_signatures",
+    "rollup_revenue",
+    "roc_auc",
+    "tfidf_top_terms",
 ]
 
 

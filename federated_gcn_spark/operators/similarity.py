@@ -111,6 +111,84 @@ class RandomHyperplaneLSH:
         )
 
 
+class IVFIndex:
+    """Inverted-file ANN index (the classic IVF-Flat layout, Spark-shaped).
+
+    Centroids: the k vectors whose seeded id-hash is smallest — a uniform
+    deterministic sample collected to the driver (k·dim floats; IVF
+    training is always a driver/offline step). Assignment: every vector
+    gets the max-cosine centroid, computed with inlined-literal HOF dot
+    products and an argmax over a struct array — all codegen-able, no
+    Python in the row path. A query exact-scores only its ``nprobe``
+    nearest centroid lists.
+
+    At 100 TB the assigned table is written partitioned by
+    ``centroid_id`` so a probe is partition pruning — the same catalog
+    trick as the graph store (catalog.write_graph).
+    """
+
+    def __init__(
+        self,
+        embeddings: DataFrame,
+        k: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        self.centroids = np.array([list(r[1]) for r in rows], dtype="float64")
+        self.centroids /= np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-12
+        )
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def assign(self, embeddings: DataFrame) -> DataFrame:
+        """embeddings + ``centroid_id`` (argmax cosine; ties → higher id)."""
+        sims = [
+            cosine_similarity(
+                F.col(self.vec_col), F.array(*[F.lit(float(x)) for x in c])
+            )
+            for c in self.centroids
+        ]
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(s.alias("s"), F.lit(i).alias("i"))
+                    for i, s in enumerate(sims)
+                ]
+            )
+        )
+        return embeddings.withColumn("centroid_id", best["i"])
+
+    def topk(
+        self,
+        assigned: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """ANN top-k: exact cosine over the nprobe nearest centroid lists."""
+        q = np.asarray(query_vec, dtype="float64")
+        q = q / max(np.linalg.norm(q), 1e-12)
+        order = np.argsort(-(self.centroids @ q), kind="stable")
+        probe = [int(i) for i in order[:nprobe]]
+        qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            assigned.where(F.col("centroid_id").isin(probe))
+            .select(
+                F.col(self.id_col),
+                cosine_similarity(F.col(self.vec_col), qcol).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), self.id_col)
+            .limit(k)
+        )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1078,3 +1078,386 @@ def embedding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
     ]
     return union_keep_first(parts, keys=["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth the engine inherits from Spark SQL (SURVEY.md §2.4/§2.5
+# notes: rollup/intersect/except/semi/anti/percentiles "come free") — declared
+# here so the inheritance is oracle-verified, not just asserted.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total): one
+    shuffle produces all three grouping levels via partial-agg expansion;
+    both dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("g_r"),
+            F.grouping("n_name").cast("long").alias("g_n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("r_name", "n_name", "g_r", "g_n", "revenue", "n_orders")
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding any 400k+ order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders —
+    the same primitive that backs negative sampling (G1) and dedup-merge
+    rewrites (J3)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "intersect_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): BUILDING-segment customers who
+    placed an urgent order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "except_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics): BUILDING-segment customers with
+    no urgent orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b.distinct()).distinct()
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25,
+           ROUND(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS p75,
+           ROUND(CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The exact variant
+    shuffles each group's values to one reducer — fine for bounded value
+    domains; at 100 TB switch to percentile_approx (t-digest) and drop
+    the oracle to tolerance-compare."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D))"
+    )
+    out = lineitem.groupBy("l_returnflag").agg(pct.alias("p"))
+    return out.select(
+        "l_returnflag",
+        *[
+            F.round(F.element_at("p", i + 1), 6).alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+@register(
+    "moving_avg_spend",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM orders
+    """,
+)
+def moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame window (3-order trailing mean per customer) — the frame
+    semantics tumbling/asof-style rollups build on; window is partitioned
+    by customer, so it scales with the key space."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("mavg3"),
+    )
+
+
+@register(
+    "roc_auc",
+    """
+    WITH s AS (
+        SELECT l_extendedprice AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), g AS (
+        SELECT score, SUM(y) AS np, COUNT(*) - SUM(y) AS nn
+        FROM s GROUP BY score
+    ), c AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_neg
+        FROM g
+    )
+    SELECT ROUND(SUM(np * (cum_neg + nn / 2.0))
+                 / ((SELECT SUM(np) FROM g) * (SELECT SUM(nn) FROM g)), 6)
+               AS auc
+    FROM c
+    """,
+)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's AUC as pure dataflow: Mann-Whitney rank-sum with average-rank
+    tie handling, computed on the DISTINCT-score histogram — the only
+    unpartitioned window runs over distinct scores (bounded domain:
+    prices), never over rows. Scoring 'R'-returnflag by extendedprice."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    s = lineitem.select(
+        F.col("l_extendedprice").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").alias("np"), (F.count(F.lit(1)) - F.sum("y")).alias("nn")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_neg")
+    )
+    totals = g.agg(
+        F.sum("np").alias("tp"), F.sum("nn").alias("tn")
+    )
+    return (
+        c.agg(F.sum(F.col("np") * (F.col("cum_neg") + F.col("nn") / 2.0)).alias("u"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.round(F.col("u") / (F.col("tp") * F.col("tn")), 6).alias("auc"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM d
+    ), tf AS (
+        SELECT doc_id, UNNEST(toks) AS term FROM d
+    ), tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), dfc AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+    )
+    SELECT term,
+           ROUND(SUM(tf * LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / df)), 6)
+               AS tfidf_sum
+    FROM tfc JOIN dfc USING (term)
+    GROUP BY term
+    ORDER BY tfidf_sum DESC, term
+    LIMIT 20
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (§2.10 text analysis): tf via (doc, term) groupBy,
+    df via term groupBy, idf joined back — two shuffles on term-sized
+    keys, top-20 as TakeOrdered. The vocabulary-statistics primitive of
+    an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tf.join(dfc, "term")
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))), 6
+            ).alias("tfidf_sum")
+        )
+        .orderBy(F.col("tfidf_sum").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "ngram_jaccard_adjacent",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                   AS toks,
+               LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                    ELSE [norm] END AS s
+        FROM d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard on adjacent doc-id pairs — the
+    oracle-checkable twin of the LSH-candidate verify stage
+    (operators/dedup.py ngram_jaccard_pairs uses the same expressions on
+    arbitrary candidate sets)."""
+    from federated_gcn_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                  F.col("s").alias("sb"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining extension variants (rows-only: seeded LSH/IVF layouts are
+# engine-specific; exactness covered by unit tests)
+# ---------------------------------------------------------------------------
+
+@register("ivf_ann_topk")  # rows-only
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 for the min-vec_id query vector (the partition-
+    pruned scale path; exact twin is similarity_topk, LSH twin ann_topk)."""
+    from federated_gcn_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    first = emb.orderBy("vec_id").first()
+    qid, qvec = first["vec_id"], list(first["embedding"])
+    index = IVFIndex(emb, k=16, seed=42)
+    assigned = index.assign(emb.where(F.col("vec_id") != qid))
+    out = index.topk(assigned, qvec, k=10, nprobe=4)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+@register("embedding_near_dup")  # rows-only (may be empty on clean data)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs (≥0.9) via random-hyperplane LSH
+    buckets + exact verify; marker row keeps the rows-only check stable
+    on duplicate-free data."""
+    from federated_gcn_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=8, seed=42)
+    marker = spark.createDataFrame(
+        [(-1, -1, 1.0)], "id_a long, id_b long, cos_sim double"
+    )
+    return marker.unionByName(
+        pairs.select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

@@ -53,3 +53,31 @@ def test_near_dup_pairs_find_planted_pair(spark, emb):
         for r in embedding_near_dup_pairs(df, threshold=0.99, n_planes=6).collect()
     }
     assert (100, 101) in pairs
+
+
+def test_ivf_assignment_and_recall(spark, emb):
+    from federated_gcn_spark.operators.similarity import IVFIndex
+
+    df, vecs = emb
+    index = IVFIndex(df, k=8, seed=42)
+    assigned = index.assign(df).localCheckpoint(eager=True)
+    # every vector lands in exactly one of the k lists
+    assert assigned.count() == 200
+    n_lists = assigned.select("centroid_id").distinct().count()
+    assert 1 <= n_lists <= 8
+    q = list(vecs[0])
+    exact = {r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()}
+    approx = {r["vec_id"] for r in index.topk(assigned, q, k=5, nprobe=4).collect()}
+    assert len(exact & approx) / 5 >= 0.4
+    # nprobe=k degenerates to exact search
+    full = [r["vec_id"] for r in index.topk(assigned, q, k=5, nprobe=8).collect()]
+    assert set(full) == exact
+
+
+def test_ivf_deterministic(spark, emb):
+    from federated_gcn_spark.operators.similarity import IVFIndex
+
+    df, vecs = emb
+    a = IVFIndex(df, k=8, seed=42).assign(df).collect()
+    b = IVFIndex(df, k=8, seed=42).assign(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
