@@ -1,0 +1,93 @@
+"""Evaluation-metric aggregates (SURVEY.md §2.6 A6) as scalable dataflow.
+
+The reference logs loss/accuracy/recall/AUC/precision from Keras
+(models/supervised.py:103, fl_client.py:139-160); here the threshold-free
+metric (AUC) is re-derived as pure relational algebra so it runs on a
+predictions DataFrame of any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order —
+    WITHOUT a global unpartitioned window (which funnels every row
+    through one task).
+
+    Two-pass range-partitioned scan, the classic distributed prefix-sum:
+    1. range-repartition on the order key (equal keys co-locate), pin the
+       layout with localCheckpoint so both passes see identical
+       partitions;
+    2. per-partition totals → driver-side cumulative offsets (one tiny
+       collect of ``num_partitions`` rows);
+    3. within-partition exclusive running sum (window partitioned by
+       spark_partition_id) + the partition's offset.
+
+    Wall-clock scales with rows/partitions; driver state with
+    ``num_partitions`` only.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = {
+        r["__pid"]: r["total"]
+        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(partials):
+        offsets[pid] = acc
+        acc += partials[pid] or 0
+    offset_col: Column = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in offsets.items()
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranged.withColumn(
+        out_col,
+        (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + offset_col).cast("long"),
+    ).drop("__pid")
+
+
+def binary_auc(
+    predictions: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """ROC-AUC as a 1-row DataFrame (column ``auc``), exact, with
+    average-rank tie handling (Mann-Whitney U).
+
+    Shape: collapse to the distinct-score histogram (one shuffle with
+    map-side combine), then a distributed prefix sum of negatives in
+    score order — never a global sort, never a single-partition window,
+    no driver-side row data. AUC = Σ_s np(s)·(cum_neg_below(s) + nn(s)/2)
+    / (NP·NN).
+    """
+    g = predictions.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.col(label_col)).alias("np"),
+        (F.count(F.lit(1)) - F.sum(F.col(label_col))).alias("nn"),
+    )
+    c = partitioned_prefix_sum(g, "score", "nn", "cum_neg")
+    totals = c.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    return (
+        c.agg(
+            F.sum(F.col("np") * (F.col("cum_neg") + F.col("nn") / 2.0)).alias("u")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(F.round(F.col("u") / (F.col("tp") * F.col("tn")), 6).alias("auc"))
+    )

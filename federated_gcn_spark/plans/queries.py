@@ -1289,29 +1289,18 @@ def moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6's AUC as pure dataflow: Mann-Whitney rank-sum with average-rank
-    tie handling, computed on the DISTINCT-score histogram — the only
-    unpartitioned window runs over distinct scores (bounded domain:
-    prices), never over rows. Scoring 'R'-returnflag by extendedprice."""
+    ties over the distinct-score histogram, cumulated with a range-
+    partitioned two-pass prefix sum — no global sort, no unpartitioned
+    window, even when scores are near-unique (operators/stats.py).
+    Scoring 'R'-returnflag by extendedprice."""
+    from federated_gcn_spark.operators.stats import binary_auc
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     s = lineitem.select(
         F.col("l_extendedprice").alias("score"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    g = s.groupBy("score").agg(
-        F.sum("y").alias("np"), (F.count(F.lit(1)) - F.sum("y")).alias("nn")
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select(
-        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_neg")
-    )
-    totals = g.agg(
-        F.sum("np").alias("tp"), F.sum("nn").alias("tn")
-    )
-    return (
-        c.agg(F.sum(F.col("np") * (F.col("cum_neg") + F.col("nn") / 2.0)).alias("u"))
-        .crossJoin(F.broadcast(totals))
-        .select(F.round(F.col("u") / (F.col("tp") * F.col("tn")), 6).alias("auc"))
-    )
+    return binary_auc(s, "score", "y")
 
 
 @register(

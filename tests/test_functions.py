@@ -77,3 +77,55 @@ def test_shingles(spark):
     rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
     assert rows[1] == ["a b c", "b c d"]
     assert rows[2] == ["a b"]  # shorter than k → whole text
+
+
+def test_partitioned_prefix_sum_matches_serial(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from federated_gcn_spark.operators.stats import partitioned_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(float(rng.randrange(0, 500)), rng.randrange(0, 10)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "k double, v long")
+    # serial truth: exclusive prefix sum over k-order; ties share a k, so
+    # compare at distinct-k granularity (the binary_auc use case)
+    g = df.groupBy("k").agg(F.sum("v").alias("v"))
+    got = {
+        r["k"]: r["ps"]
+        for r in partitioned_prefix_sum(g, "k", "v", "ps", num_partitions=16).collect()
+    }
+    data = sorted(((r["k"], r["v"]) for r in g.collect()))
+    acc = 0
+    for k, v in data:
+        assert got[k] == acc, f"prefix sum mismatch at k={k}"
+        acc += v
+
+
+def test_binary_auc_matches_sklearn_formula(spark):
+    import random
+
+    from federated_gcn_spark.operators.stats import binary_auc
+
+    rng = random.Random(11)
+    rows = [(rng.gauss(r, 1.0), r) for r in (rng.randrange(2) for _ in range(3000))]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = binary_auc(df, "score", "y").collect()[0]["auc"]
+    # reference: O(n log n) rank-sum with average ranks
+    data = sorted(df.collect(), key=lambda r: r["score"])
+    n = len(data)
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and data[j]["score"] == data[i]["score"]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = avg_rank
+        i = j
+    pos = [t for t in range(n) if data[t]["y"] == 1]
+    np_, nn_ = len(pos), n - len(pos)
+    u = sum(ranks[t] for t in pos) - np_ * (np_ + 1) / 2.0
+    assert abs(got - u / (np_ * nn_)) < 1e-6
