@@ -35,6 +35,7 @@ HEADLINE = [
     "rollup_revenue",
     "roc_auc",
     "tfidf_top_terms",
+    "graphsage_layer",
 ]
 
 

@@ -1335,7 +1335,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
@@ -1346,10 +1346,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     return (
         tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))  # corpus size as a broadcast row, not a driver count job
         .groupBy("term")
         .agg(
             F.round(
-                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))), 6
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
             ).alias("tfidf_sum")
         )
         .orderBy(F.col("tfidf_sum").desc(), "term")
@@ -1448,5 +1449,129 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").cast("long"),
             F.col("id_b").cast("long"),
             F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "events_hopping",
+    """
+    WITH e AS (
+        SELECT event_type,
+               (epoch_ns(ts) // 1000000000 // 300) * 300 AS w0,
+               value
+        FROM events
+    ), exploded AS (
+        SELECT event_type, UNNEST([w0, w0 - 300]) AS ws, value FROM e
+    )
+    SELECT event_type,
+           CAST(ws AS BIGINT) AS win_start_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows hopping every 5 minutes: each event replicates
+    into exactly size/hop windows via an explode over computed window
+    starts — the batch form of a sliding-window streaming aggregate, and
+    the standard Spark realization (window replication precedes the
+    shuffle so partial aggregation still applies)."""
+    events = load_table(spark, sf_dir, "events")
+    w0 = (F.expr("ts div 1000000000 div 300") * 300).cast("long")
+    return (
+        events.select(
+            "event_type",
+            F.explode(F.array(w0, w0 - 300)).alias("win_start_sec"),
+            "value",
+        )
+        .groupBy("event_type", "win_start_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "graphsage_layer",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    e AS (
+        SELECT vec_id AS src, (vec_id * 31 + 7) % (SELECT cnt FROM n) AS dst
+        FROM embeddings
+    ), hx AS (  -- long-format input features, first 8 dims
+        SELECT vec_id AS id, GENERATE_SUBSCRIPTS(embedding[1:8], 1) AS k,
+               CAST(UNNEST(embedding[1:8]) AS DOUBLE) AS v
+        FROM embeddings
+    ), mean_n AS (  -- mean over in-neighbors, long format (k offset +8)
+        SELECT e.dst AS id, hx.k + 8 AS k, AVG(hx.v) AS v
+        FROM e JOIN hx ON hx.id = e.src
+        GROUP BY e.dst, hx.k
+    ), x AS (  -- [h_v || mean(h_N(v))] : 16-dim concat, long format
+        SELECT * FROM hx UNION ALL SELECT * FROM mean_n
+    ), w AS (  -- deterministic 4x16 weight matrix from a formula
+        SELECT j, k, ((CAST((j * 31 + k * 17) % 13 AS DOUBLE)) - 6) / 10 AS w
+        FROM (SELECT UNNEST(range(1, 5)) AS j), (SELECT UNNEST(range(1, 17)) AS k)
+    )
+    SELECT CAST(x.id AS BIGINT) AS id, CAST(w.j AS BIGINT) AS j,
+           ROUND(GREATEST(SUM(w.w * x.v) + 0.01 * w.j, 0.0), 6) AS h
+    FROM x JOIN w ON w.k = x.k
+    GROUP BY x.id, w.j
+    """,
+)
+def graphsage_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full GraphSAGE mean-aggregate layer (G4: models/supervised.py:
+    88-92, h_v <- relu(W·[h_v ‖ mean(h_N(v))] + b)) as pure relational
+    dataflow — the matmul is a long-format join-aggregate, which is how
+    a matmul distributes when the feature matrix exceeds one machine:
+    neighbor mean (edges ⋈ features, groupBy dst), concat via UNION with
+    a dimension offset, W ⋈ on the shared dimension, groupBy (row, out-
+    dim). The weight matrix comes from a fixed integer formula so Spark
+    and the oracle build it identically; the trained-kernel twin is
+    ml/kernels.GraphSAGELinkModel."""
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("dst"),
+    )
+    hx = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.slice("embedding", 1, 8)).alias("k0", "v"),
+    ).select("id", (F.col("k0") + 1).alias("k"), F.col("v").cast("double").alias("v"))
+    mean_n = (
+        edges.join(hx.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"), (F.col("k") + 8).alias("k"))
+        .agg(F.avg("v").alias("v"))
+    )
+    x = hx.unionByName(mean_n)
+    w = (
+        spark.range(1, 5)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(1, 17).select(F.col("id").alias("k")))
+        .select(
+            "j",
+            "k",
+            ((((F.col("j") * 31 + F.col("k") * 17) % 13).cast("double")) - 6)
+            .alias("w0"),
+        )
+        .select("j", "k", (F.col("w0") / 10).alias("w"))
+    )
+    return (
+        x.join(F.broadcast(w), "k")
+        .groupBy("id", "j")
+        .agg(
+            F.round(
+                F.greatest(
+                    F.sum(F.col("w") * F.col("v")) + 0.01 * F.col("j"), F.lit(0.0)
+                ),
+                6,
+            ).alias("h")
+        )
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("j").cast("long").alias("j"),
+            "h",
         )
     )
