@@ -69,6 +69,37 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed parquet table (external, at ``path``).
+
+    Bucketing pre-shuffles the data once at write time: any join or
+    aggregation keyed on ``bucket_cols`` between tables sharing the
+    layout runs Exchange-free — at 100 TB that turns the repeated
+    fact⋈fact join (the one shuffle Catalyst can't avoid in
+    flagship_revenue-shaped queries) into a co-located merge. ``sort_cols``
+    additionally pre-sorts within buckets so sort-merge joins skip their
+    sort. Verified by tests/test_catalog.py asserting the joined plan
+    contains no Exchange.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 # ---------------------------------------------------------------------------
 # Partitioned graph store (nodes/edges as Hive-partitioned parquet)
 # ---------------------------------------------------------------------------

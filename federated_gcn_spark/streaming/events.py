@@ -71,6 +71,39 @@ def tumbling_value_agg(
     )
 
 
+def session_value_agg(
+    stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session aggregation with a dynamic inactivity gap —
+    the streaming twin of plans.queries.events_sessionize (which derives
+    the same sessions with lag() in batch). session_window state closes
+    once the watermark passes a session's end, so state stays bounded.
+    Accepts a batch DataFrame too (watermark skipped) — the tests use
+    that for stream↔batch equivalence."""
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    if stream.isStreaming:
+        with_time = with_time.withWatermark("event_time", watermark)
+    return (
+        with_time
+        .groupBy(F.session_window("event_time", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(result: DataFrame, query_name: str, timeout_sec: int = 120):
     """Drain all currently-available input into an in-memory sink and stop
     (the batch-equivalence harness used by tests)."""

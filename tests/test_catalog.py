@@ -1,0 +1,65 @@
+"""Catalog-layer behaviors: partition pruning in the graph store and
+Exchange-free joins on bucketed tables."""
+
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import read_graph, write_bucketed, write_graph
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bucket_l", str(tmp_path / "l"), ["k"], 4, ["k"])
+    write_bucketed(right, "t_bucket_r", str(tmp_path / "r"), ["k"], 4, ["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_l").join(spark.table("t_bucket_r"), "k")
+        plan = _explain(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # sanity: the same join on plain parquet DOES shuffle
+        left.write.mode("overwrite").parquet(str(tmp_path / "pl"))
+        right.write.mode("overwrite").parquet(str(tmp_path / "pr"))
+        plain = spark.read.parquet(str(tmp_path / "pl")).join(
+            spark.read.parquet(str(tmp_path / "pr")), "k"
+        )
+        assert "Exchange" in _explain(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_l")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_r")
+
+
+def test_graph_store_partition_pruning(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [(i, i % 2, [float(i)]) for i in range(20)],
+        "id long, partition_id int, features array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20, i % 2) for i in range(20)],
+        "src long, dst long, partition_id int",
+    )
+    write_graph(nodes, edges, str(tmp_path / "g"))
+    n1, e1 = read_graph(spark, str(tmp_path / "g"), partition_id=1)
+    assert n1.count() == 10 and e1.count() == 10
+    # the equality filter becomes a PartitionFilter on the scan (pruned at
+    # file-listing time, not evaluated per row)
+    plan = n1._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "partition_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("\n", 1)[0], plan

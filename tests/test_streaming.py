@@ -100,3 +100,35 @@ def test_streaming_fedavg_incomplete_round_stays_pending(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select * from t_fedavg_pending").count() == 0  # barrier holds
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    """session_window produces identical sessions when the same rows
+    arrive as a stream (with watermark) and as a batch table."""
+    import shutil
+
+    from federated_gcn_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        session_value_agg,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    dst = tmp_path / "events_in"
+    dst.mkdir()
+    shutil.copy(src, dst / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(dst))
+    q = run_available_now(session_value_agg(stream), "sess_stream")
+    try:
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.table("sess_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = session_value_agg(spark.read.parquet(str(dst)))
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
