@@ -18,12 +18,17 @@ def partitioned_prefix_sum(
     value_col: str,
     out_col: str,
     num_partitions: int = 64,
+    small_input_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order —
     WITHOUT a global unpartitioned window (which funnels every row
     through one task).
 
-    Two-pass range-partitioned scan, the classic distributed prefix-sum:
+    Cost-based in the AQE spirit: the input is pinned once
+    (localCheckpoint) and counted; at or below ``small_input_rows`` a
+    single-task sort IS the fastest physical plan (same rationale as
+    TakeOrdered for top-k) and the range shuffle would only add
+    overhead. Above it, the classic two-pass distributed prefix-sum:
     1. range-repartition on the order key (equal keys co-locate), pin the
        layout with localCheckpoint so both passes see identical
        partitions;
@@ -35,8 +40,17 @@ def partitioned_prefix_sum(
     Wall-clock scales with rows/partitions; driver state with
     ``num_partitions`` only.
     """
+    pinned = df.localCheckpoint(eager=True)
+    if pinned.count() <= small_input_rows:
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return pinned.withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+        )
     ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
+        pinned.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

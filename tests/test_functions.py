@@ -92,15 +92,20 @@ def test_partitioned_prefix_sum_matches_serial(spark):
     # serial truth: exclusive prefix sum over k-order; ties share a k, so
     # compare at distinct-k granularity (the binary_auc use case)
     g = df.groupBy("k").agg(F.sum("v").alias("v"))
-    got = {
-        r["k"]: r["ps"]
-        for r in partitioned_prefix_sum(g, "k", "v", "ps", num_partitions=16).collect()
-    }
-    data = sorted(((r["k"], r["v"]) for r in g.collect()))
-    acc = 0
-    for k, v in data:
-        assert got[k] == acc, f"prefix sum mismatch at k={k}"
-        acc += v
+    # force the distributed two-pass path (small_input_rows=0) AND take
+    # the small-input single-task path; both must match the serial truth
+    for kwargs in ({"small_input_rows": 0}, {}):
+        got = {
+            r["k"]: r["ps"]
+            for r in partitioned_prefix_sum(
+                g, "k", "v", "ps", num_partitions=16, **kwargs
+            ).collect()
+        }
+        data = sorted(((r["k"], r["v"]) for r in g.collect()))
+        acc = 0
+        for k, v in data:
+            assert got[k] == acc, f"prefix sum mismatch at k={k} ({kwargs})"
+            acc += v
 
 
 def test_binary_auc_matches_sklearn_formula(spark):
