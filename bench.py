@@ -36,6 +36,7 @@ HEADLINE = [
     "roc_auc",
     "tfidf_top_terms",
     "graphsage_layer",
+    "pricing_summary",
 ]
 
 
