@@ -1620,3 +1620,79 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "asof_latest_update",
+    """
+    WITH upd AS (
+        SELECT user_id, epoch_ns(ts) AS uts, MAX(value) AS upd_value
+        FROM events WHERE event_id % 2 = 0
+        GROUP BY user_id, epoch_ns(ts)
+    ), qry AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS qts
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT qry.user_id, qry.event_id,
+           ROUND(upd.upd_value, 6) AS last_update
+    FROM qry ASOF LEFT JOIN upd
+      ON qry.user_id = upd.user_id AND qry.qts >= upd.uts
+    """,
+)
+def asof_latest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each odd-id event picks the most
+    recent even-id event's value for the same user — the
+    quotes-to-trades pattern. Union+window realization: one shuffle on
+    user_id, linear, no range predicate; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from federated_gcn_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    upd = (
+        events.where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", F.col("ts").alias("uts"))
+        .agg(F.max("value").alias("upd_value"))
+    )
+    qry = events.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", F.col("ts").alias("qts")
+    )
+    joined = asof_join(
+        qry, upd, on=["user_id"], left_ts="qts", right_ts="uts",
+        value_cols=["upd_value"],
+    )
+    return joined.select(
+        "user_id", "event_id", F.round("upd_value", 6).alias("last_update")
+    )
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_F,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_O,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): one pass, one shuffle — the
+    explicit value list keeps the plan static (no distinct-values
+    pre-query), which is the scalable way to pivot."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_n").alias("n_F"),
+            F.col("O_n").alias("n_O"),
+            F.col("F_qty").alias("qty_F"),
+            F.col("O_qty").alias("qty_O"),
+        )
+    )

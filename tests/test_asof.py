@@ -1,0 +1,33 @@
+"""asof_join semantics: backward match, tie-at-timestamp, no-match NULL."""
+
+from federated_gcn_spark.operators.asof import asof_join
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "q1"), (1, 25, "q2"), (1, 7, "q0"), (2, 5, "q3")],
+        "k long, ts long, q string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (2, 9, 300.0)],
+        "k long, ts long, val double",
+    )
+    got = {
+        r["q"]: r["val"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["val"]).collect()
+    }
+    assert got == {"q0": None, "q1": 100.0, "q2": 200.0, "q3": None}
+
+
+def test_asof_tie_matches_same_timestamp(spark):
+    left = spark.createDataFrame([(1, 20, "q")], "k long, ts long, q string")
+    right = spark.createDataFrame([(1, 20, 7.0)], "k long, ts long, val double")
+    [row] = asof_join(left, right, ["k"], "ts", "ts", ["val"]).collect()
+    assert row["val"] == 7.0  # l.ts >= r.ts: equal timestamps DO match
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS payload")
+    right = spark.range(10).selectExpr("id % 5 AS k", "id * 7 AS ts", "id * 1.5 AS val")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["val"])
+    assert out.count() == 100
