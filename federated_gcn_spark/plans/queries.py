@@ -1343,7 +1343,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfc = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # tf already has exactly one row per (doc, term) — document frequency
+    # is a plain count, and the identical scan→explode→agg subtree on
+    # both join sides lets Spark reuse the exchange instead of running
+    # the tokenize pipeline twice (count_distinct would break the match).
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(dfc, "term")
         .crossJoin(F.broadcast(n))  # corpus size as a broadcast row, not a driver count job

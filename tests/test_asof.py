@@ -31,3 +31,43 @@ def test_asof_preserves_left_rowcount(spark):
     right = spark.range(10).selectExpr("id % 5 AS k", "id * 7 AS ts", "id * 1.5 AS val")
     out = asof_join(left, right, ["k"], "ts", "ts", ["val"])
     assert out.count() == 100
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200).astype("int64"),
+            "qid": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "ts": rng.integers(0, 1000, 80).astype("int64"),
+            "val": rng.normal(size=80),
+        }
+    )
+    # unique (k, ts) on the right so both engines' tie rules coincide
+    right = right.groupby(["k", "ts"], as_index=False)["val"].max()
+    expected = pd.merge_asof(
+        left.sort_values(["ts", "qid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    want = {int(r.qid): None if pd.isna(r.val) else round(float(r.val), 9)
+            for r in expected.itertuples()}
+    got = {
+        int(r["qid"]): None if r["val"] is None else round(r["val"], 9)
+        for r in asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            ["k"], "ts", "ts", ["val"],
+        ).collect()
+    }
+    assert got == want
