@@ -1700,3 +1700,38 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("O_qty").alias("qty_O"),
         )
     )
+
+
+@register(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+                AS BIGINT) AS n_regex_tokens,
+           CAST(COALESCE(list_aggregate(
+                    list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                   t -> CAST(CEIL(LEN(t) / 4.0) AS BIGINT)),
+                    'sum'), 0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer accounting (§2.10 token counting beyond
+    whitespace): regex word/punctuation token count plus a subword
+    estimate of ceil(len/4) per word — the standard chars-per-token
+    budget heuristic for LLM corpus sizing, as pure codegen'd regex +
+    HOF expressions."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    word_pat = r"[A-Za-z0-9_]+"
+    tok_pat = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+    words = F.regexp_extract_all(F.col("text"), F.lit(word_pat), F.lit(0))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(tok_pat), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_regex_tokens"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
+        ).alias("est_bpe_tokens"),
+    )
