@@ -33,7 +33,6 @@ from federated_gcn_spark.functions.text import (
     STOPWORDS,
     doc_fingerprint,
     lang_id,
-    punct_ratio,
     quality_score,
     token_count,
 )

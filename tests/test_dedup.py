@@ -1,7 +1,6 @@
 """Near-duplicate detection operators."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from federated_gcn_spark.operators.dedup import (
     exact_dedup,

@@ -2,10 +2,8 @@
 
 import os
 import shutil
-import time
 
 import numpy as np
-import pytest
 
 from federated_gcn_spark.plans.queries import events_tumbling
 from federated_gcn_spark.streaming import (
@@ -132,3 +130,66 @@ def test_stream_sessions_match_batch(spark, tmp_path):
         (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving in a later trigger, with event time older than
+    (max seen - watermark), must be excluded from its window's final
+    aggregate in append mode."""
+    import pandas as pd
+
+    from federated_gcn_spark.streaming.events import (
+        read_events_stream,
+        tumbling_value_agg,
+    )
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    hour_ns = 3_600_000_000_000
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(src / name)
+
+    # trigger 1: events at t=0h and t=2h -> watermark advances to 2h-10min
+    write_batch("b1.parquet", [
+        (1, 0, 1, "a", 1.0, "{}"),
+        (2, 2 * hour_ns, 1, "a", 1.0, "{}"),
+    ])
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    agg = tumbling_value_agg(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline and len(q.recentProgress) < 2:
+            _t.sleep(1)
+        # trigger 2: a late event for the t=0 window (event time far below
+        # the 2h watermark) plus an on-time one
+        write_batch("b2.parquet", [
+            (3, 60_000_000_000, 1, "a", 100.0, "{}"),   # LATE: dropped
+            (4, 2 * hour_ns + 60_000_000_000, 1, "a", 5.0, "{}"),
+        ])
+        deadline = _t.time() + 90
+        done = False
+        while _t.time() < deadline and not done:
+            _t.sleep(2)
+            rows = spark.sql("SELECT * FROM late_test").collect()
+            done = any(r["window_start"].hour == 0 and r["window_start"].minute == 0
+                       for r in rows)
+        got = {
+            (r["window_start"].hour, r["window_start"].minute): r["total_value"]
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+    finally:
+        q.stop()
+    # the 00:00 window closed with ONLY the on-time event's value — the
+    # late 100.0 never entered it
+    assert got.get((0, 0)) == 1.0, got
