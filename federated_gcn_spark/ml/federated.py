@@ -149,7 +149,12 @@ def federated_fit(
         global_weights = rows_to_weights(rows)
         weights_bc.destroy()
         if weights_sink:
-            averaged.withColumn("round", F.lit(round_no)).write.mode(
+            # write from the collected tensors (KBs), NOT from `averaged`:
+            # re-executing that plan would re-train every partition and
+            # reference the now-destroyed broadcast
+            spark.createDataFrame(
+                rows, "layer int, shape array<int>, values array<double>"
+            ).withColumn("round", F.lit(round_no)).write.mode(
                 "append"
             ).partitionBy("round").parquet(weights_sink)
         history.append(

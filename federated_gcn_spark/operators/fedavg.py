@@ -44,8 +44,14 @@ def fedavg(params: DataFrame, weighted: bool = True, group_cols: list[str] | Non
         n.alias("__n"),
         F.posexplode("values").alias("idx", "v"),
     )
+    # zero total weight (every client reported 0 examples) degrades to the
+    # unweighted mean instead of dividing by zero / NaN-poisoning the model
     agg = ex.groupBy(*group_cols, "layer", "idx").agg(
-        (F.sum(F.col("v") * F.col("__n")) / F.sum("__n")).alias("v"),
+        F.when(
+            F.sum("__n") != 0.0, F.sum(F.col("v") * F.col("__n")) / F.sum("__n")
+        )
+        .otherwise(F.avg("v"))
+        .alias("v"),
         F.first("shape").alias("shape"),
     )
     return (

@@ -87,3 +87,38 @@ def test_gen_embeddings(spark, fl_result):
     assert len(rows) == nodes.count()
     norms = [np.linalg.norm(r["embedding"]) for r in rows]
     assert all(abs(n - 1.0) < 1e-9 or n == 0.0 for n in norms)  # L2-normalized
+
+
+def test_federated_fit_on_testdata_graph(spark, tmp_path):
+    """End-to-end FL on a testdata-derived graph: embeddings become node
+    features, a deterministic ring of edges spans 2 partitions, 2 rounds
+    train + the versioned weight sink is written and readable."""
+    from pyspark.sql import functions as F
+
+    from federated_gcn_spark.ml.federated import federated_fit
+    from federated_gcn_spark.sources.weights import read_weights_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    nodes = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("features"),
+        (F.col("vec_id") % 2).cast("int").alias("partition_id"),
+    )
+    # dst = src + 2 (mod even n) keeps both endpoints in the same parity
+    # partition — a clean 2-way vertex partition with no cut edges
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") + 2) % (n - n % 2)).alias("dst"),
+        (F.col("vec_id") % 2).cast("int").alias("partition_id"),
+    ).where(F.col("src") != F.col("dst"))
+    sink = str(tmp_path / "weights")
+    weights, history = federated_fit(
+        spark, nodes, edges, rounds=2, epochs=1, layer_sizes=(8, 8), seed=42,
+        weights_sink=sink,
+    )
+    assert len(history) == 2
+    assert all(h["weight_norm"] > 0 for h in history)
+    # sink holds the latest round's full tensor set, layer shapes intact
+    restored, _ = read_weights_table(spark, sink)
+    assert [w.shape for w in restored] == [w.shape for w in weights]
