@@ -1734,3 +1734,50 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
         ).alias("est_bpe_tokens"),
     )
+
+
+@register(
+    "orders_array_agg",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           CAST(LEN(list(o_orderkey)) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    GROUP BY o_custkey
+    """,
+)
+def orders_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect_list + array_sort): the sorted
+    output makes the result partitioning-independent — bare collect_list
+    is not deterministic under shuffle (and for genuinely skewed keys
+    operators/skew.py:salted_collect_list is the two-level variant)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "price_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    — single-pass partial+final like any algebraic aggregate (Welford-
+    style merge states), so one shuffle of O(groups) rows."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
