@@ -1,0 +1,76 @@
+"""PageRank as iterative DataFrame joins (the GraphX/Pregel pattern).
+
+Not part of the reference's surface — added because the engine's graph
+layer should stand on its own for distributed graph analytics (the same
+superstep machinery as connected components and the BFS spanning
+forest). Dangling vertices (no out-edges) redistribute their mass
+uniformly, the standard correction, so Σ rank = 1 at every iteration.
+
+Each superstep: one shuffle (contributions groupBy dst) + one tiny
+driver scalar (the dangling mass). Deterministic — no sampling, and the
+fixpoint is partitioning-independent; lineage cut per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = 0.85,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Return (id, rank) after ``max_iterations`` synchronous supersteps.
+
+    rank_v = (1-d)/N + d·(Σ_{u→v} rank_u/outdeg_u + dangling_mass/N)
+    """
+    n = graph.num_vertices()
+    if n == 0:
+        return graph.vertices.select(ID, F.lit(0.0).alias("rank")).limit(0)
+
+    edges = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST)).distinct()
+    out_deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # (id, out_degree) for every vertex; 0 marks dangling
+    degrees = (
+        graph.vertices.select(ID)
+        .join(out_deg, ID, "left")
+        .select(ID, F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    ranks = degrees.select(ID, F.lit(1.0 / n).alias("rank"), "out_degree")
+    for _ in range(max_iterations):
+        dangling_mass = (
+            ranks.where(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            ranks.where(F.col("out_degree") > 0)
+            .join(edges, ranks[ID] == edges[SRC])
+            .select(
+                F.col(DST).alias(ID),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy(ID)
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        ranks = (
+            degrees.join(contribs, ID, "left")
+            .select(
+                ID,
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "out_degree",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(ID, "rank")

@@ -1781,3 +1781,28 @@ def price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
     )
+
+
+@register("pagerank_top")  # rows-only: iterative fixpoint, no SQL oracle
+def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (graph/pagerank.py) over the order→supplier bipartite
+    graph, top-20 vertices by rank. Deterministic (no sampling); unit
+    test pins exact parity with a dense NumPy power iteration."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.pagerank import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(Graph.from_edges(edges), damping=0.85, max_iterations=5)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+        .select("id", F.round("rank", 9).alias("rank"))
+    )

@@ -39,3 +39,28 @@ def test_connected_components(toy_graph):
     cc = {r["id"]: r["component"] for r in connected_components(toy_graph).collect()}
     assert all(cc[i] == 0 for i in range(5))
     assert all(cc[i] == 10 for i in (10, 11, 12))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, toy_graph):
+    import numpy as np
+
+    from federated_gcn_spark.graph import pagerank
+
+    got = {r["id"]: r["rank"] for r in pagerank(toy_graph, 0.85, 10).collect()}
+    # dense power iteration with uniform dangling redistribution
+    ids = sorted(got)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for r in toy_graph.edges.select("src", "dst").distinct().collect():
+        if r["src"] != r["dst"]:
+            A[pos[r["dst"]], pos[r["src"]]] = 1.0
+    out = A.sum(axis=0)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = rank[out == 0].sum()
+        spread = np.where(out > 0, rank / np.maximum(out, 1), 0.0)
+        rank = (1 - 0.85) / n + 0.85 * (A @ spread + dangling / n)
+    for v in ids:
+        assert abs(got[v] - rank[pos[v]]) < 1e-9, (v, got[v], rank[pos[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
