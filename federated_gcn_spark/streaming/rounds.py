@@ -104,3 +104,58 @@ def streaming_fedavg(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def foreach_batch_fedavg(
+    spark: SparkSession,
+    updates_path: str,
+    expected_clients: int,
+    on_round,
+    query_name: str = "fedavg_rounds",
+):
+    """The foreachBatch spelling of the round barrier (SURVEY.md §2.8):
+    each micro-batch of arriving client updates lands in a driver-side
+    pending pool (weight tensors — KBs per client, never row data);
+    every round whose client count reaches the barrier is FedAvg'd with
+    numpy in arrival-independent (client, layer) order and handed to
+    ``on_round(round, {layer: ndarray})``, then dropped from the pool.
+
+    Use the applyInPandasWithState variant (streaming_fedavg) when the
+    aggregation state itself must live in the engine (exactly-once,
+    failure recovery); this variant trades that for arbitrary driver
+    logic between rounds — the literal replacement for the reference's
+    fl_server event loop.
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    pending: dict[int, list] = {}
+
+    def process_batch(batch_df: DataFrame, _batch_id: int):
+        for r in batch_df.collect():
+            pending.setdefault(int(r["round"]), []).append(r)
+        for round_no in sorted(pending):
+            rows = pending[round_no]
+            clients = {int(r["client_id"]) for r in rows}
+            if len(clients) < expected_clients:
+                continue
+            by_layer: dict[int, list] = {}
+            for r in sorted(rows, key=lambda r: (int(r["client_id"]), int(r["layer"]))):
+                by_layer.setdefault(int(r["layer"]), []).append(r)
+            averaged = {
+                layer: sum(
+                    np.asarray(r["values"], dtype="float64") * float(r["num_examples"])
+                    for r in lrows
+                )
+                / sum(float(r["num_examples"]) for r in lrows)
+                for layer, lrows in by_layer.items()
+            }
+            on_round(round_no, averaged)
+            del pending[round_no]
+
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(updates_path)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(query_name)
+        .trigger(processingTime="1 second")
+        .start()
+    )

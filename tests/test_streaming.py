@@ -193,3 +193,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window closed with ONLY the on-time event's value — the
     # late 100.0 never entered it
     assert got.get((0, 0)) == 1.0, got
+
+
+def test_foreach_batch_fedavg_barrier(spark, tmp_path):
+    """foreachBatch round loop: a round fires only once every client
+    reported, and the average is example-weighted."""
+    import time as _t
+
+    import numpy as np
+
+    from federated_gcn_spark.streaming.rounds import foreach_batch_fedavg
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    done: dict[int, dict] = {}
+    q = foreach_batch_fedavg(spark, str(src), expected_clients=2,
+                             on_round=lambda rn, w: done.__setitem__(rn, w))
+    try:
+        def write(name, client, values, n):
+            spark.createDataFrame(
+                [(0, client, 0, values, n)],
+                "round int, client_id long, layer int, "
+                "values array<double>, num_examples long",
+            ).coalesce(1).write.mode("append").parquet(str(src))
+
+        write("c1.parquet", 1, [1.0, 2.0], 3)
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not q.recentProgress:
+            _t.sleep(1)
+        assert 0 not in done  # barrier holds at 1/2 clients
+        write("c2.parquet", 2, [5.0, 6.0], 1)
+        deadline = _t.time() + 60
+        while _t.time() < deadline and 0 not in done:
+            _t.sleep(1)
+    finally:
+        q.stop()
+    assert 0 in done
+    # weighted: (3*[1,2] + 1*[5,6]) / 4 = [2, 3]
+    np.testing.assert_allclose(done[0][0], [2.0, 3.0])
