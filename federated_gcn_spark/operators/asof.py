@@ -37,6 +37,12 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {*on, right_ts}]
     left_payload = [c for c in left.columns if c not in {*on}]
+    clash = set(left_payload) & set(value_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join: columns {sorted(clash)} exist on both sides — "
+            "rename or restrict value_cols to keep the output unambiguous"
+        )
 
     l_tagged = left.select(
         *on,

@@ -71,3 +71,12 @@ def test_asof_matches_pandas_merge_asof(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k long, ts long, val double")
+    right = spark.createDataFrame([(1, 8, 9.0)], "k long, ts long, val double")
+    with pytest.raises(ValueError, match="both sides"):
+        asof_join(left, right, ["k"], "ts", "ts", ["val"])
