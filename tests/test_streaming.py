@@ -231,3 +231,76 @@ def test_foreach_batch_fedavg_barrier(spark, tmp_path):
     assert 0 in done
     # weighted: (3*[1,2] + 1*[5,6]) / 4 = [2, 3]
     np.testing.assert_allclose(done[0][0], [2.0, 3.0])
+
+
+def test_streaming_dedup_drops_within_watermark(spark, tmp_path):
+    """A document re-arriving (same content) in a later micro-batch is
+    dropped; distinct content passes."""
+    import time as _t
+
+    from federated_gcn_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, event_time timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("event_time", TimestampType()),
+    ])
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    write("b1.parquet", [(1, "hello world", t0), (2, "unique doc", t0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not q.recentProgress:
+            _t.sleep(1)
+        # batch 2: doc 3 duplicates doc 1's content (whitespace-normalized),
+        # doc 4 is new
+        write("b2.parquet", [
+            (3, "hello   world", t0 + dt.timedelta(minutes=1)),
+            (4, "another doc", t0 + dt.timedelta(minutes=1)),
+        ])
+        deadline = _t.time() + 60
+        seen = set()
+        while _t.time() < deadline and 4 not in seen:
+            _t.sleep(2)
+            seen = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    finally:
+        q.stop()
+    assert 1 in seen and 2 in seen and 4 in seen
+    assert 3 not in seen  # near-identical re-arrival dropped
+
+
+def test_streaming_dedup_batch_fallback(spark):
+    from federated_gcn_spark.streaming.dedup import streaming_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b", None), (2, "a   b", None), (3, "c", None)],
+        "doc_id long, text string, event_time timestamp",
+    )
+    kept = {r["doc_id"] for r in streaming_exact_dedup(df).collect()}
+    assert len(kept) == 2 and 3 in kept
