@@ -35,18 +35,26 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.clip(x, -35, 35)))
 
 
-def _mean_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """Row i ← mean of h[j] over undirected neighbors j of i (G4's
-    mean-aggregate); isolated vertices aggregate a zero vector."""
-    n = h.shape[0]
+def _sum_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Row i ← Σ h[j] over undirected neighbors j of i (A·h, A symmetric)."""
     out = np.zeros_like(h)
-    deg = np.zeros(n)
     np.add.at(out, dst, h[src])
     np.add.at(out, src, h[dst])
+    return out
+
+
+def _degrees(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    deg = np.zeros(n)
     np.add.at(deg, dst, 1.0)
     np.add.at(deg, src, 1.0)
-    deg[deg == 0] = 1.0
-    return out / deg[:, None]
+    deg[deg == 0] = 1.0  # isolated vertices aggregate a zero vector
+    return deg
+
+
+def _mean_neighbors(h: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Row i ← mean of h[j] over undirected neighbors j of i (G4's
+    mean-aggregate): D⁻¹·A·h."""
+    return _sum_neighbors(h, src, dst) / _degrees(h.shape[0], src, dst)[:, None]
 
 
 class GraphSAGELinkModel:
@@ -117,8 +125,12 @@ class GraphSAGELinkModel:
                 grads[3 * k + 1] = m.T @ dz
                 grads[3 * k + 2] = dz.sum(axis=0)
                 if k > 0:
-                    # dh_in = dz Ws^T + A^T(dz Wn^T); A symmetric here
-                    dh = dz @ ws.T + _mean_neighbors(dz @ wn.T, src, dst)
+                    # exact adjoint of h ↦ D⁻¹A h is g ↦ A D⁻¹ g (A
+                    # symmetric): divide by OWN degree, then aggregate
+                    deg = _degrees(dz.shape[0], src, dst)
+                    dh = dz @ ws.T + _sum_neighbors(
+                        (dz @ wn.T) / deg[:, None], src, dst
+                    )
             for i, gr in enumerate(grads):
                 self.weights[i] -= self.lr * gr
             history.append({"loss": float(loss), "acc": acc})
