@@ -39,6 +39,31 @@ PARAM_SCHEMA = (
 )
 
 
+def _sample_negatives(rng, target: int, n: int, pos: set) -> tuple[list, list]:
+    """Seeded rejection-sample up to ``target`` non-edges over n nodes.
+
+    Bounded: a dense local subgraph (e.g. a triangle, or a 2-node partition
+    with its one edge) has few or zero non-edges, so an uncapped loop would
+    spin forever. Cap the target at the number of ordered non-edges actually
+    available and the draws at 20x the target; proceed with fewer negatives
+    when the space is exhausted (|neg| <= |pos| instead of strictly ==).
+    """
+    # ordered pairs (u,v), u != v, minus edges counted in both orientations
+    available = n * (n - 1) - len(pos | {(v, u) for (u, v) in pos})
+    target = min(target, max(available, 0))
+    neg_u, neg_v = [], []
+    attempts = 0
+    max_attempts = 20 * max(target, 1)
+    seen = set()
+    while len(neg_u) < target and attempts < max_attempts:
+        attempts += 1
+        u = int(rng.integers(0, n)); v = int(rng.integers(0, n))
+        if u != v and (u, v) not in pos and (v, u) not in pos and (u, v) not in seen:
+            seen.add((u, v))
+            neg_u.append(u); neg_v.append(v)
+    return neg_u, neg_v
+
+
 def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
                    variant: str = "supervised"):
     """Build the per-partition trainer (runs inside applyInPandas).
@@ -79,11 +104,7 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
         # in-kernel edition for the local train split)
         rng = np.random.default_rng(seed + int(partition_id))
         pos = set(zip(src.tolist(), dst.tolist()))
-        neg_u, neg_v = [], []
-        while len(neg_u) < len(pos_u) and n > 1:
-            u = int(rng.integers(0, n)); v = int(rng.integers(0, n))
-            if u != v and (u, v) not in pos and (v, u) not in pos:
-                neg_u.append(u); neg_v.append(v)
+        neg_u, neg_v = _sample_negatives(rng, len(pos_u), n, pos) if n > 1 else ([], [])
         pu = np.concatenate([pos_u, np.array(neg_u, dtype="int64")])
         pv = np.concatenate([pos_v, np.array(neg_v, dtype="int64")])
         labels = np.concatenate([np.ones(len(pos_u)), np.zeros(len(neg_u))])
@@ -207,11 +228,7 @@ def distributed_nograd(
         pos_u, pos_v = sample_walk_pairs(src, dst, n, seed=seed + int(partition_id))
         rng = np.random.default_rng(seed + int(partition_id))
         pos = set(zip(src.tolist(), dst.tolist()))
-        neg_u, neg_v = [], []
-        while len(neg_u) < len(pos_u) and n > 1:
-            u = int(rng.integers(0, n)); v = int(rng.integers(0, n))
-            if u != v and (u, v) not in pos and (v, u) not in pos:
-                neg_u.append(u); neg_v.append(v)
+        neg_u, neg_v = _sample_negatives(rng, len(pos_u), n, pos) if n > 1 else ([], [])
         pu = np.concatenate([pos_u, np.array(neg_u, dtype="int64")])
         pv = np.concatenate([pos_v, np.array(neg_v, dtype="int64")])
         labels = np.concatenate([np.ones(len(pos_u)), np.zeros(len(neg_u))])

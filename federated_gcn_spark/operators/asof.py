@@ -33,6 +33,11 @@ def asof_join(
     ``merge_asof``. Right rows sort before left rows at equal timestamps
     to realize that; among equal-timestamp right rows the last in
     ``value_cols`` order wins (deterministic).
+
+    The matched row wins or loses atomically: all value columns travel as
+    ONE struct through a single last(ignorenulls=True), so a NULL field in
+    the matched right row stays NULL instead of being backfilled from an
+    older right row (merge_asof / DuckDB ASOF semantics).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {*on, right_ts}]
@@ -44,34 +49,37 @@ def asof_join(
             "rename or restrict value_cols to keep the output unambiguous"
         )
 
+    struct_ddl = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(struct_ddl).alias("__v"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # right rows carry a non-null struct (even if every field is NULL), so
+    # last(ignorenulls) picks the newest right ROW; its NULL fields stay NULL
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__is_left", *[f"__v_{c}" for c in value_cols])
+        .orderBy("__ts", "__is_left", "__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__vc")
     )
     return carried.where(F.col("__is_left") == 1).select(
-        *on, *left_payload, *value_cols
+        *on,
+        *left_payload,
+        *[F.col("__vc").getField(c).alias(c) for c in value_cols],
     )

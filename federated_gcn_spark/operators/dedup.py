@@ -281,10 +281,28 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair
-    within Hamming ≤3 matches exactly on ≥1 chunk → equi-join per chunk,
-    then verify with bit_count(xor) on the candidates.
+    Pigeonhole banding: split the 63 bits into max_hamming+1 chunks; any
+    pair within Hamming ≤ max_hamming differs in at most max_hamming
+    chunks, so it matches exactly on ≥1 chunk → equi-join per chunk, then
+    verify with bit_count(xor) on the candidates. Chunk count derives from
+    max_hamming so recall is guaranteed for any bound (≤3 keeps the
+    classic 4×16-bit layout; larger bounds get more, narrower chunks —
+    more candidates, still never doc×doc).
     """
+    if not 0 <= max_hamming < N_SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming must be in [0, {N_SIMHASH_BITS - 1}], got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
+    # chunk widths: ceil/floor split of 63 bits into n_chunks contiguous spans
+    base_w, extra = divmod(N_SIMHASH_BITS, n_chunks)
+    offsets, widths = [], []
+    pos = 0
+    for i in range(n_chunks):
+        w = base_w + (1 if i < extra else 0)
+        offsets.append(pos)
+        widths.append(w)
+        pos += w
     sigs = docs.select(
         F.col(id_col).alias("id"), simhash(text_col, seed).alias("sh")
     ).localCheckpoint(eager=True)
@@ -294,8 +312,8 @@ def simhash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in zip(offsets, widths)
                 ]
             )
         ).alias("chunk_id", "chunk"),

@@ -80,9 +80,10 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by customer nation in ASIA, 1996-1997.
 
     Scale shape: fact-fact join (lineitem⋈orders) shuffles on orderkey;
-    both dims (nation, region) and post-filter customer are broadcast —
-    `.explain()` shows a single big shuffle + BroadcastHashJoins, with the
-    orderdate filter pushed into the orders scan.
+    the tiny dims (nation 25 rows, region 5 rows) are broadcast by hint.
+    Customer carries NO hint: it grows linearly with SF (15M rows × SF in
+    TPC-H), so a forced broadcast OOMs at scale — AQE picks broadcast vs
+    shuffle at runtime from the actual post-filter size.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -94,7 +95,7 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")

@@ -49,6 +49,7 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("weighted_sum", ArrayType(DoubleType())),
+        StructField("raw_sum", ArrayType(DoubleType())),
         StructField("total_n", DoubleType()),
         StructField("n_clients", IntegerType()),
     ]
@@ -59,18 +60,26 @@ def _barrier_fn(expected_clients: int):
     def fn(key, pdf_iter, state: GroupState):
         round_no, layer = key
         if state.exists:
-            wsum, total_n, n_clients = state.get
+            wsum, rsum, total_n, n_clients = state.get
             wsum = np.asarray(wsum, dtype="float64")
+            rsum = np.asarray(rsum, dtype="float64")
         else:
-            wsum, total_n, n_clients = None, 0.0, 0
+            wsum, rsum, total_n, n_clients = None, None, 0.0, 0
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
-                v = np.asarray(row["values"], dtype="float64") * float(row["num_examples"])
+                raw = np.asarray(row["values"], dtype="float64")
+                v = raw * float(row["num_examples"])
                 wsum = v if wsum is None else wsum + v
+                rsum = raw if rsum is None else rsum + raw
                 total_n += float(row["num_examples"])
                 n_clients += 1
         if n_clients >= expected_clients and wsum is not None:
-            avg = (wsum / total_n).tolist()
+            # all-zero example counts: degrade to the unweighted mean,
+            # matching batch fedavg (operators/fedavg.py) instead of inf/NaN
+            if total_n > 0:
+                avg = (wsum / total_n).tolist()
+            else:
+                avg = (rsum / n_clients).tolist()
             state.remove()  # barrier fired: reset for a possible re-report
             yield pd.DataFrame(
                 {
@@ -81,7 +90,14 @@ def _barrier_fn(expected_clients: int):
                 }
             )
         else:
-            state.update((wsum.tolist() if wsum is not None else [], total_n, n_clients))
+            state.update(
+                (
+                    wsum.tolist() if wsum is not None else [],
+                    rsum.tolist() if rsum is not None else [],
+                    total_n,
+                    n_clients,
+                )
+            )
 
     return fn
 
@@ -135,20 +151,35 @@ def foreach_batch_fedavg(
             pending.setdefault(int(r["round"]), []).append(r)
         for round_no in sorted(pending):
             rows = pending[round_no]
-            clients = {int(r["client_id"]) for r in rows}
-            if len(clients) < expected_clients:
+            # barrier: every expected client present AND holding a complete
+            # layer set — a client whose per-layer rows split across
+            # micro-batches (multi-file push) must not be averaged partially
+            layers_by_client: dict[int, set] = {}
+            for r in rows:
+                layers_by_client.setdefault(int(r["client_id"]), set()).add(
+                    int(r["layer"])
+                )
+            if len(layers_by_client) < expected_clients:
+                continue
+            all_layers = set().union(*layers_by_client.values())
+            if any(ls != all_layers for ls in layers_by_client.values()):
                 continue
             by_layer: dict[int, list] = {}
             for r in sorted(rows, key=lambda r: (int(r["client_id"]), int(r["layer"]))):
                 by_layer.setdefault(int(r["layer"]), []).append(r)
-            averaged = {
-                layer: sum(
+            averaged = {}
+            for layer, lrows in by_layer.items():
+                wsum = sum(
                     np.asarray(r["values"], dtype="float64") * float(r["num_examples"])
                     for r in lrows
                 )
-                / sum(float(r["num_examples"]) for r in lrows)
-                for layer, lrows in by_layer.items()
-            }
+                total_n = sum(float(r["num_examples"]) for r in lrows)
+                if total_n > 0:
+                    averaged[layer] = wsum / total_n
+                else:  # all-zero counts: unweighted mean (batch-fedavg parity)
+                    averaged[layer] = sum(
+                        np.asarray(r["values"], dtype="float64") for r in lrows
+                    ) / len(lrows)
             on_round(round_no, averaged)
             del pending[round_no]
 

@@ -73,6 +73,19 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got == want
 
 
+def test_asof_null_in_matched_row_stays_null(spark):
+    # the matched right row wins atomically: its NULL field must NOT be
+    # backfilled from an older right row (pandas merge_asof / DuckDB parity)
+    left = spark.createDataFrame([(1, 30, "q")], "k long, ts long, q string")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "old"), (1, 20, None, "new")],
+        "k long, ts long, val double, tag string",
+    )
+    [row] = asof_join(left, right, ["k"], "ts", "ts", ["val", "tag"]).collect()
+    assert row["tag"] == "new"
+    assert row["val"] is None  # not 5.0 from the ts=10 row
+
+
 def test_asof_rejects_column_collision(spark):
     import pytest
 

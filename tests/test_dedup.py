@@ -81,3 +81,21 @@ def test_simhash_near_dup_pairs(spark, docs):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+
+
+def test_simhash_banding_recall_grows_with_bound(spark, docs):
+    # chunk count derives from max_hamming (pigeonhole: k+1 chunks for
+    # Hamming <= k), so a larger bound must find a superset of pairs
+    import pytest
+
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert tight <= loose
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, max_hamming=63)

@@ -25,6 +25,31 @@ def _toy_partitioned(spark, n_per=12, f=6, parts=2, seed=1):
     return nodes_df, edges_df
 
 
+def test_negative_sampling_terminates_on_dense_graphs():
+    # a complete local subgraph has zero non-edges; the rejection loop must
+    # cap and proceed with fewer negatives instead of spinning forever
+    from federated_gcn_spark.ml.federated import _sample_negatives
+
+    rng = np.random.default_rng(0)
+    triangle = {(0, 1), (1, 2), (0, 2)}
+    neg_u, neg_v = _sample_negatives(rng, 3, 3, triangle)
+    assert neg_u == [] and neg_v == []
+
+    # 2-node partition with its one edge: also zero non-edges
+    neg_u, neg_v = _sample_negatives(np.random.default_rng(0), 1, 2, {(0, 1)})
+    assert neg_u == []
+
+    # sparse graph: full quota, all genuine non-edges, deterministic
+    rng = np.random.default_rng(7)
+    neg_u, neg_v = _sample_negatives(rng, 5, 50, {(0, 1)})
+    assert len(neg_u) == 5
+    assert all(
+        (u, v) not in {(0, 1), (1, 0)} and u != v for u, v in zip(neg_u, neg_v)
+    )
+    rng2 = np.random.default_rng(7)
+    assert _sample_negatives(rng2, 5, 50, {(0, 1)}) == (neg_u, neg_v)
+
+
 def test_kernel_fit_decreases_loss():
     rng = np.random.default_rng(0)
     n, f = 30, 8
