@@ -1,0 +1,56 @@
+"""Iteration barrier: lineage + stats cut for driver-driven fixpoint loops.
+
+Catalyst has no loop operator, so iterative algorithms (connected
+components, Borůvka spanning forest, pagerank, random walks, pointer
+jumping) re-enter the planner every superstep. ``localCheckpoint`` cuts
+*lineage*, but since SPARK-39834 the resulting ``LogicalRDD`` carries the
+origin plan's *statistics* forward. Size estimation multiplies child
+sizes through joins, so a loop that joins the previous iteration's
+checkpoint with itself SQUARES the carried ``sizeInBytes`` every
+superstep: the estimate's bit-length doubles per iteration (measured:
+15 → 29 → 56 → 111 → 220 bits per self-join jump), and after ~30
+iterations the optimizer burns minutes in BigInteger multiplication
+inside every stats-driven rule (join selection, runtime-filter
+injection) — the driver, not the cluster, becomes the bottleneck, at ANY
+data scale.
+
+``iteration_barrier`` therefore materializes the frame (eager
+localCheckpoint, same as before) and then re-wraps the checkpointed
+RDD[InternalRow] in a fresh ``LogicalRDD`` WITHOUT origin stats, so every
+superstep's plan starts from flat leaf estimates. The zero-copy path
+goes through ``SparkSession.internalCreateDataFrame`` (``private[sql]``,
+but Scala access modifiers don't survive to bytecode, so py4j can call
+it); if that internal API ever moves, the fallback round-trips through
+the public ``createDataFrame(RDD[Row], schema)`` (correct, costs one
+extra row conversion per downstream pass), and failing even that returns
+the plain checkpoint (correct, re-grows stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def iteration_barrier(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut BOTH lineage and carried statistics.
+
+    Use this instead of ``localCheckpoint`` for any DataFrame that feeds
+    the next iteration of a driver-side loop. For one-shot staging of a
+    reused intermediate, plain ``localCheckpoint`` is fine.
+    """
+    ck = df.localCheckpoint(eager=True)
+    spark = ck.sparkSession
+    try:
+        je = ck._jdf.queryExecution()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            je.toRdd(), je.analyzed().schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        try:
+            jdf = spark._jsparkSession.createDataFrame(
+                ck._jdf.rdd(), ck._jdf.schema()
+            )
+            return DataFrame(jdf, spark)
+        except Exception:
+            return ck

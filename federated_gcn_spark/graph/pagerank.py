@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from federated_gcn_spark.barrier import iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -62,7 +63,9 @@ def pagerank(
             .agg(F.sum("contrib").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling_mass / n
-        ranks = (
+        # iteration_barrier: ranks feeds next superstep's join — carried
+        # stats would compound across supersteps (see barrier.py)
+        ranks = iteration_barrier(
             degrees.join(contribs, ID, "left")
             .select(
                 ID,
@@ -71,6 +74,5 @@ def pagerank(
                 ).alias("rank"),
                 "out_degree",
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select(ID, "rank")

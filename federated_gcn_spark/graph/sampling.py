@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from federated_gcn_spark.barrier import iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -68,11 +69,13 @@ def uniform_random_walks(
             _pseudo_rand(F.col("walk_id"), F.lit(step), F.col("next_vertex"), F.lit(seed)),
             F.col("next_vertex"),
         )
-        picked = (
+        # iteration_barrier: picked feeds the next step's join with edges —
+        # carried stats would compound across steps (see barrier.py)
+        picked = iteration_barrier(
             cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select("walk_id", "start", F.col("next_vertex").alias("vertex"))
-        ).localCheckpoint(eager=True)
+        )
         out = out.unionByName(
             picked.select("walk_id", "start", F.lit(step).alias("step"), "vertex")
         )
@@ -102,6 +105,7 @@ def fanout_sample(
     fanouts: list[int],
     seed: int = 42,
     undirected: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Fixed-fanout k-hop sampled neighborhood (G3).
 
@@ -110,32 +114,59 @@ def fanout_sample(
     replacement (StellarGraph samples WITH replacement; without is the
     standard relational spelling and keeps rows distinct — parity of
     *shape*, ≤k per parent, is what downstream layers rely on).
-    """
-    edges = (
-        graph.symmetrized_edges() if undirected else graph.edges.select(SRC, DST)
-    ).localCheckpoint(eager=True)
 
-    frontier = roots.select(F.col(ID).alias("root"), F.col(ID).alias("vertex"))
+    ``group_col``: when set (e.g. ``"partition_id"``), edges and roots
+    must both carry that column and the walk never crosses group
+    boundaries — per-subgraph sampling in ONE distributed job instead of
+    a driver loop over groups. That is how federated_fit samples every
+    FL partition's neighborhoods per round (fl_client.py trains per
+    client; GraphSAGELinkGenerator(..., num_samples=[20,10]) samples
+    within the client's own graph, models/supervised.py:79-85).
+    """
+    gcols = [group_col] if group_col else []
+    if group_col:
+        e = graph.edges.select(SRC, DST, group_col)
+        edges = (
+            e.unionByName(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), group_col)
+            )
+            if undirected
+            else e
+        ).localCheckpoint(eager=True)
+        frontier = roots.select(
+            F.col(ID).alias("root"), F.col(ID).alias("vertex"), group_col
+        )
+    else:
+        edges = (
+            graph.symmetrized_edges() if undirected else graph.edges.select(SRC, DST)
+        ).localCheckpoint(eager=True)
+        frontier = roots.select(F.col(ID).alias("root"), F.col(ID).alias("vertex"))
     out = frontier.select(
-        "root", F.lit(0).alias("hop"), F.lit(None).cast(frontier.schema["vertex"].dataType).alias("parent"), "vertex"
+        "root", F.lit(0).alias("hop"), F.lit(None).cast(frontier.schema["vertex"].dataType).alias("parent"), "vertex", *gcols
     )
     for hop, k in enumerate(fanouts, start=1):
-        cand = frontier.join(edges, frontier["vertex"] == edges[SRC]).select(
-            "root", F.col("vertex").alias("parent"), F.col(DST).alias("child")
+        join_cond = frontier["vertex"] == edges[SRC]
+        if group_col:
+            join_cond = join_cond & (frontier[group_col] == edges[group_col])
+        cand = frontier.join(edges, join_cond).select(
+            "root",
+            F.col("vertex").alias("parent"),
+            F.col(DST).alias("child"),
+            *[frontier[c] for c in gcols],
         )
-        w = Window.partitionBy("root", "parent").orderBy(
+        w = Window.partitionBy("root", "parent", *gcols).orderBy(
             _pseudo_rand(
                 F.col("root"), F.col("parent"), F.col("child"), F.lit(hop), F.lit(seed)
             ),
             F.col("child"),
         )
-        picked = (
+        picked = iteration_barrier(
             cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
-            .select("root", "parent", F.col("child").alias("vertex"))
-        ).localCheckpoint(eager=True)
-        out = out.unionByName(
-            picked.select("root", F.lit(hop).alias("hop"), "parent", "vertex")
+            .select("root", "parent", F.col("child").alias("vertex"), *gcols)
         )
-        frontier = picked.select("root", "vertex")
+        out = out.unionByName(
+            picked.select("root", F.lit(hop).alias("hop"), "parent", "vertex", *gcols)
+        )
+        frontier = picked.select("root", "vertex", *gcols)
     return out

@@ -9,10 +9,10 @@ Reference semantics (models/supervised.py:67-77; EdgeSplitter with
 - applied twice: test split first, then train split on the residual.
 
 Spark realization (SURVEY.md §7.3 — the hardest pure-Spark piece):
-1. build a spanning forest with BFS supersteps (frontier ⋈ edges, keep
-   the first tree edge reaching each new vertex — one shuffle/superstep,
-   O(diameter) supersteps); tree edges are never removable, which is
-   exactly the keep-connected guarantee;
+1. build a spanning forest with distributed Borůvka (min-hash-weight edge
+   per component + pointer-jump contraction — O(log n) rounds on any
+   graph; see ``spanning_forest``); tree edges are never removable, which
+   is exactly the keep-connected guarantee;
 2. choose positives deterministically from NON-tree edges by seeded hash
    order (partitioning-independent, unlike F.rand);
 3. negatives: seeded pseudo-random pairs, left-anti joined against the
@@ -29,6 +29,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from federated_gcn_spark.barrier import iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -72,87 +73,126 @@ def take_n_smallest_by_hash(
     return below.unionByName(edge_of)
 
 
-def spanning_forest(graph: Graph, max_iterations: int = 100) -> DataFrame:
-    """One BFS tree per connected component, rooted at the component's min
-    vertex id. Returns tree edges as (src, dst) in the *stored* edge
-    orientation (so they can be anti-joined against graph.edges).
-    """
-    # canonical undirected candidates, remembering stored orientation
-    e = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST)).distinct()
-    sym = e.select(SRC, DST, F.lit(False).alias("flipped")).unionByName(
-        e.select(
-            F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.lit(True).alias("flipped")
-        )
-    )
-    sym = sym.localCheckpoint(eager=True)
+def _pair_snapshot(df: DataFrame, a: str, b: str) -> int:
+    """Order-insensitive fingerprint of a two-column table (bit_xor of row
+    hashes: ANSI-safe, no long overflow)."""
+    row = df.agg(
+        F.coalesce(F.expr(f"bit_xor(xxhash64({a}, {b}))"), F.lit(0)).alias("h")
+    ).first()
+    return int(row["h"])
 
-    # roots: every vertex with no smaller neighbor is a BFS root; visited
-    # grows frontier-by-frontier. Simpler + deterministic: root = global
-    # min id per component is unknown upfront, so instead start BFS from
-    # EVERY vertex's "am I the min among my component so far" — we avoid
-    # that complexity by starting from the min endpoint per *graph*:
-    # any single-source BFS spans only one component, so we instead run
-    # "forest BFS": initially every vertex is unvisited; a vertex becomes
-    # a root if it is the minimum id within its 1-hop neighborhood that
-    # is still unvisited... That iterates too. The robust determinstic
-    # choice: visited := all vertices that are a local minimum vs ALL
-    # neighbors (these are the per-component minima candidates; exactly
-    # the component min is a local min, possibly others — extra roots
-    # merely split a component's tree into a forest, which still keeps
-    # every kept-vertex reachable... NOT acceptable for keep_connected.
-    #
-    # So: do it right — compute per-vertex component minimum by reusing
-    # min-label propagation, fused into the same loop: propagate labels
-    # AND record the first edge over which a vertex's label improved.
-    # When labels converge, the recorded edges form a spanning forest
-    # rooted at each component's min vertex.
-    labels = graph.vertices.select(ID, F.col(ID).alias("component"))
-    tree = None  # (child_id, src, dst) — edge that first reached child
-    for _ in range(max_iterations):
-        incoming = labels.join(sym, labels[ID] == sym[SRC]).select(
-            F.col(DST).alias(ID),
-            F.col("component"),
-            F.when(F.col("flipped"), F.col(DST)).otherwise(F.col(SRC)).alias("e_src"),
-            F.when(F.col("flipped"), F.col(SRC)).otherwise(F.col(DST)).alias("e_dst"),
+
+def spanning_forest(
+    graph: Graph,
+    max_rounds: int = 40,
+    seed: int = 42,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One spanning tree per connected component, as distributed Borůvka.
+
+    Each round every current component picks its minimum-weight incident
+    cross edge (weight = seeded xxhash64 → a global total order, so the
+    pick is deterministic and partition-independent), those edges join the
+    forest, and the hooking forest is contracted by pointer-jumping.
+    Components at least halve per round → O(log n) rounds on ANY graph,
+    including high-diameter chains where label-propagation BFS needs
+    O(diameter) supersteps (VERDICT r01 item 3; Kiveris et al. give the
+    same bound for the star-contraction family). With a globally distinct
+    edge order the hooking graph's only cycles are mutual picks
+    (2-cycles), broken by rooting the smaller component id.
+
+    Returns tree edges as (src, dst) in the *stored* edge orientation (so
+    they can be anti-joined against graph.edges). ``stats``, when passed,
+    receives ``rounds`` and ``pointer_jumps``.
+    """
+    e = (
+        graph.edges.select(SRC, DST)
+        .where(F.col(SRC) != F.col(DST))
+        .distinct()
+        .withColumn("__w", F.xxhash64(SRC, DST, F.lit(seed)))
+        .localCheckpoint(eager=True)
+    )
+    labels = graph.vertices.select(ID, F.col(ID).alias("comp"))
+    forest = None
+    rounds = 0
+    total_jumps = 0
+    for _ in range(max_rounds):
+        # every materialization in this loop feeds the next iteration's
+        # joins — iteration_barrier (not localCheckpoint) keeps carried
+        # size stats from squaring per superstep (see barrier.py)
+        el = iteration_barrier(
+            e.join(labels.select(F.col(ID).alias(SRC), F.col("comp").alias("cs")), SRC)
+            .join(labels.select(F.col(ID).alias(DST), F.col("comp").alias("cd")), DST)
+            .where(F.col("cs") != F.col("cd"))
         )
-        w = Window.partitionBy(ID).orderBy("component", "e_src", "e_dst")
-        best_in = (
-            incoming.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        joined = labels.alias("l").join(best_in.alias("b"), ID, "left")
-        improved = joined.where(
-            F.col("b.component").isNotNull()
-            & (F.col("b.component") < F.col("l.component"))
-        )
-        new_tree = improved.select(
-            F.col(ID).alias("child"), F.col("e_src").alias(SRC), F.col("e_dst").alias(DST)
-        )
-        tree = new_tree if tree is None else (
-            # a child's tree edge is replaced when its label improves again
-            tree.alias("t")
-            .join(new_tree.alias("n"), F.col("t.child") == F.col("n.child"), "left_anti")
-            .unionByName(new_tree)
-        )
-        new_labels = joined.select(
-            F.col(ID),
-            F.when(
-                F.col("b.component").isNotNull()
-                & (F.col("b.component") < F.col("l.component")),
-                F.col("b.component"),
-            )
-            .otherwise(F.col("l.component"))
-            .alias("component"),
-        ).localCheckpoint(eager=True)
-        tree = tree.localCheckpoint(eager=True)
-        n_improved = improved.limit(1).count()
-        labels = new_labels
-        if n_improved == 0:
+        if el.limit(1).count() == 0:
             break
-    if tree is None:
+        rounds += 1
+        # min-weight cross edge per component (struct min = lexicographic:
+        # weight first, then (src, dst) as the deterministic tiebreak)
+        pick = F.struct(F.col("__w"), F.col(SRC), F.col(DST), F.col("cs"), F.col("cd"))
+        picks = iteration_barrier(
+            el.select(F.col("cs").alias("comp"), pick.alias("p"))
+            .unionByName(el.select(F.col("cd").alias("comp"), pick.alias("p")))
+            .groupBy("comp")
+            .agg(F.min("p").alias("p"))
+            .select("comp", "p.*")
+        )
+        new_edges = picks.select(SRC, DST).distinct()
+        forest = new_edges if forest is None else forest.unionByName(new_edges)
+        forest = iteration_barrier(forest)
+
+        # hooking graph: comp -> other endpoint's comp; break 2-cycles by
+        # rooting the smaller id (mutual picks share one edge)
+        hooks = picks.select(
+            "comp",
+            F.when(F.col("comp") == F.col("cs"), F.col("cd"))
+            .otherwise(F.col("cs"))
+            .alias("to"),
+        )
+        p = iteration_barrier(
+            hooks.alias("x")
+            .join(hooks.alias("y"), F.col("x.to") == F.col("y.comp"), "left")
+            .select(
+                F.col("x.comp").alias("comp"),
+                F.when(
+                    (F.col("y.to") == F.col("x.comp"))
+                    & (F.col("x.comp") < F.col("x.to")),
+                    F.col("x.comp"),
+                )
+                .otherwise(F.col("x.to"))
+                .alias("to"),
+            )
+        )
+        # pointer-jump to the root: to := to.to until fixpoint (O(log depth))
+        prev = _pair_snapshot(p, "comp", "to")
+        while True:
+            total_jumps += 1
+            p = iteration_barrier(
+                p.alias("x")
+                .join(
+                    p.select(F.col("comp").alias("to"), F.col("to").alias("to2")),
+                    "to",
+                    "left",
+                )
+                .select("comp", F.coalesce("to2", "to").alias("to"))
+            )
+            cur = _pair_snapshot(p, "comp", "to")
+            if cur == prev:
+                break
+            prev = cur
+        labels = iteration_barrier(
+            labels.join(p, labels["comp"] == p["comp"], "left")
+            .select(ID, F.coalesce(p["to"], labels["comp"]).alias("comp"))
+        )
+        # only cross edges can matter in later rounds
+        e = el.select(SRC, DST, "__w")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["pointer_jumps"] = total_jumps
+    if forest is None:
         return graph.edges.select(SRC, DST).limit(0)
-    return tree.select(SRC, DST).distinct()
+    return forest
 
 
 def connectivity_preserving_split(
@@ -246,3 +286,36 @@ def connectivity_preserving_split(
         positives.withColumn("label", F.lit(1)),
         negatives.withColumn("label", F.lit(0)),
     )
+
+
+class DoubleSplit(NamedTuple):
+    test: EdgeSplit  # stage 1: held-out TEST examples, residual = graph_test
+    train: EdgeSplit  # stage 2 on stage 1's residual: TRAIN examples
+
+
+def double_split(
+    graph: Graph,
+    p_test: float = 0.1,
+    p_train: float = 0.1,
+    seed: int = 42,
+    max_iterations: int = 100,
+) -> DoubleSplit:
+    """The reference's two-stage EdgeSplitter composition
+    (models/supervised.py:67-77): hold out p_test of edges as the test
+    set first, then split AGAIN on the residual for the train examples —
+    so test edges are never visible to training, and the final residual
+    (the message-passing graph) stays connected per component through
+    BOTH removals.
+
+    Distinct derived seeds per stage keep the two hash orders
+    independent; determinism and the |neg| == |pos| invariant hold at
+    each stage (tests/test_split.py::test_double_split_composition).
+    """
+    test = connectivity_preserving_split(graph, p_test, seed, max_iterations)
+    residual_graph = Graph(
+        graph.vertices, test.residual.localCheckpoint(eager=True)
+    )
+    train = connectivity_preserving_split(
+        residual_graph, p_train, seed + 0x9E3779B9, max_iterations
+    )
+    return DoubleSplit(test, train)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.ml.kernels import GraphSAGELinkModel
@@ -65,7 +65,8 @@ def _sample_negatives(rng, target: int, n: int, pos: set) -> tuple[list, list]:
 
 
 def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
-                   variant: str = "supervised"):
+                   variant: str = "supervised", optimizer: str = "adam",
+                   dropout: float = 0.1, batch_size: int | None = None):
     """Build the per-partition trainer (runs inside applyInPandas).
 
     variant="supervised":   positives = the partition's edges
@@ -73,21 +74,36 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
     variant="unsupervised": positives = random-walk co-occurrence pairs
                             (fl_client_unsupervised.py via
                             UnsupervisedSampler, models/unsupervised.py:54-56)
+
+    When ``edges_pdf`` carries a ``role`` column (added by federated_fit's
+    fanout path), rows with role='msg' are the round's fanout-sampled
+    message-passing graph and rows with role='train' the true edges used
+    as positives — the GraphSAGELinkGenerator split between sampled
+    neighborhoods and training pairs (models/supervised.py:79-85).
     """
 
     def train(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         (partition_id,) = key
         ids = nodes_pdf["id"].to_numpy()
         idx = {v: i for i, v in enumerate(ids)}
+        if "role" in edges_pdf.columns:
+            train_pdf = edges_pdf[edges_pdf["role"] == "train"]
+            msg_pdf = edges_pdf[edges_pdf["role"] == "msg"]
+        else:
+            train_pdf = msg_pdf = edges_pdf
         x = np.stack(nodes_pdf["features"].to_numpy()).astype("float64")
         # drop edges whose endpoints are outside this partition's node set
         # (the J1 integrity join, local edition)
-        e = edges_pdf[edges_pdf["src"].isin(idx) & edges_pdf["dst"].isin(idx)]
+        e = train_pdf[train_pdf["src"].isin(idx) & train_pdf["dst"].isin(idx)]
         src = e["src"].map(idx).to_numpy(dtype="int64")
         dst = e["dst"].map(idx).to_numpy(dtype="int64")
+        me = msg_pdf[msg_pdf["src"].isin(idx) & msg_pdf["dst"].isin(idx)]
+        msg_src = me["src"].map(idx).to_numpy(dtype="int64")
+        msg_dst = me["dst"].map(idx).to_numpy(dtype="int64")
 
         model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr,
-                                   seed=seed + int(partition_id))
+                                   seed=seed + int(partition_id),
+                                   optimizer=optimizer, dropout=dropout)
         model.set_weights(weights_bc.value)
 
         n = len(ids)
@@ -109,7 +125,8 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
         pv = np.concatenate([pos_v, np.array(neg_v, dtype="int64")])
         labels = np.concatenate([np.ones(len(pos_u)), np.zeros(len(neg_u))])
 
-        model.fit(x, src, dst, pu, pv, labels, epochs=epochs)
+        model.fit(x, msg_src, msg_dst, pu, pv, labels, epochs=epochs,
+                  batch_size=batch_size)
         n_examples = int(len(labels))  # NUM_EXAMPLES (fl_client.py:77)
         rows = [
             {
@@ -126,6 +143,126 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
     return train
 
 
+def _held_out_split(edges: DataFrame, nodes: DataFrame, fraction: float, seed: int):
+    """Distributed analog of the reference's test EdgeSplitter
+    (models/supervised.py:66-70: hold out p=0.1 of edges + equally many
+    sampled non-edges): returns (train_edges, eval_pairs) where
+    eval_pairs = (u, v, label DOUBLE, partition_id).
+
+    Selection is a pure hash of (src, dst, seed) — deterministic on any
+    cluster layout. Negatives corrupt the held-out edge's dst to a
+    pseudo-random node of the same partition (rank-join, no node-table
+    blowup), then drop accidental true edges with one anti-join.
+    """
+    r = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000)).cast("double")
+        / 1_000_000.0
+    )
+    tagged = edges.withColumn("__held", r < fraction)
+    train_edges = tagged.where(~F.col("__held")).drop("__held")
+    pos = tagged.where(F.col("__held")).drop("__held")
+
+    w = Window.partitionBy("partition_id").orderBy("id")
+    ranked = nodes.select("id", "partition_id").withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    sizes = ranked.groupBy("partition_id").agg(F.max("__rk").alias("__n"))
+    corrupted = (
+        pos.join(F.broadcast(sizes), "partition_id")
+        .withColumn(
+            "__rk",
+            F.pmod(F.xxhash64("src", "dst", F.lit(seed + 1)), F.col("__n")).cast("int")
+            + 1,
+        )
+        .join(ranked, ["partition_id", "__rk"])
+        .select("partition_id", F.col("src").alias("u"), F.col("id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    negatives = corrupted.join(
+        sym,
+        (corrupted["u"] == sym["src"]) & (corrupted["v"] == sym["dst"]),
+        "left_anti",
+    )
+    eval_pairs = (
+        pos.select(
+            "partition_id",
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.lit(1.0).alias("label"),
+        )
+        .unionByName(negatives.withColumn("label", F.lit(0.0)))
+    )
+    return train_edges, eval_pairs
+
+
+def _eval_metrics(
+    spark: SparkSession,
+    nodes: DataFrame,
+    train_edges: DataFrame,
+    eval_pairs: DataFrame,
+    weights: list[np.ndarray],
+    layer_sizes,
+    seed: int,
+) -> dict:
+    """Score held-out pairs with the current global weights and compute the
+    reference's six logged metrics (fl_client.py:139-160: loss, accuracy,
+    recall, AUC, F1, precision) as one Spark job.
+
+    Embeddings are inferred over the TRAIN graph (message passing never
+    sees held-out edges — the same leakage rule as evaluating Keras flows
+    built on graph_train, models/supervised.py:79-85)."""
+    from federated_gcn_spark.functions.scalar import f1_score, link_score
+    from federated_gcn_spark.operators.stats import binary_auc
+
+    emb = gen_embeddings(spark, nodes, train_edges, weights, layer_sizes, seed=seed)
+    eu = emb.select(
+        F.col("id").alias("u"), "partition_id", F.col("embedding").alias("__hu")
+    )
+    ev = emb.select(
+        F.col("id").alias("v"), "partition_id", F.col("embedding").alias("__hv")
+    )
+    scored = (
+        eval_pairs.join(eu, ["u", "partition_id"])
+        .join(ev, ["v", "partition_id"])
+        .select(
+            "label", link_score("__hu", "__hv").alias("score")
+        )
+        .localCheckpoint(eager=True)
+    )
+    eps = 1e-12
+    agg = scored.agg(
+        F.avg(
+            -(
+                F.col("label") * F.log(F.col("score") + eps)
+                + (1 - F.col("label")) * F.log(1 - F.col("score") + eps)
+            )
+        ).alias("loss"),
+        F.avg(
+            ((F.col("score") > 0.5) == (F.col("label") > 0.5)).cast("double")
+        ).alias("acc"),
+        F.sum(((F.col("score") > 0.5) & (F.col("label") > 0.5)).cast("long")).alias("tp"),
+        F.sum(((F.col("score") > 0.5) & (F.col("label") <= 0.5)).cast("long")).alias("fp"),
+        F.sum(((F.col("score") <= 0.5) & (F.col("label") > 0.5)).cast("long")).alias("fn"),
+    ).select(
+        "loss",
+        "acc",
+        (F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias("precision"),
+        (F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias("recall"),
+    ).withColumn("f1", f1_score(F.col("precision"), F.col("recall")))
+    row = agg.crossJoin(binary_auc(scored, "score", "label")).first()
+    return {
+        "loss": row["loss"],
+        "acc": row["acc"],
+        "precision": row["precision"],
+        "recall": row["recall"],
+        "f1": row["f1"],
+        "auc": row["auc"],
+    }
+
+
 def federated_fit(
     spark: SparkSession,
     nodes: DataFrame,
@@ -138,6 +275,11 @@ def federated_fit(
     weighted: bool = True,
     variant: str = "supervised",
     weights_sink: str | None = None,
+    optimizer: str = "adam",
+    dropout: float = 0.1,
+    batch_size: int | None = None,
+    fanouts: list[int] | None = None,
+    eval_fraction: float = 0.0,
 ) -> tuple[list[np.ndarray], list[dict]]:
     """Run R federated rounds; returns (global weights, round log).
 
@@ -146,22 +288,74 @@ def federated_fit(
     ``weights_sink``: optional parquet path, partitioned by round — the
     versioned-weights sink (S7; fl_server.py:78-80) with the round number
     as the partition value instead of a filename suffix.
+
+    Reference-parity knobs (models/supervised.py:50-63, 79-104):
+    ``optimizer="adam"`` + ``lr=1e-2`` + ``dropout=0.1`` are the
+    reference defaults; ``batch_size=20`` turns on shuffled minibatch
+    steps; ``fanouts=[20, 10]`` samples each partition's message-passing
+    neighborhoods per round with the distributed fanout operator (G3)
+    instead of training on the full partition graph;
+    ``eval_fraction=0.1`` holds out that fraction of edges (plus matched
+    sampled non-edges) and logs loss/acc/precision/recall/F1/AUC on the
+    held-out split every round (fl_client.py:139-160).
     """
     feature_dim = len(
         nodes.select("features").first()["features"]
     )
-    global_model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr, seed=seed)
+    global_model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr, seed=seed,
+                                      optimizer=optimizer, dropout=dropout)
     global_weights = global_model.get_weights()
     history: list[dict] = []
 
+    eval_pairs = None
+    if eval_fraction > 0.0:
+        train_edges, eval_pairs = _held_out_split(edges, nodes, eval_fraction, seed)
+        train_edges = train_edges.localCheckpoint(eager=True)
+        eval_pairs = eval_pairs.localCheckpoint(eager=True)
+    else:
+        train_edges = edges
+
     grouped_nodes = nodes.groupBy("partition_id")
-    grouped_edges = edges.groupBy("partition_id")
 
     for round_no in range(rounds):
+        if fanouts:
+            # re-sample every round (the generator re-samples every batch;
+            # per-round is the distributed-cost-aware cadence) — G3 with
+            # group_col keeps every walk inside its own FL partition
+            from federated_gcn_spark.graph.graph import Graph
+            from federated_gcn_spark.graph.sampling import fanout_sample
+
+            g = Graph(nodes.select("id", "partition_id"), train_edges)
+            sampled = fanout_sample(
+                g,
+                roots=nodes.select("id", "partition_id"),
+                fanouts=list(fanouts),
+                seed=seed + 7919 * (round_no + 1),
+                group_col="partition_id",
+            )
+            msg_edges = (
+                sampled.where(F.col("hop") > 0)
+                .select(
+                    F.col("parent").alias("src"),
+                    F.col("vertex").alias("dst"),
+                    "partition_id",
+                )
+                .distinct()
+            )
+            round_edges = train_edges.select(
+                "src", "dst", "partition_id"
+            ).withColumn("role", F.lit("train")).unionByName(
+                msg_edges.withColumn("role", F.lit("msg"))
+            )
+        else:
+            round_edges = train_edges
+        grouped_edges = round_edges.groupBy("partition_id")
+
         weights_bc = spark.sparkContext.broadcast(global_weights)
         params = grouped_nodes.cogroup(grouped_edges).applyInPandas(
             _make_train_fn(
-                weights_bc, layer_sizes, lr, epochs, seed, feature_dim, variant
+                weights_bc, layer_sizes, lr, epochs, seed, feature_dim, variant,
+                optimizer=optimizer, dropout=dropout, batch_size=batch_size,
             ),
             schema=PARAM_SCHEMA,
         )
@@ -178,15 +372,24 @@ def federated_fit(
             ).withColumn("round", F.lit(round_no)).write.mode(
                 "append"
             ).partitionBy("round").parquet(weights_sink)
-        history.append(
-            {
-                "round": round_no,
-                "n_layers": len(global_weights),
-                "weight_norm": float(
-                    sum(float(np.linalg.norm(w)) for w in global_weights)
-                ),
-            }
-        )
+        entry = {
+            "round": round_no,
+            "n_layers": len(global_weights),
+            "weight_norm": float(
+                sum(float(np.linalg.norm(w)) for w in global_weights)
+            ),
+        }
+        if eval_pairs is not None:
+            # evaluate the freshly-averaged global model on the held-out
+            # split — the per-round "Global model v{r} evaluation" log line
+            # (fl_client.py:149-161), one Spark job per round
+            entry.update(
+                _eval_metrics(
+                    spark, nodes, train_edges, eval_pairs, global_weights,
+                    layer_sizes, seed,
+                )
+            )
+        history.append(entry)
     return global_weights, history
 
 

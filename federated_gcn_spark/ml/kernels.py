@@ -10,11 +10,13 @@ dataflow, the kernel is whatever runs per partition). So the kernels
 here are small, dependency-free, *deterministic* numpy implementations:
 
 - ``GraphSAGELinkModel``: 2-layer mean-aggregator GraphSAGE (G4) with an
-  inner-product + sigmoid link head (G5), manual backprop, full-batch
-  Adam-free SGD. Semantics mirror models/supervised.py:50-104 (layer
-  sizes [10,10], lr 1e-2, binary-crossentropy) minus dropout (a no-op
-  for parity testing) — the final L2 normalization is applied at
-  embedding inference like models/unsupervised.py:64.
+  inner-product + sigmoid link head (G5), manual backprop. Training
+  mirrors models/supervised.py:50-104: Adam (lr 1e-2, the Keras
+  defaults beta1=0.9/beta2=0.999) by default with plain SGD available,
+  inverted dropout 0.1 on each layer's self+neighbor inputs, and
+  optional minibatching (``batch_size=20`` in the reference's
+  generator) — all seeded and deterministic. The final L2 normalization
+  is applied at embedding inference like models/unsupervised.py:64.
 - ``LinearModel``: the misc/ prototype (misc/model.py, misc/client.py) —
   linear regression, MSE SGD.
 
@@ -65,9 +67,15 @@ class GraphSAGELinkModel:
     """
 
     def __init__(self, feature_dim: int, layer_sizes=(10, 10), lr: float = 1e-2,
-                 seed: int = 42):
+                 seed: int = 42, optimizer: str = "adam", dropout: float = 0.1):
+        if optimizer not in ("adam", "sgd"):
+            raise ValueError(f"optimizer must be 'adam' or 'sgd', got {optimizer!r}")
+        if not 0.0 <= dropout < 1.0:
+            raise ValueError(f"dropout must be in [0, 1), got {dropout}")
         self.layer_sizes = tuple(layer_sizes)
         self.lr = lr
+        self.optimizer = optimizer
+        self.dropout = float(dropout)
         rng = np.random.default_rng(seed)
         dims = [feature_dim, *self.layer_sizes]
         self.weights: list[np.ndarray] = []
@@ -78,6 +86,15 @@ class GraphSAGELinkModel:
                 rng.normal(0, scale, (d_in, d_out)),  # W_neigh
                 np.zeros(d_out),                      # b
             ]
+        # training-time randomness (dropout masks, minibatch shuffles) has
+        # its own stream so weight init stays bit-identical across configs
+        self._rng = np.random.default_rng(seed + 0x5EED)
+        # Adam state (models/supervised.py:100-104: keras.optimizers.Adam(lr)).
+        # Like the reference, optimizer moments are client-local and never
+        # communicated — only weights ride FedAvg (fl_client.py:75-77).
+        self._adam_t = 0
+        self._adam_m = [np.zeros_like(w) for w in self.weights]
+        self._adam_v = [np.zeros_like(w) for w in self.weights]
 
     # -- weight contract (G8; README.md:37-42) ------------------------------
 
@@ -90,50 +107,110 @@ class GraphSAGELinkModel:
 
     # -- forward / backward -------------------------------------------------
 
-    def _forward(self, x, src, dst):
+    def _forward(self, x, src, dst, train: bool = False):
+        """Forward pass; with ``train=True`` applies seeded inverted
+        dropout to each layer's self+neighbor inputs (GraphSAGE(...,
+        dropout=0.1), models/supervised.py:88-90) and caches the masks
+        for the backward pass."""
+        p = self.dropout if train else 0.0
         h, cache = x, []
         for k in range(len(self.layer_sizes)):
             ws, wn, b = self.weights[3 * k:3 * k + 3]
             m = _mean_neighbors(h, src, dst)
-            z = h @ ws + m @ wn + b
-            h_next = _relu(z)
-            cache.append((h, m, z))
-            h = h_next
+            if p > 0.0:
+                mask_h = (self._rng.random(h.shape) >= p) / (1.0 - p)
+                mask_m = (self._rng.random(m.shape) >= p) / (1.0 - p)
+                h_in, m_in = h * mask_h, m * mask_m
+            else:
+                mask_h = mask_m = None
+                h_in, m_in = h, m
+            z = h_in @ ws + m_in @ wn + b
+            cache.append((h_in, m_in, z, mask_h, mask_m))
+            h = _relu(z)
         return h, cache
 
-    def fit(self, x, src, dst, pairs_u, pairs_v, labels, epochs: int = 1):
-        """Full-batch SGD on link BCE; returns per-epoch (loss, acc)."""
-        history = []
-        for _ in range(epochs):
-            h, cache = self._forward(x, src, dst)
-            s = _sigmoid(np.einsum("ij,ij->i", h[pairs_u], h[pairs_v]))
-            eps = 1e-12
-            loss = -np.mean(labels * np.log(s + eps) + (1 - labels) * np.log(1 - s + eps))
-            acc = float(np.mean((s > 0.5) == (labels > 0.5)))
-            # dL/dh
-            g = (s - labels)[:, None] / len(labels)
-            dh = np.zeros_like(h)
-            np.add.at(dh, pairs_u, g * h[pairs_v])
-            np.add.at(dh, pairs_v, g * h[pairs_u])
-            # backprop through layers
-            grads: list[np.ndarray] = [None] * len(self.weights)
-            for k in reversed(range(len(self.layer_sizes))):
-                h_in, m, z = cache[k]
-                ws, wn, _ = self.weights[3 * k:3 * k + 3]
-                dz = dh * (z > 0)
-                grads[3 * k] = h_in.T @ dz
-                grads[3 * k + 1] = m.T @ dz
-                grads[3 * k + 2] = dz.sum(axis=0)
-                if k > 0:
-                    # exact adjoint of h ↦ D⁻¹A h is g ↦ A D⁻¹ g (A
-                    # symmetric): divide by OWN degree, then aggregate
-                    deg = _degrees(dz.shape[0], src, dst)
-                    dh = dz @ ws.T + _sum_neighbors(
-                        (dz @ wn.T) / deg[:, None], src, dst
-                    )
+    def _step(self, x, src, dst, pu, pv, labels):
+        """One gradient step on one (mini)batch; returns (loss, acc)."""
+        h, cache = self._forward(x, src, dst, train=True)
+        s = _sigmoid(np.einsum("ij,ij->i", h[pu], h[pv]))
+        eps = 1e-12
+        loss = -np.mean(labels * np.log(s + eps) + (1 - labels) * np.log(1 - s + eps))
+        acc = float(np.mean((s > 0.5) == (labels > 0.5)))
+        # dL/dh
+        g = (s - labels)[:, None] / len(labels)
+        dh = np.zeros_like(h)
+        np.add.at(dh, pu, g * h[pv])
+        np.add.at(dh, pv, g * h[pu])
+        # backprop through layers
+        grads: list[np.ndarray] = [None] * len(self.weights)
+        for k in reversed(range(len(self.layer_sizes))):
+            h_in, m_in, z, mask_h, mask_m = cache[k]
+            ws, wn, _ = self.weights[3 * k:3 * k + 3]
+            dz = dh * (z > 0)
+            grads[3 * k] = h_in.T @ dz
+            grads[3 * k + 1] = m_in.T @ dz
+            grads[3 * k + 2] = dz.sum(axis=0)
+            if k > 0:
+                # exact adjoint of h ↦ D⁻¹A h is g ↦ A D⁻¹ g (A
+                # symmetric): divide by OWN degree, then aggregate; the
+                # dropout masks are elementwise, so their adjoint is the
+                # same mask applied to the incoming gradient
+                dh_self = dz @ ws.T
+                dh_nbr = dz @ wn.T
+                if mask_h is not None:
+                    dh_self = dh_self * mask_h
+                    dh_nbr = dh_nbr * mask_m
+                deg = _degrees(dz.shape[0], src, dst)
+                dh = dh_self + _sum_neighbors(dh_nbr / deg[:, None], src, dst)
+        self._apply_grads(grads)
+        return float(loss), acc
+
+    def _apply_grads(self, grads):
+        if self.optimizer == "sgd":
             for i, gr in enumerate(grads):
                 self.weights[i] -= self.lr * gr
-            history.append({"loss": float(loss), "acc": acc})
+            return
+        # Adam, Keras defaults (models/supervised.py:100-104)
+        b1, b2, eps = 0.9, 0.999, 1e-7
+        self._adam_t += 1
+        t = self._adam_t
+        for i, gr in enumerate(grads):
+            self._adam_m[i] = b1 * self._adam_m[i] + (1 - b1) * gr
+            self._adam_v[i] = b2 * self._adam_v[i] + (1 - b2) * gr * gr
+            m_hat = self._adam_m[i] / (1 - b1 ** t)
+            v_hat = self._adam_v[i] / (1 - b2 ** t)
+            self.weights[i] -= self.lr * m_hat / (np.sqrt(v_hat) + eps)
+
+    def fit(self, x, src, dst, pairs_u, pairs_v, labels, epochs: int = 1,
+            batch_size: int | None = None):
+        """Train on link BCE; returns per-epoch (loss, acc).
+
+        ``batch_size=None`` is full-batch (one step/epoch);
+        ``batch_size=20`` mirrors the reference's shuffled minibatch
+        generator (GraphSAGELinkGenerator(..., batch_size=20, shuffle=True),
+        models/supervised.py:79-81) — seeded shuffle, one optimizer step
+        per batch, epoch metrics averaged over batches.
+        """
+        history = []
+        n_pairs = len(labels)
+        for _ in range(epochs):
+            if batch_size is None or batch_size >= n_pairs:
+                loss, acc = self._step(x, src, dst, pairs_u, pairs_v, labels)
+                history.append({"loss": loss, "acc": acc})
+                continue
+            perm = self._rng.permutation(n_pairs)
+            losses, accs, weights_seen = [], [], []
+            for lo in range(0, n_pairs, batch_size):
+                b = perm[lo:lo + batch_size]
+                loss, acc = self._step(x, src, dst, pairs_u[b], pairs_v[b], labels[b])
+                losses.append(loss)
+                accs.append(acc)
+                weights_seen.append(len(b))
+            w = np.asarray(weights_seen, dtype="float64")
+            history.append({
+                "loss": float(np.average(losses, weights=w)),
+                "acc": float(np.average(accs, weights=w)),
+            })
         return history
 
     def embed(self, x, src, dst) -> np.ndarray:

@@ -11,12 +11,13 @@ All compute runs as Arrow-batched ``mapInPandas`` — the payload bytes
 stream through in columnar batches, partitioning is whatever the table
 already has, and each operator declares an explicit output schema.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernel is pluggable: ``decoder=None`` uses a deterministic
-fake (payload-hash-seeded) so the Spark-side plumbing — schemas, batch
-iteration, UDF signatures — is fully real and tested; passing a real
-decoder swaps the kernel without touching the dataflow. Attempting
-``decoder="real"`` raises NotImplementedError (clearly-marked stub).
+The decode kernel is pluggable: ``decoder=None`` uses a deterministic
+fake (payload-hash-seeded) for plumbing tests; ``decoder="real"``
+decodes real bytes with the dependency-free numpy codecs in
+functions/codecs.py (24-bit BMP → grayscale grid pooling, PCM-16 WAV →
+frame RMS energies — magic-byte dispatch, per-row failure isolation);
+any callable ``decoder(payload) -> np.ndarray`` swaps in a heavyweight
+codec (PIL/ffmpeg) without touching the dataflow.
 """
 
 from __future__ import annotations
@@ -59,11 +60,11 @@ def image_features(
     float vector; Arrow moves the binary column in batches.
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv — not available in this "
-            "container; pass a callable decoder(payload: bytes) -> np.ndarray"
-        )
-    decode = decoder or (lambda payload: _fake_pixels(payload, n_features))
+        from federated_gcn_spark.functions.codecs import real_media_features
+
+        decode = lambda payload: real_media_features(payload, n_features)  # noqa: E731
+    else:
+        decode = decoder or (lambda payload: _fake_pixels(payload, n_features))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

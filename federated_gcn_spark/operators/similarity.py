@@ -114,13 +114,19 @@ class RandomHyperplaneLSH:
 class IVFIndex:
     """Inverted-file ANN index (the classic IVF-Flat layout, Spark-shaped).
 
-    Centroids: the k vectors whose seeded id-hash is smallest — a uniform
-    deterministic sample collected to the driver (k·dim floats; IVF
-    training is always a driver/offline step). Assignment: every vector
-    gets the max-cosine centroid, computed with inlined-literal HOF dot
-    products and an argmax over a struct array — all codegen-able, no
-    Python in the row path. A query exact-scores only its ``nprobe``
-    nearest centroid lists.
+    Centroids: seeded deterministic sample of k vectors, then
+    ``train_iters`` distributed Lloyd iterations of spherical k-means —
+    each iteration is one assign (codegen'd argmax over inlined-literal
+    dot products) + one posexplode/groupBy mean (a single shuffle of
+    (centroid, dim_pos, value) triples with map-side combine), and only
+    k·dim aggregated floats ever reach the driver. Random-sample
+    centroids lose recall badly on clustered corpora — cluster cores get
+    split across few sampled points while dense regions hog lists —
+    so training is on by default. Empty clusters keep their previous
+    centroid (the standard Lloyd fallback). Assignment: every vector
+    gets the max-cosine centroid — all codegen-able, no Python in the
+    row path. A query exact-scores only its ``nprobe`` nearest centroid
+    lists.
 
     At 100 TB the assigned table is written partitioned by
     ``centroid_id`` so a probe is partition pruning — the same catalog
@@ -134,6 +140,7 @@ class IVFIndex:
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        train_iters: int = 3,
     ):
         rows = (
             embeddings.select(id_col, vec_col)
@@ -142,10 +149,31 @@ class IVFIndex:
             .collect()
         )
         self.centroids = np.array([list(r[1]) for r in rows], dtype="float64")
+        self._normalize_centroids()
+        self.id_col, self.vec_col = id_col, vec_col
+        for _ in range(train_iters):
+            self._lloyd_step(embeddings)
+
+    def _normalize_centroids(self) -> None:
         self.centroids /= np.maximum(
             np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-12
         )
-        self.id_col, self.vec_col = id_col, vec_col
+
+    def _lloyd_step(self, embeddings: DataFrame) -> None:
+        """One distributed Lloyd iteration: assign → per-(cluster, dim)
+        mean → re-normalize. The collect is k·dim floats, never vectors."""
+        means = (
+            self.assign(embeddings)
+            .select("centroid_id", F.posexplode(F.col(self.vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = self.centroids.copy()  # empty clusters keep their centroid
+        for r in means:
+            new[r["centroid_id"], r["pos"]] = r["m"]
+        self.centroids = new
+        self._normalize_centroids()
 
     def assign(self, embeddings: DataFrame) -> DataFrame:
         """embeddings + ``centroid_id`` (argmax cosine; ties → higher id)."""

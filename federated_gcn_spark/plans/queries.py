@@ -851,6 +851,49 @@ def edge_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("double_split_stats")  # rows-only
+def double_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage EdgeSplitter composition (models/supervised.py:67-77):
+    test split on the full graph, then train split on the residual. One
+    row of invariants: |neg| == |pos| at BOTH stages, test and train
+    positives disjoint, and the component count unchanged through both
+    removals (keep_connected survives composition)."""
+    from federated_gcn_spark.graph import Graph, double_split
+    from federated_gcn_spark.graph.components import num_components
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 50_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    g = Graph.from_edges(edges)
+    ds = double_split(g, p_test=0.1, p_train=0.1, seed=42)
+    overlap = ds.test.positives.select("src", "dst").join(
+        ds.train.positives.select("src", "dst"), ["src", "dst"]
+    )
+    row = [
+        (
+            edges.count(),
+            ds.test.positives.count(),
+            ds.test.negatives.count(),
+            ds.train.positives.count(),
+            ds.train.negatives.count(),
+            overlap.count(),
+            num_components(g),
+            num_components(Graph(g.vertices, ds.train.residual)),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_edges long, test_pos long, test_neg long, train_pos long, "
+        "train_neg long, pos_overlap long, comps_before long, comps_after long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup dedup + ANN (rows-only: xxhash64/hyperplane seeds are
 # engine-specific; exactness is covered by unit/property tests)
@@ -1103,14 +1146,15 @@ def embedding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals (region → nation → grand total): one
-    shuffle produces all three grouping levels via partial-agg expansion;
-    both dims broadcast."""
+    shuffle produces all three grouping levels via partial-agg expansion.
+    Only the fixed-size dims (nation 25, region 5) carry broadcast hints;
+    customer scales with SF, so AQE picks its join strategy at runtime."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")

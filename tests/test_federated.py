@@ -70,6 +70,53 @@ def test_kernel_determinism():
         np.testing.assert_array_equal(a, b)
 
 
+def _link_fixture(seed=0, n=30, f=8):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, f))
+    src = np.arange(n); dst = (np.arange(n) + 1) % n
+    pu = np.concatenate([src, rng.integers(0, n, n)])
+    pv = np.concatenate([dst, rng.integers(0, n, n)])
+    y = np.concatenate([np.ones(n), np.zeros(n)])
+    return x, src, dst, pu, pv, y
+
+
+def test_adam_beats_sgd_at_equal_epochs():
+    # models/supervised.py:100-104 trains with Adam(lr=1e-2); at that lr
+    # plain SGD barely moves in 40 epochs while Adam's per-parameter step
+    # normalization makes real progress — the reason the reference's
+    # convergence behavior needs Adam, not just any optimizer
+    x, src, dst, pu, pv, y = _link_fixture()
+    kw = dict(layer_sizes=(8, 8), lr=1e-2, seed=0, dropout=0.0)
+    sgd = GraphSAGELinkModel(8, optimizer="sgd", **kw)
+    adam = GraphSAGELinkModel(8, optimizer="adam", **kw)
+    h_sgd = sgd.fit(x, src, dst, pu, pv, y, epochs=40)
+    h_adam = adam.fit(x, src, dst, pu, pv, y, epochs=40)
+    assert h_adam[-1]["loss"] < h_sgd[-1]["loss"]
+    assert h_adam[-1]["loss"] < h_adam[0]["loss"]
+
+
+def test_dropout_is_seeded_deterministic_and_off_at_inference():
+    x, src, dst, pu, pv, y = _link_fixture()
+    m1 = GraphSAGELinkModel(8, (8, 8), seed=5, dropout=0.3)
+    m2 = GraphSAGELinkModel(8, (8, 8), seed=5, dropout=0.3)
+    m1.fit(x, src, dst, pu, pv, y, epochs=5)
+    m2.fit(x, src, dst, pu, pv, y, epochs=5)
+    for a, b in zip(m1.get_weights(), m2.get_weights()):
+        np.testing.assert_array_equal(a, b)
+    # inference applies no masks: embed twice → identical
+    np.testing.assert_array_equal(m1.embed(x, src, dst), m1.embed(x, src, dst))
+
+
+def test_minibatch_fit_decreases_loss_and_steps_per_batch():
+    # batch_size=20 mirrors GraphSAGELinkGenerator(batch_size=20)
+    # (models/supervised.py:79-81): 60 pairs → 3 optimizer steps per epoch
+    x, src, dst, pu, pv, y = _link_fixture()
+    m = GraphSAGELinkModel(8, (8, 8), lr=1e-2, seed=0, dropout=0.1)
+    hist = m.fit(x, src, dst, pu, pv, y, epochs=20, batch_size=20)
+    assert m._adam_t == 20 * 3  # one Adam step per minibatch
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_linear_model_learns():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(500, 10))
@@ -112,6 +159,113 @@ def test_gen_embeddings(spark, fl_result):
     assert len(rows) == nodes.count()
     norms = [np.linalg.norm(r["embedding"]) for r in rows]
     assert all(abs(n - 1.0) < 1e-9 or n == 0.0 for n in norms)  # L2-normalized
+
+
+def test_fanout_sample_respects_partitions_and_shape(spark):
+    from pyspark.sql import functions as F
+
+    from federated_gcn_spark.graph.graph import Graph
+    from federated_gcn_spark.graph.sampling import fanout_sample
+
+    nodes, edges = _toy_partitioned(spark, n_per=12, parts=2)
+    g = Graph(nodes.select("id", "partition_id"), edges)
+    samp = fanout_sample(
+        g, roots=nodes.select("id", "partition_id"), fanouts=[3, 2],
+        seed=7, group_col="partition_id",
+    )
+    rows = samp.collect()
+    # configured fanout shape: ≤3 hop-1 children per root, ≤2 per hop-1 parent
+    per_parent = (
+        samp.where(F.col("hop") == 1).groupBy("root").count().agg(F.max("count")).first()[0]
+    )
+    assert per_parent <= 3
+    per_parent2 = (
+        samp.where(F.col("hop") == 2)
+        .groupBy("root", "parent").count().agg(F.max("count")).first()[0]
+    )
+    assert per_parent2 <= 2
+    # group_col: a sampled vertex never leaves its partition (partition id
+    # encodes as id // 1000 in the fixture)
+    assert all(r["vertex"] // 1000 == r["partition_id"] for r in rows)
+    # deterministic under seed
+    again = fanout_sample(
+        g, roots=nodes.select("id", "partition_id"), fanouts=[3, 2],
+        seed=7, group_col="partition_id",
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_federated_fit_fanout_minibatch_with_eval_metrics(spark):
+    # the reference training path: batch 20, fanout-sampled neighborhoods,
+    # Adam + dropout, per-round held-out metrics (fl_client.py:139-160)
+    nodes, edges = _toy_partitioned(spark, n_per=16, parts=2, seed=3)
+    kw = dict(
+        rounds=2, epochs=2, layer_sizes=(4, 4), seed=42,
+        batch_size=10, fanouts=[3, 2], eval_fraction=0.25,
+    )
+    weights, history = federated_fit(spark, nodes, edges, **kw)
+    assert len(history) == 2
+    for h in history:
+        for k in ("loss", "acc", "precision", "recall", "f1", "auc"):
+            assert k in h, f"missing metric {k}"
+        assert np.isfinite(h["loss"]) and 0.0 <= h["acc"] <= 1.0
+        assert h["auc"] is None or 0.0 <= h["auc"] <= 1.0
+    # deterministic under seed: same weights and same metric trajectory
+    w2, h2 = federated_fit(spark, nodes, edges, **kw)
+    for a, b in zip(weights, w2):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    assert [h["loss"] for h in history] == [h["loss"] for h in h2]
+
+
+def test_eval_metrics_pinned_against_numpy(spark):
+    # pin _eval_metrics' six outputs against a straight numpy evaluation
+    # of the same pairs with the same weights
+    from federated_gcn_spark.ml.federated import _eval_metrics
+
+    nodes, edges = _toy_partitioned(spark, n_per=10, parts=1, seed=9)
+    model = GraphSAGELinkModel(6, (4, 4), seed=11, dropout=0.0)
+    weights = model.get_weights()
+
+    node_rows = sorted(nodes.collect(), key=lambda r: r["id"])
+    ids = [r["id"] for r in node_rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    x = np.array([r["features"] for r in node_rows])
+    e = edges.collect()
+    src = np.array([idx[r["src"]] for r in e]); dst = np.array([idx[r["dst"]] for r in e])
+    h = model.embed(x, src, dst)
+
+    pairs = [(ids[0], ids[3], 1.0), (ids[1], ids[2], 1.0), (ids[4], ids[9], 0.0),
+             (ids[5], ids[8], 0.0), (ids[6], ids[7], 1.0)]
+    eval_pairs = spark.createDataFrame(
+        [(0, u, v, l) for u, v, l in pairs],
+        "partition_id long, u long, v long, label double",
+    )
+    got = _eval_metrics(spark, nodes, edges, eval_pairs, weights, (4, 4), seed=11)
+
+    s = 1.0 / (1.0 + np.exp(-np.array(
+        [h[idx[u]] @ h[idx[v]] for u, v, _ in pairs]
+    )))
+    y = np.array([l for _, _, l in pairs])
+    eps = 1e-12
+    exp_loss = float(-np.mean(y * np.log(s + eps) + (1 - y) * np.log(1 - s + eps)))
+    pred = s > 0.5
+    exp_acc = float(np.mean(pred == (y > 0.5)))
+    tp = int(np.sum(pred & (y > 0.5))); fp = int(np.sum(pred & (y <= 0.5)))
+    fn = int(np.sum(~pred & (y > 0.5)))
+    exp_prec = tp / (tp + fp) if tp + fp else None
+    exp_rec = tp / (tp + fn) if tp + fn else None
+    # Mann-Whitney AUC with average-rank ties
+    pos_s, neg_s = s[y > 0.5], s[y <= 0.5]
+    u_stat = sum((p > q) + 0.5 * (p == q) for p in pos_s for q in neg_s)
+    exp_auc = u_stat / (len(pos_s) * len(neg_s))
+    np.testing.assert_allclose(got["loss"], exp_loss, rtol=1e-9)
+    np.testing.assert_allclose(got["acc"], exp_acc, rtol=1e-9)
+    if exp_prec is not None:
+        np.testing.assert_allclose(got["precision"], exp_prec, rtol=1e-9)
+        np.testing.assert_allclose(got["recall"], exp_rec, rtol=1e-9)
+        f1 = 2 * exp_prec * exp_rec / (exp_prec + exp_rec)
+        np.testing.assert_allclose(got["f1"], f1, rtol=1e-9)
+    np.testing.assert_allclose(got["auc"], exp_auc, atol=1e-5)
 
 
 def test_federated_fit_on_testdata_graph(spark, tmp_path):

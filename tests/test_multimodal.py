@@ -1,7 +1,16 @@
-"""Multimodal binary-column plumbing (stubbed codecs, real dataflow)."""
+"""Multimodal binary-column plumbing + real numpy BMP/WAV codecs."""
 
+import numpy as np
 import pytest
 
+from federated_gcn_spark.functions.codecs import (
+    audio_frame_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    image_grid_features,
+)
 from federated_gcn_spark.operators.multimodal import (
     audio_chunk_stats,
     frame_sample_plan,
@@ -30,9 +39,59 @@ def test_image_features_shape_and_determinism(spark, media):
     assert out[1]["features"] != out[2]["features"]
 
 
-def test_real_decoder_is_marked_stub(spark, media):
-    with pytest.raises(NotImplementedError):
-        image_features(media, decoder="real")
+def test_bmp_roundtrip_exact():
+    # encoder → decoder is the identity on pixels, including non-multiple-
+    # of-4 widths (row padding) — real byte-level parsing, no PIL
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (1, 1), (16, 16), (3, 10)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = encode_bmp(px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"notabmp")
+    with pytest.raises(ValueError):
+        decode_bmp(payload[: len(payload) // 2])
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(out[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, size=(500, 2), dtype=np.int16)
+    rate, out = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and np.array_equal(out, stereo)
+
+
+def test_real_decoder_end_to_end(spark):
+    """VERDICT r01 #8: decoder="real" decodes genuine BMP/WAV bytes inside
+    the mapInPandas pipeline; corrupt rows degrade to decoded_ok=False."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    pcm = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype(np.int16)
+    rows = [
+        (1, "image", encode_bmp(px), (8, 8, 3, None, None, "bmp")),
+        (2, "audio", encode_wav(pcm, 16000), (None, None, 1, 16000, None, "wav")),
+        (3, "image", b"corruptbytes", (0, 0, 0, None, None, "bin")),
+    ]
+    media = make_media_table(spark, rows)
+    out = {r["media_id"]: r for r in image_features(media, n_features=16, decoder="real").collect()}
+    assert out[1]["decoded_ok"] and out[2]["decoded_ok"]
+    assert not out[3]["decoded_ok"] and out[3]["features"] == [0.0] * 16
+    np.testing.assert_allclose(
+        out[1]["features"], image_grid_features(px, 16), rtol=1e-12
+    )
+    _, samples = decode_wav(encode_wav(pcm, 16000))
+    np.testing.assert_allclose(
+        out[2]["features"], audio_frame_features(samples, 16), rtol=1e-12
+    )
+    # grid features really are local means: a constant image → constant vector
+    flat = np.full((6, 6, 3), 200, dtype=np.uint8)
+    np.testing.assert_allclose(image_grid_features(flat, 4), [200 / 255.0] * 4)
 
 
 def test_frame_sample_plan(spark, media):
