@@ -280,6 +280,7 @@ def federated_fit(
     batch_size: int | None = None,
     fanouts: list[int] | None = None,
     eval_fraction: float = 0.0,
+    mem_budget_gb: float | None = None,
 ) -> tuple[list[np.ndarray], list[dict]]:
     """Run R federated rounds; returns (global weights, round log).
 
@@ -298,10 +299,32 @@ def federated_fit(
     ``eval_fraction=0.1`` holds out that fraction of edges (plus matched
     sampled non-edges) and logs loss/acc/precision/recall/F1/AUC on the
     held-out split every round (fl_client.py:139-160).
+
+    ``mem_budget_gb``: the scheduled variant (fl_client_shed.py:155-193).
+    Partitions are packed into sequential *waves* by the reference cost
+    model (operators/schedule.py) so no wave's training footprint exceeds
+    the budget; each round trains wave-by-wave (each wave is its own
+    Spark job) and FedAvg combines ALL partitions' results at round end,
+    exactly like fl_server_shed.py:61-93 — the final weights are
+    bit-identical to the unscheduled run, only the peak memory differs.
     """
     feature_dim = len(
         nodes.select("features").first()["features"]
     )
+    wave_partitions: list[list] | None = None
+    if mem_budget_gb is not None:
+        from federated_gcn_spark.operators.schedule import (
+            partition_stats,
+            plan_training_waves,
+        )
+
+        stats = partition_stats(
+            nodes.select("partition_id"), edges.select("partition_id"), feature_dim
+        )
+        by_wave: dict[int, list] = {}
+        for r in plan_training_waves(stats, mem_budget_gb).collect():
+            by_wave.setdefault(int(r["wave"]), []).append(r["partition_id"])
+        wave_partitions = [sorted(by_wave[w]) for w in sorted(by_wave)]
     global_model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr, seed=seed,
                                       optimizer=optimizer, dropout=dropout)
     global_weights = global_model.get_weights()
@@ -349,16 +372,33 @@ def federated_fit(
             )
         else:
             round_edges = train_edges
-        grouped_edges = round_edges.groupBy("partition_id")
-
         weights_bc = spark.sparkContext.broadcast(global_weights)
-        params = grouped_nodes.cogroup(grouped_edges).applyInPandas(
-            _make_train_fn(
-                weights_bc, layer_sizes, lr, epochs, seed, feature_dim, variant,
-                optimizer=optimizer, dropout=dropout, batch_size=batch_size,
-            ),
-            schema=PARAM_SCHEMA,
+        train_fn = _make_train_fn(
+            weights_bc, layer_sizes, lr, epochs, seed, feature_dim, variant,
+            optimizer=optimizer, dropout=dropout, batch_size=batch_size,
         )
+        if wave_partitions is None:
+            params = grouped_nodes.cogroup(
+                round_edges.groupBy("partition_id")
+            ).applyInPandas(train_fn, schema=PARAM_SCHEMA)
+        else:
+            # scheduled path: one memory-bounded job per wave; collecting
+            # each wave's param rows (KB-sized weight tensors) IS the
+            # sequencing barrier, then FedAvg runs over the whole round's
+            # pool like fl_server_shed's flattened per-partition average
+            pool: list = []
+            for wave in wave_partitions:
+                pool.extend(
+                    nodes.where(F.col("partition_id").isin(wave))
+                    .groupBy("partition_id")
+                    .cogroup(
+                        round_edges.where(F.col("partition_id").isin(wave))
+                        .groupBy("partition_id")
+                    )
+                    .applyInPandas(train_fn, schema=PARAM_SCHEMA)
+                    .collect()
+                )
+            params = spark.createDataFrame(pool, PARAM_SCHEMA)
         averaged = fedavg(params, weighted=weighted)  # barrier: stage boundary
         rows = [r.asDict() for r in averaged.collect()]
         global_weights = rows_to_weights(rows)

@@ -220,6 +220,73 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, cluster_id): transitive closure of near-duplicate pairs.
+
+    Near-duplication is not transitive (A≈B, B≈C does not imply A≈C), but
+    corpus dedup treats it as if it were — the standard choice (one
+    canonical doc per connected component of the similarity graph), so a
+    chain of slightly-drifted copies collapses to one survivor instead of
+    ⌈chain/2⌉. Components come from the O(log n) large-star/small-star
+    operator (graph/components.py); singleton docs get their own id.
+    """
+    from federated_gcn_spark.graph.components import connected_components
+    from federated_gcn_spark.graph.graph import Graph
+
+    vertices = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(Graph(vertices, edges))
+    return labels.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Corpus-level near-duplicate removal: MinHash-LSH candidates →
+    (optionally exact-Jaccard verified) pairs → connected components →
+    keep the lowest-id doc per cluster.
+
+    The full pipeline a 100 TB pretraining corpus actually runs: every
+    stage is banded/bucketed (LSH equi-join, component contraction,
+    per-cluster keep-first window) — no stage ever materializes doc×doc.
+    Returns the surviving docs with their cluster_id attached.
+    """
+    cand = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, k=k, seed=seed,
+        jaccard_threshold=None if exact_verify else jaccard_threshold,
+    )
+    if exact_verify:
+        pairs = ngram_jaccard_pairs(
+            docs, cand.select("id_a", "id_b"), text_col=text_col,
+            id_col=id_col, k=k, threshold=jaccard_threshold,
+        )
+    else:
+        pairs = cand
+    clusters = near_dup_clusters(docs, pairs.select("id_a", "id_b"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(id_col)
+    return (
+        docs.join(clusters, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 N_SIMHASH_BITS = 63  # top bit dropped: keeps the BIGINT non-negative
 
 

@@ -1851,3 +1851,189 @@ def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", F.round("rank", 9).alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation pipeline (driver extension §2.10 continued):
+# chunking, deterministic sampling, curation composition, near-dup corpus
+# dedup, and memory-model-driven wave scheduling (fl_client_shed analog).
+# ---------------------------------------------------------------------------
+
+@register(
+    "chunk_docs",
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), c AS (
+        SELECT doc_id, toks, UNNEST(range(0, len(toks), 48)) AS s FROM d
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_id,
+           CAST(LEAST(64, len(toks) - s) AS BIGINT) AS n_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48 →
+    16-token overlap) — one codegen'd pass, no shuffle; the standard
+    pretraining/RAG preprocessing step."""
+    from federated_gcn_spark.operators.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    return chunk_documents(docs, size=64, stride=48)
+
+
+@register(
+    "stratified_docs_sample",
+    """
+    WITH u AS (
+        SELECT doc_id, lang,
+               CAST((((CAST(doc_id AS BIGINT) + 42) % 2147483648)
+                     * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                   / 2147483648 AS u
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM u
+    WHERE u < CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.8 ELSE 0.5 END
+    """,
+)
+def stratified_docs_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language (downsample dominant
+    'en' to 20%, boost 'de' to 80%, 50% elsewhere) — layout-independent
+    LCG selector, a pure pushed-down filter (no shuffle, no RNG state)."""
+    from federated_gcn_spark.operators.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    out = stratified_sample(
+        docs, strata_col="lang", fractions={"en": 0.2, "de": 0.8},
+        key_col="doc_id", seed=42, default_fraction=0.5,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+@register(
+    "documents_curated",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS n,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(list_filter(
+                        string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                        x -> x IN ({_in_list(STOPWORDS)}))) END AS sw,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(text) - LENGTH(translate(text, '.,!?;:', ''))
+                              AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    ), q AS (
+        SELECT doc_id, text, n,
+               0.4 * LEAST(1.0, CAST(n AS DOUBLE) / 64.0)
+               + 0.3 * (1.0 - punct)
+               + 0.3 * LEAST(1.0, 4.0 * (CASE WHEN n > 0
+                     THEN CAST(sw AS DOUBLE) / n ELSE 0.0 END)) AS quality
+        FROM t
+    ), kept AS (
+        SELECT doc_id,
+               md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               ROUND(quality, 6) AS quality,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM q
+        WHERE n BETWEEN 8 AND 512 AND quality >= 0.5
+    )
+    SELECT doc_id, quality, n_tokens FROM kept
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def documents_curated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a pretraining corpus runs end-to-end:
+    token-length bounds → quality threshold → exact-dedup keep-first. All
+    filters are codegen'd expressions evaluated in the scan stage; the
+    only shuffle is the fingerprint window of the dedup step."""
+    from federated_gcn_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).where(F.col("n_tokens").between(8, 512) & (F.col("quality") >= 0.5))
+    return exact_dedup(scored, text_col="text", id_col="doc_id").select(
+        "doc_id", "quality", "n_tokens"
+    )
+
+
+@register("near_dedup_corpus")  # rows-only: xxhash LSH seeds are engine-specific
+def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup corpus dedup (MinHash-LSH candidates → exact-Jaccard
+    verify → connected-component clusters → keep lowest id per cluster):
+    one row of invariants (kept ≤ total, kept = #clusters)."""
+    from federated_gcn_spark.operators.dedup import near_dedup
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    kept = near_dedup(docs, jaccard_threshold=0.8, seed=42)
+    row = [(docs.count(), kept.count(), kept.select("cluster_id").distinct().count())]
+    return spark.createDataFrame(
+        row, "n_docs long, n_kept long, n_clusters long"
+    )
+
+
+@register(
+    "training_waves",
+    """
+    WITH n AS (
+        SELECT c_nationkey AS partition_id, COUNT(*) AS n_nodes
+        FROM customer GROUP BY c_nationkey
+    ), e AS (
+        SELECT c_nationkey AS partition_id, COUNT(*) AS n_edges
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    ), s AS (
+        SELECT n.partition_id, n_nodes, COALESCE(n_edges, 0) AS n_edges
+        FROM n LEFT JOIN e USING (partition_id)
+    ), c AS (
+        SELECT partition_id,
+               ROUND(3.6 * ((2.0 * n_edges * 64 / 8.0
+                             + CAST(n_nodes AS DOUBLE) * 1433 * 64 / 8.0)
+                            / 1073741824.0) + 2.0, 6) AS cost_gb
+        FROM s
+    )
+    SELECT CAST(partition_id AS BIGINT) AS partition_id, cost_gb,
+           CAST(FLOOR(COALESCE(SUM(cost_gb) OVER (
+                    ORDER BY cost_gb DESC, partition_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 8.0) AS BIGINT) AS wave
+    FROM c
+    """,
+)
+def training_waves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mem.py-driven wave scheduling (fl_client_shed.py:155-193 analog):
+    customers per nation as pseudo graph partitions, reference cost model
+    RAM_GB = 3.6*graph_GB + 2, waves packed to an 8 GB budget by the
+    running-total rule. The stats table is one row per partition — tiny
+    at any scale."""
+    from federated_gcn_spark.operators.schedule import (
+        partition_stats,
+        plan_training_waves,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nodes = customer.select(F.col("c_nationkey").alias("partition_id"))
+    edges = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_nationkey").alias("partition_id"))
+    stats = partition_stats(nodes, edges, feature_dim=1433)
+    waves = plan_training_waves(stats, budget_gb=8.0)
+    return waves.select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        "cost_gb",
+        "wave",
+    )

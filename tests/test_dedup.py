@@ -99,3 +99,36 @@ def test_simhash_banding_recall_grows_with_bound(spark, docs):
     assert tight <= loose
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dup_pairs(docs, max_hamming=63)
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    from federated_gcn_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    # chain 1~2~3 (near-dup is NOT transitive; the cluster closure is),
+    # pair 4~5, singleton 6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(docs, pairs).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] != out[1]
+    assert out[6] not in (out[1], out[4])
+
+
+def test_near_dedup_keeps_one_per_cluster(spark, docs):
+    from federated_gcn_spark.operators.dedup import near_dedup
+
+    kept = near_dedup(
+        docs.select("doc_id", "text"), jaccard_threshold=0.5, seed=42
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1≈2 (exact) and 1≈3 (1-word edit) collapse to doc 1; 4 and 5 survive
+    assert ids == [1, 4, 5]
+    # survivors carry their cluster id; re-run is deterministic
+    again = sorted(r["doc_id"] for r in near_dedup(
+        docs.select("doc_id", "text"), jaccard_threshold=0.5, seed=42
+    ).collect())
+    assert again == ids

@@ -301,3 +301,27 @@ def test_federated_fit_on_testdata_graph(spark, tmp_path):
     # sink holds the latest round's full tensor set, layer shapes intact
     restored, _ = read_weights_table(spark, sink)
     assert [w.shape for w in restored] == [w.shape for w in weights]
+
+
+def test_scheduled_waves_bit_identical_to_unscheduled(spark):
+    """mem_budget_gb (fl_client_shed analog): wave-by-wave execution must
+    change only the scheduling, never the result — FedAvg pools all
+    partitions at round end either way (fl_server_shed.py:61-93)."""
+    from federated_gcn_spark.operators.schedule import (
+        partition_stats,
+        plan_training_waves,
+    )
+
+    nodes, edges = _toy_partitioned(spark, n_per=10, parts=3, seed=1)
+    kw = dict(rounds=2, epochs=1, layer_sizes=(4, 4), seed=42)
+    w_plain, _ = federated_fit(spark, nodes, edges, **kw)
+    # cost ≈ 2.0 GB per toy partition; budget 2.1 forces multiple waves
+    stats = partition_stats(
+        nodes.select("partition_id"), edges.select("partition_id"), feature_dim=6
+    )
+    waves = {r["wave"] for r in plan_training_waves(stats, 2.1).collect()}
+    assert len(waves) > 1  # the schedule genuinely splits
+    w_sched, hist = federated_fit(spark, nodes, edges, mem_budget_gb=2.1, **kw)
+    assert len(hist) == 2
+    for a, b in zip(w_plain, w_sched):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,52 @@
+"""Deterministic uniform/stratified sampling (operators/sample.py)."""
+
+import pytest
+
+from federated_gcn_spark.operators.sample import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def _table(spark, n=2000):
+    return spark.range(n).selectExpr(
+        "id AS k", "CASE WHEN id % 10 < 7 THEN 'en' WHEN id % 10 < 9 THEN 'de' ELSE 'fr' END AS lang"
+    )
+
+
+def test_sample_layout_independent(spark):
+    df = _table(spark)
+    a = sorted(r["k"] for r in deterministic_sample(df, 0.3, "k", seed=7).collect())
+    b = sorted(
+        r["k"]
+        for r in deterministic_sample(df.repartition(13, "lang"), 0.3, "k", seed=7).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sample_fraction_roughly_respected_and_seed_sensitive(spark):
+    df = _table(spark, 5000)
+    n = deterministic_sample(df, 0.3, "k", seed=7).count()
+    assert 0.25 * 5000 < n < 0.35 * 5000
+    other = sorted(r["k"] for r in deterministic_sample(df, 0.3, "k", seed=8).collect())
+    assert other != sorted(r["k"] for r in deterministic_sample(df, 0.3, "k", seed=7).collect())
+    assert deterministic_sample(df, 0.0, "k").count() == 0
+    assert deterministic_sample(df, 1.0, "k").count() == 5000
+
+
+def test_stratified_fractions_per_stratum(spark):
+    df = _table(spark, 5000)
+    out = stratified_sample(
+        df, "lang", {"en": 0.1, "de": 0.9}, key_col="k", seed=3, default_fraction=0.5
+    )
+    counts = {r["lang"]: r["cnt"] for r in out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    totals = {r["lang"]: r["cnt"] for r in df.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert counts["en"] / totals["en"] < 0.15
+    assert counts["de"] / totals["de"] > 0.8
+    assert 0.4 < counts["fr"] / totals["fr"] < 0.6
+
+
+def test_stratified_rejects_bad_fraction(spark):
+    df = _table(spark, 10)
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5}, key_col="k")
