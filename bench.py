@@ -37,6 +37,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "graphsage_layer",
     "pricing_summary",
+    "chunk_docs",
+    "documents_curated",
+    "stratified_docs_sample",
+    "training_waves",
 ]
 
 

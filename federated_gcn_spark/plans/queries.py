@@ -609,15 +609,15 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: fingerprint → keep lowest doc_id per group.
-    The scalable exact-dedup primitive (hash-groupBy; one shuffle on the
-    128-bit fingerprint, skew-free by construction)."""
+    The scalable exact-dedup primitive: min-aggregate (NOT a window), so
+    map-side partial combine pre-reduces duplicates before the one
+    shuffle on the 128-bit fingerprint — skew-free by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         docs.select("doc_id", doc_fingerprint("text").alias("fp"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
     )
 
 

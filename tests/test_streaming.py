@@ -304,3 +304,81 @@ def test_streaming_dedup_batch_fallback(spark):
     )
     kept = {r["doc_id"] for r in streaming_exact_dedup(df).collect()}
     assert len(kept) == 2 and 3 in kept
+
+
+def test_streaming_curation_filters_and_dedups(spark, tmp_path):
+    """Curation-at-ingest: junk (short/low-quality) never reaches the sink,
+    re-arrived content is dropped, survivors carry their scores."""
+    import datetime as dt
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from federated_gcn_spark.streaming.curation import streaming_curation
+
+    src = tmp_path / "curation_in"
+    src.mkdir()
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("event_time", TimestampType()),
+    ])
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    write([(1, good, t0), (2, "too short", t0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_curation(stream, watermark="1 hour", min_tokens=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not q.recentProgress:
+            _t.sleep(1)
+        # batch 2: doc 3 re-sends doc 1's content; doc 4 is new good content
+        good2 = "a second good document with the usual amount of plain words in it"
+        write([
+            (3, good, t0 + dt.timedelta(minutes=1)),
+            (4, good2, t0 + dt.timedelta(minutes=1)),
+        ])
+        deadline = _t.time() + 60
+        rows = {}
+        while _t.time() < deadline and 4 not in rows:
+            _t.sleep(2)
+            rows = {
+                r["doc_id"]: r
+                for r in spark.sql("SELECT * FROM curation_stream").collect()
+            }
+    finally:
+        q.stop()
+    assert set(rows) == {1, 4}  # junk (2) filtered, duplicate (3) dropped
+    assert rows[1]["n_tokens"] == 14 and rows[1]["quality"] > 0.5
+    assert rows[1]["pred_lang"] == "en"
+
+
+def test_streaming_curation_batch_fallback(spark):
+    from federated_gcn_spark.streaming.curation import streaming_curation
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    df = spark.createDataFrame(
+        [(1, good, None), (2, good + " ", None), (3, "meh", None)],
+        "doc_id long, text string, event_time timestamp",
+    )
+    kept = {r["doc_id"] for r in streaming_curation(df, min_tokens=5).collect()}
+    assert len(kept) == 1 and kept <= {1, 2}
