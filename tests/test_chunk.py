@@ -44,3 +44,34 @@ def test_chunk_no_shuffle(spark):
     docs = _docs(spark, [(1, "a b c d e")])
     plan = chunk_documents(docs, size=2, stride=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_reconstruction_property(spark):
+    """For any doc: chunk 0 starts at token 0, consecutive chunks overlap
+    by exactly size-stride, and stitching the non-overlapping parts
+    reconstructs the token sequence exactly."""
+    import random
+
+    rng = random.Random(0)
+    vocab = [f"t{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 90))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    size, stride = 16, 12
+    out = chunk_documents(docs, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))  # dense chunk ids
+        rebuilt = []
+        for cid in sorted(chunks):
+            ctoks = chunks[cid]["chunk_text"].split()
+            assert chunks[cid]["n_tokens"] == len(ctoks)
+            assert ctoks == toks[cid * stride : cid * stride + size]
+            rebuilt.extend(ctoks if cid == 0 else ctoks[size - stride :])
+        assert rebuilt == toks

@@ -50,3 +50,12 @@ def test_stratified_rejects_bad_fraction(spark):
     df = _table(spark, 10)
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", {"en": 1.5}, key_col="k")
+
+
+def test_sample_fractions_nest(spark):
+    """u(key) < f thresholds nest: the 20% sample is a subset of the 30%
+    sample — stable incremental growth, unlike per-partition RNG sampling."""
+    df = _table(spark, 3000)
+    small = {r["k"] for r in deterministic_sample(df, 0.2, "k", seed=5).collect()}
+    big = {r["k"] for r in deterministic_sample(df, 0.3, "k", seed=5).collect()}
+    assert small < big
