@@ -285,15 +285,31 @@ def near_dedup(
         )
     else:
         pairs = cand
-    clusters = near_dup_clusters(docs, pairs.select("id_a", "id_b"), id_col)
-    joined = docs.join(clusters, id_col)
+    # Only docs that appear in some near-dup pair need cluster resolution;
+    # at corpus scale duplicates are the minority, so clustering the pair
+    # members alone keeps the component iteration AND the canonical-pick
+    # shuffle proportional to |duplicates|, not |corpus|. Untouched docs
+    # pass through with a singleton cluster_id (their own id).
+    pair_edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    members = (
+        pair_edges.select(F.col("id_a").alias(id_col))
+        .unionByName(pair_edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    member_docs = docs.join(members, id_col, "left_semi")
+    clusters = near_dup_clusters(member_docs, pair_edges, id_col)
+    joined = member_docs.join(clusters, id_col)
     row = F.struct(*[F.col(c) for c in joined.columns])
     # min_by aggregate, not a window: partial combine + no per-cluster sort
-    return (
+    canonical = (
         joined.groupBy("cluster_id")
         .agg(F.min_by(row, F.col(id_col)).alias("__r"))
         .select("__r.*")
     )
+    untouched = docs.join(members, id_col, "left_anti").withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    return canonical.unionByName(untouched.select(canonical.columns))
 
 
 N_SIMHASH_BITS = 63  # top bit dropped: keeps the BIGINT non-negative

@@ -6,13 +6,14 @@ Reference semantics (merge.py:38-40, concat_embeddings.py:12-28):
 
 pandas encodes the priority implicitly in concat order. Spark has no row
 order, so keep-first needs an explicit, deterministic priority column
-(SURVEY.md §7.3 risk 4): we tag each input with its position and take
-``row_number() == 1`` over ``(key) ORDER BY priority``.
+(SURVEY.md §7.3 risk 4): we tag each input with its position and keep the
+``min_by`` row over ``(priority, order_within)`` per key.
 
-Scale notes: the window is one hash-shuffle on the key — the same cost as
-any groupBy — and AQE handles key skew. When *any* surviving copy is
-acceptable, ``dropDuplicates(keys)`` is cheaper (map-side partial dedup);
-both are exposed.
+Scale notes: the min_by aggregate gets map-side partial combine (each
+task pre-reduces its duplicates before the one hash-shuffle on the key —
+a window would shuffle every row and sort each group), and AQE handles
+key skew. When *any* surviving copy is acceptable, ``dropDuplicates``
+is equivalent; both spellings reduce to the same shuffle.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PRIORITY_COL = "__priority"
@@ -51,11 +52,13 @@ def union_keep_first(
     order_cols = [F.col(PRIORITY_COL)] + [
         F.col(c) for c in (order_within or []) if c not in keys
     ]
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_cols)
+    row = F.struct(*[F.col(c) for c in dfs[0].columns])
+    # min_by over a lexicographic (priority, tiebreak) struct: keep-first
+    # as an aggregate — partial combine, no per-key sort
     return (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", PRIORITY_COL)
+        unioned.groupBy(*[F.col(k) for k in keys])
+        .agg(F.min_by(row, F.struct(*order_cols)).alias("__r"))
+        .select("__r.*")
     )
 
 

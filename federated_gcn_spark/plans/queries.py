@@ -2037,3 +2037,52 @@ def training_waves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cost_gb",
         "wave",
     )
+
+
+@register("federated_round_stats")  # rows-only: training is iterative, no SQL
+def federated_round_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+G7 end-to-end on the driver's own tables: build a 2-partition
+    graph over the embeddings table (features = the vectors, ring edges
+    within each parity class), run ONE federated round (cogrouped
+    applyInPandas training → FedAvg → broadcast; Adam, dropout 0.1), then
+    infer embeddings with the averaged weights. One row of invariants:
+    layer count, finite weight norm, full embedding coverage. Seeded —
+    identical on any layout."""
+    from federated_gcn_spark.ml.federated import federated_fit, gen_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    nodes = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        (F.col("vec_id") % 2).alias("partition_id"),
+    )
+    edges = (
+        nodes.select(
+            F.col("id").alias("src"),
+            (F.col("id") + 2).alias("dst"),
+            "partition_id",
+        )
+        .join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .select("src", "dst", "partition_id")
+        # stage: edges derive from nodes, and federated_fit cogroups the
+        # two — decoupling avoids the ambiguous-self-join lineage
+        .localCheckpoint(eager=True)
+    )
+    weights, history = federated_fit(
+        spark, nodes, edges, rounds=1, epochs=1, layer_sizes=(4, 4), seed=42
+    )
+    out_emb = gen_embeddings(spark, nodes, edges, weights, (4, 4), seed=42)
+    h = history[-1]
+    row = [
+        (
+            int(h["round"]),
+            int(h["n_layers"]),
+            float(round(h["weight_norm"], 6)),
+            out_emb.count(),
+            nodes.count(),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "round long, n_layers long, weight_norm double, n_embeddings long, n_nodes long",
+    )
