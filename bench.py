@@ -41,6 +41,11 @@ HEADLINE = [
     "documents_curated",
     "stratified_docs_sample",
     "training_waves",
+    "repetition_stats",
+    "pii_redaction",
+    "decontam_report",
+    "domain_mixture_sample",
+    "sequence_packing",
 ]
 
 

@@ -159,6 +159,34 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as ARRAY<STRING>; unlike :func:`shingles` there is no
+    whole-text fallback — documents with fewer than ``n`` tokens yield an
+    empty array (repetition statistics must not fabricate a gram).
+
+    HOF-only (sequence+transform+slice), JVM-side, no shuffle.
+    """
+    toks = F.split(normalized_text(text), " ")
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """distinct tokens / total tokens in [0,1]; 1.0 for empty docs (no
+    repetition evidence). Low TTR ⇒ heavy token-level repetition — the
+    cheapest of the Gopher repetition signals (Rae et al. 2021, §A1.1),
+    and the only one that needs no per-gram aggregation."""
+    toks = F.split(normalized_text(text), " ")
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(1.0))
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as ARRAY<STRING> (input to MinHash / Jaccard).
 

@@ -1,0 +1,102 @@
+"""Triangle counting and global clustering coefficient.
+
+Extends the graph plane (graph/graph.py aggregate_messages etc.; the
+reference's StellarGraph surface stops at neighbor sampling) with the
+classic motif statistic used for graph health checks before GNN
+training — a bipartite projection mistake or an edge-duplication bug
+shows up immediately as an absurd triangle count.
+
+Scale design (Suri & Vassilvitskii, "Counting Triangles and the Curse
+of the Last Reducer", WWW'11): orient every undirected edge from its
+lower-(degree, id) endpoint to the higher one. Every triangle then has
+exactly one node with two outgoing oriented edges, so
+
+    triangles = |wedges(out,out) ⋈ oriented closing edge|
+
+counts each triangle exactly once, and — the point at 100 TB — the
+max oriented out-degree is O(√m), so the wedge self-join on the hub
+of a skewed graph is bounded: a celebrity node with 10⁸ followers
+contributes wedges only through its (few) higher-degree peers, never
+10¹⁶ pairs. Both joins are plain equi-joins (src, then (src,dst)
+pair) — shuffle-partitioned, AQE-skew-splittable, no broadcast needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical simple undirected edge set: (a < b), self-loops and
+    duplicate/reverse copies removed."""
+    a = F.least("src", "dst").alias("a")
+    b = F.greatest("src", "dst").alias("b")
+    return (
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def oriented_by_degree(und: DataFrame) -> DataFrame:
+    """Orient each undirected edge from the endpoint with lower
+    (degree, id) toward the higher one. Output columns (u, v)."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    j = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: n_nodes, n_edges (undirected), n_wedges (open 2-paths),
+    n_triangles, clustering = 3·triangles / wedges (0 when wedge-free).
+    """
+    und = edges.transform(undirected_edges).localCheckpoint(eager=False)
+    ori = oriented_by_degree(und)
+
+    e1 = ori.select(F.col("u"), F.col("v").alias("x"))
+    e2 = ori.select(F.col("u"), F.col("v").alias("y"))
+    wedge_pairs = e1.join(e2, "u").where(F.col("x") < F.col("y"))
+    closing = ori.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedge_pairs.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).otherwise(F.lit(0.0)).alias("clustering"),
+    )

@@ -73,3 +73,64 @@ def stratified_sample(
         )
     frac = frac if expr is None else expr.otherwise(frac)
     return df.where(uniform_fraction(key_col, seed) < frac)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_shares: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample to hit a target domain mixture (e.g. 50% web, 30%
+    books, 20% code) — the domain-weighting step of an LLM data recipe.
+
+    The largest corpus satisfying the exact mixture without upsampling
+    keeps ``scale = min_d(count_d / share_d)`` total rows; each domain
+    keeps ``scale * share_d`` of its rows via the same layout-independent
+    LCG selector as :func:`deterministic_sample`. Domains absent from
+    ``target_shares`` are dropped.
+
+    Scale shape: one tiny groupBy(domain).count() (categorical key —
+    hundreds of rows at most, map-side combined), a scalar min folded in
+    a 1-row cross join, then a broadcast join of per-domain fractions
+    back onto the fact side; the keep/drop decision itself is a pure
+    filter in the scan's codegen stage.
+    """
+    total = sum(target_shares.values())
+    if total <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    shares = {d: s / total for d, s in target_shares.items()}
+    for d, s in shares.items():
+        if s <= 0:
+            raise ValueError(f"share for domain {d!r} must be positive")
+
+    share_expr = None
+    for d, s in sorted(shares.items()):
+        cond = F.col(domain_col) == d
+        share_expr = (
+            F.when(cond, F.lit(s)) if share_expr is None else share_expr.when(cond, F.lit(s))
+        )
+    share_expr = share_expr.otherwise(F.lit(None).cast("double"))
+
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+        .withColumn("_share", share_expr)
+        .where(F.col("_share").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("_cnt") / F.col("_share")).alias("_scale"))
+    fractions = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0), F.col("_scale") * F.col("_share") / F.col("_cnt")
+            ).alias("_frac"),
+        )
+    )
+    return (
+        df.join(F.broadcast(fractions), domain_col)
+        .where(uniform_fraction(key_col, seed) < F.col("_frac"))
+        .drop("_frac")
+    )

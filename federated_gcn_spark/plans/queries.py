@@ -2086,3 +2086,313 @@ def federated_round_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         row,
         "round long, n_layers long, weight_norm double, n_embeddings long, n_nodes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation extensions (round 2): repetition filters, PII scrub, eval-set
+# decontamination, domain mixture, sequence packing
+# ---------------------------------------------------------------------------
+
+_NORM_TOKS_SQL = (
+    r"string_split(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"
+)
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                         i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END AS grams,
+               CASE WHEN len(toks) > 0
+                    THEN ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                               / len(toks), 6)
+                    ELSE 1.0 END AS ttr
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g
+    ), c AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+    ), a AS (
+        SELECT doc_id, SUM(cnt) AS tot, MAX(cnt) AS mx,
+               SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+        FROM c GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(COALESCE(a.tot, 0) AS BIGINT) AS n_grams,
+           CASE WHEN COALESCE(a.tot, 0) > 0
+                THEN ROUND(CAST(a.mx AS DOUBLE) / a.tot, 6)
+                ELSE 0.0 END AS top_gram_frac,
+           CASE WHEN COALESCE(a.tot, 0) > 0
+                THEN ROUND(CAST(a.dup AS DOUBLE) / a.tot, 6)
+                ELSE 0.0 END AS dup_gram_frac,
+           g.ttr
+    FROM g LEFT JOIN a USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile per document (2-gram modal/dup
+    fractions + type-token ratio) — the boilerplate/spam gate of the
+    curation pipeline. Doc-id-co-keyed explode: no gram hot-spotting."""
+    from federated_gcn_spark.operators.quality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    return repetition_stats(docs, n=2)
+
+
+@register(
+    "pii_redaction",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(txt,
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM t
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub on synthesized contact strings (the corpus itself is
+    PII-free word soup, so both engines inject the same deterministic
+    email/IP/phone per doc): per-type counts + MD5 of the redacted text.
+    Pure regexp codegen — a mapper fused into the scan at 100 TB."""
+    from federated_gcn_spark.functions.redact import (
+        email_count,
+        ipv4_count,
+        phone_count,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        email_count(txt).cast("long").alias("n_emails"),
+        ipv4_count(txt).cast("long").alias("n_ips"),
+        phone_count(txt).cast("long").alias("n_phones"),
+        F.md5(redact_pii(txt)).alias("redacted_md5"),
+    )
+
+
+@register(
+    "decontam_report",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g
+    ), ev AS (
+        SELECT DISTINCT gram FROM e WHERE doc_id % 97 = 0
+    ), tr AS (
+        SELECT doc_id, gram FROM e WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination (GPT-3 §C-style overlap, n=3 for
+    the tiny synthetic vocabulary): per train-doc count of distinct
+    grams shared with the eval slice (doc_id % 97 == 0). The eval gram
+    inventory is post-distinct small — AQE broadcasts it, no hint."""
+    from federated_gcn_spark.operators.decontam import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, eval_df, n=3)
+
+
+@register(
+    "domain_mixture_sample",
+    """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                         WHEN 'fr' THEN 0.2 END AS share
+        FROM documents GROUP BY lang
+    ), s AS (
+        SELECT MIN(cnt / share) AS scale FROM counts WHERE share IS NOT NULL
+    ), fr AS (
+        SELECT lang, LEAST(1.0, s.scale * share / cnt) AS frac
+        FROM counts, s WHERE share IS NOT NULL
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+    FROM documents d JOIN fr USING (lang)
+    WHERE CAST((((CAST(doc_id AS BIGINT) + 42) % 2147483648)
+                * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+          / 2147483648 < fr.frac
+    """,
+)
+def domain_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a 50/30/20 en/de/fr mixture (other languages dropped)
+    — the domain-weighting step of an LLM data recipe, exact w.r.t. the
+    largest corpus achievable without upsampling. Layout-independent
+    LCG keep-rule; per-domain fractions derive from a tiny broadcast
+    aggregate, so the fact side stays a single codegen'd filter pass."""
+    from federated_gcn_spark.operators.sample import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    out = mixture_sample(
+        docs, domain_col="lang",
+        target_shares={"en": 0.5, "de": 0.3, "fr": 0.2},
+        key_col="doc_id", seed=42,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+@register("sequence_packing")  # rows-only: next-fit is sequential per group
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents into non-overlapping 64-token windows, then pack
+    chunks into 256-token training sequences per language (next-fit,
+    deterministic under any layout). Per-language packing efficiency;
+    invariant pinned by tests: max_bin_tokens <= budget."""
+    from federated_gcn_spark.operators.chunk import chunk_documents
+    from federated_gcn_spark.operators.pack import pack_sequences, packing_stats
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    chunks = chunk_documents(docs, size=64, stride=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    packed = pack_sequences(
+        chunks, group_col="lang", token_col="n_tokens",
+        order_cols=("doc_id", "chunk_id"), budget=256,
+    )
+    return packing_stats(packed, group_col="lang", budget=256).orderBy("lang")
+
+
+@register(
+    "triangle_stats",
+    """
+    WITH s AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+    raw AS (
+        SELECT vec_id AS src, (vec_id + 1) % n AS dst FROM embeddings, s
+        UNION ALL
+        SELECT vec_id AS src, (vec_id + 2) % n AS dst FROM embeddings, s
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+           CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN SUM(deg * (deg - 1) / 2) > 0
+                THEN ROUND(3.0 * tri.n_triangles / SUM(deg * (deg - 1) / 2), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg, tri GROUP BY tri.n_triangles
+    """,
+)
+def triangle_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient on a deterministic
+    ring+chord graph over embeddings.vec_id (edges i→i+1, i→i+2 mod N:
+    every consecutive triple closes a triangle). Spark side runs the
+    degree-oriented node-iterator (graph/triangles.py — O(sqrt(m))
+    out-degree bound); the oracle counts canonically ordered 3-cliques —
+    same census, independently derived."""
+    from federated_gcn_spark.graph.triangles import triangle_stats
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select("vec_id")
+    nrow = emb.agg((F.max("vec_id") + 1).alias("n"))
+    base = emb.crossJoin(F.broadcast(nrow))
+    edges = base.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") + 1) % F.col("n")).alias("dst"),
+    ).unionAll(
+        base.select(
+            F.col("vec_id").alias("src"),
+            ((F.col("vec_id") + 2) % F.col("n")).alias("dst"),
+        )
+    )
+    return triangle_stats(edges)
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_id
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^2 grouping sets in one pass — Spark expands
+    to a single shuffle with a grouping-id column, not 4 scans); completes
+    the rollup_revenue family. GROUPING() disambiguates real NULLs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+            "grouping_id",
+        )
+    )

@@ -36,6 +36,7 @@ def audit_plan(plan: str) -> dict:
             plan.count("ArrowEvalPython")
             + plan.count("MapInPandas")
             + plan.count("FlatMapCoGroupsInPandas")
+            + plan.count("FlatMapGroupsInPandas")  # applyInPandas (grouped map)
         ),
         "exchanges": plan.count("Exchange"),
         "broadcast_joins": plan.count("BroadcastHashJoin")
