@@ -164,15 +164,22 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     whole-text fallback — documents with fewer than ``n`` tokens yield an
     empty array (repetition statistics must not fabricate a gram).
 
-    HOF-only (sequence+transform+slice), JVM-side, no shuffle.
+    HOF-only (sequence+transform+slice), JVM-side, no shuffle. The token
+    array is bound once as a lambda variable (transform-over-singleton,
+    the chunk_expr lesson) — a plain column reference would have
+    Catalyst's projection collapse re-expand the split at every use.
     """
+
+    def grams_of(t: Column) -> Column:
+        cnt = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
     toks = F.split(normalized_text(text), " ")
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def type_token_ratio(text: Column | str) -> Column:
@@ -180,11 +187,15 @@ def type_token_ratio(text: Column | str) -> Column:
     repetition evidence). Low TTR ⇒ heavy token-level repetition — the
     cheapest of the Gopher repetition signals (Rae et al. 2021, §A1.1),
     and the only one that needs no per-gram aggregation."""
+
+    def ttr_of(t: Column) -> Column:
+        return F.when(
+            F.size(t) > 0,
+            F.size(F.array_distinct(t)).cast("double") / F.size(t),
+        ).otherwise(F.lit(1.0))
+
     toks = F.split(normalized_text(text), " ")
-    return F.when(
-        F.size(toks) > 0,
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-    ).otherwise(F.lit(1.0))
+    return F.element_at(F.transform(F.array(toks), ttr_of), 1)
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
