@@ -1,0 +1,141 @@
+"""Distributed PCA over an embedding column.
+
+Whitening/dimensionality reduction is the standard pre-pass before
+ANN indexing (operators/similarity.py) and embedding near-dedup: IVF
+recall improves markedly on decorrelated vectors. The reference has no
+embedding-analytics surface; this extends it the same way similarity.py
+does.
+
+Scale design — the d x d trick: N vectors of dimension d (N ~ 10^10 at
+100 TB, d ~ 10^2-10^3) never move. Each partition folds its Arrow
+batches into one local Gram matrix (numpy X^T X, BLAS), emitting a
+single row of d + d^2 + 1 doubles; the cross-partition reduction is an
+element-wise sum of P such rows (P = #partitions), exploded by matrix
+index so the combine is a plain map-side-partial groupBy — the classic
+treeAggregate shape expressed in DataFrame algebra. The eigendecomposition
+runs on the driver on a d x d matrix (micro-seconds; not a distributed
+concern). Projection back onto the top-k components is a broadcast of a
+k x d literal matrix folded in a codegen'd HOF dot product — no Python
+in the projection path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partial_gram(vec_col: str, dim: int):
+    def fold(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {x.shape[1]} != declared dim {dim}"
+                )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return fold
+
+
+def gram_moments(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(count, mean vector, covariance matrix) of the embedding column.
+
+    One pass; the only shuffle is the index-keyed element-wise sum of
+    per-partition partials (P rows of d^2 doubles)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    partials = df.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(
+        _partial_gram(vec_col, dim),
+        schema="n long, s array<double>, g array<double>",
+    )
+    # element-wise reduction: explode by index -> partial-aggregated sum.
+    summed = (
+        partials.select(
+            "n", F.posexplode(F.concat(F.col("s"), F.col("g")))
+        )
+        .groupBy("pos")
+        .agg(F.sum("col").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("cnt"))
+    )
+    rows = summed.collect()  # d + d^2 rows — driver-small by construction
+    n = int(next(r["cnt"] for r in rows if r["pos"] == 0))
+    flat = np.zeros(dim + dim * dim)
+    for r in rows:
+        flat[r["pos"]] = r["v"]
+    s, g = flat[:dim], flat[dim:].reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4, dim: int | None = None
+):
+    """Top-k principal axes. Returns (mean, components [k x d],
+    eigenvalues [k], explained variance ratios [k])."""
+    n, mean, cov = gram_moments(df, vec_col, dim)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|.| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = evals[order]
+    total = float(evals.sum())
+    ratio = ev / total if total > 0 else np.zeros_like(ev)
+    return mean, comps, ev, ratio
+
+
+def project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append the k-dim projection (x - mean) @ components^T as an
+    array column. The k x d matrix is folded into literal HOF dot
+    products — whole-stage codegen, no Python, no shuffle."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+
+    def dots(c):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        c,
+                        F.array(*[F.lit(float(w)) for w in row]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for row in components
+            ]
+        )
+
+    # bind the centered array once (transform-over-singleton)
+    proj = F.element_at(F.transform(F.array(centered), dots), 1)
+    return df.withColumn(out_col, proj)

@@ -2396,3 +2396,46 @@ def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_id",
         )
     )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms (the sanity stat before cosine ANN: a norm
+    collapse or blowup means the upstream encoder broke). HOF fold in
+    codegen — a mapper fused into the scan."""
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * x
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", "label", F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+@register("pca_variance")  # rows-only: eigendecomposition is not SQL
+def pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embeddings table: eigenvalue +
+    explained-variance ratio per component (operators/pca.py — d x d
+    Gram partials per partition, eig on the driver; vectors never
+    shuffle). Pinned against full numpy PCA in test_pca.py."""
+    from federated_gcn_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    mean, comps, ev, ratio = fit_pca(emb, k=8)
+    rows = [
+        (i, round(float(e), 6), round(float(r), 6))
+        for i, (e, r) in enumerate(zip(ev, ratio))
+    ]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double"
+    )

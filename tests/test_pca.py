@@ -1,0 +1,59 @@
+"""Distributed PCA (operators/pca.py): numpy parity + layout invariance."""
+
+import numpy as np
+import pytest
+
+from federated_gcn_spark.operators.pca import fit_pca, gram_moments, project
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated on two planted axes
+    base = rng.normal(size=(300, 8)) * np.array([5, 3, 1, 1, 0.5, 0.5, 0.1, 0.1])
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _np_matrix(emb_df):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    return np.stack([np.array(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)])
+
+
+def test_gram_moments_match_numpy(spark, emb_df):
+    n, mean, cov = gram_moments(emb_df)
+    X = _np_matrix(emb_df)
+    assert n == 300
+    np.testing.assert_allclose(mean, X.mean(0), atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(X.T, bias=True), atol=1e-9)
+
+
+def test_fit_pca_matches_numpy_eig(spark, emb_df):
+    _, comps, ev, ratio = fit_pca(emb_df, k=3)
+    X = _np_matrix(emb_df)
+    evals = np.linalg.eigh(np.cov(X.T, bias=True))[0]
+    np.testing.assert_allclose(np.sort(ev)[::-1], np.sort(evals)[::-1][:3], rtol=1e-9)
+    assert ratio[0] > ratio[1] > ratio[2] > 0
+    assert ratio.sum() < 1.0
+
+
+def test_projection_matches_numpy(spark, emb_df):
+    mean, comps, _, _ = fit_pca(emb_df, k=3)
+    X = {r.vec_id: np.array(r.embedding) for r in emb_df.collect()}
+    out = project(emb_df, mean, comps).select("vec_id", "pca").collect()
+    for r in out[:50]:
+        np.testing.assert_allclose(
+            np.array(r.pca), comps @ (X[r.vec_id] - mean), atol=1e-9
+        )
+
+
+def test_pca_layout_invariant(spark, emb_df):
+    _, c1, e1, _ = fit_pca(emb_df, k=2)
+    _, c2, e2, _ = fit_pca(emb_df.repartition(13), k=2)
+    np.testing.assert_allclose(e1, e2, rtol=1e-9)
+    np.testing.assert_allclose(c1, c2, atol=1e-9)  # sign-fixed
+
+
+def test_pca_dim_mismatch_raises(spark, emb_df):
+    with pytest.raises(Exception, match="dim"):
+        gram_moments(emb_df, dim=5)
