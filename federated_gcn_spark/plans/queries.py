@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.catalog import load_table
@@ -474,6 +474,21 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time operators (batch twins of the streaming ops; §2.8)
 # ---------------------------------------------------------------------------
 
+
+def _event_epoch_sec(events: DataFrame) -> Column:
+    """events.ts as epoch-second LONG, adaptive to the physical schema.
+
+    The testdata has shipped ``ts`` both as parquet TIMESTAMP(NANOS) (which
+    session.py's ``nanosAsLong`` surfaces as an epoch-nano BIGINT) and as
+    TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). The session timezone is
+    pinned to UTC (session.py), so casting NTZ → TIMESTAMP → unix_micros is
+    deterministic and matches DuckDB's naive-as-UTC ``epoch_ns``.
+    """
+    if dict(events.dtypes).get("ts") in ("bigint", "long"):
+        return F.expr("ts div 1000000000")
+    return F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+
+
 @register(
     "events_tumbling",
     """
@@ -492,9 +507,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream + window + watermark) lives in streaming/events.py.
     """
     events = load_table(spark, sf_dir, "events")
-    bucket = (F.expr("ts div 300000000000") * 300).cast("long").alias(
-        "bucket_start_sec"
-    )
+    sec = _event_epoch_sec(events)
+    bucket = (sec - sec % 300).cast("long").alias("bucket_start_sec")
     return events.groupBy("event_type", bucket).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
@@ -521,7 +535,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-min inactivity) via lag + conditional
     count — the batch twin of a session_window streaming aggregation."""
     events = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
+    sec = _event_epoch_sec(events)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = events.select(
         F.col("user_id"),
@@ -1526,7 +1540,8 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard Spark realization (window replication precedes the
     shuffle so partial aggregation still applies)."""
     events = load_table(spark, sf_dir, "events")
-    w0 = (F.expr("ts div 1000000000 div 300") * 300).cast("long")
+    sec = _event_epoch_sec(events)
+    w0 = (sec - sec % 300).cast("long")
     return (
         events.select(
             "event_type",

@@ -6,14 +6,15 @@ The engine still ships real stream processing: file-source streams with
 event-time windows and watermarked late-data handling, the streaming twin
 of plans.queries.events_tumbling (same aggregate, same bucketing).
 
-ts arrives as epoch-nanos BIGINT (see session.py nanosAsLong); the
-watermark needs a real timestamp column, derived losslessly via
-timestamp_micros(ts div 1000).
+ts has shipped both as parquet TIMESTAMP(NANOS) (epoch-nano BIGINT under
+session.py's nanosAsLong) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ); the
+watermark needs a real timestamp column, derived adaptively from whichever
+physical type the files carry (_event_time).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -21,12 +22,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -35,10 +37,32 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _event_time(df: DataFrame) -> Column:
+    """ts as a watermarkable TIMESTAMP, whatever the physical schema.
+
+    Session tz is pinned UTC (session.py), so the NTZ → TIMESTAMP cast is
+    deterministic and agrees with the epoch-nano integer path.
+    """
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over an events directory.
+
+    Streaming sources need an explicit schema; derive it from the files
+    already present (a footer-only batch read) so the stream matches
+    whichever ts encoding the data carries, falling back to EVENTS_SCHEMA
+    for an as-yet-empty directory.
+    """
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # pragma: no cover - empty dir before first file
+        schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
@@ -52,9 +76,7 @@ def tumbling_value_agg(
     """Per (event_type, window): count + sum(value), late data bounded by
     the watermark. State size is O(active windows × types) — bounded, so
     this runs indefinitely at any input rate."""
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    with_time = stream.withColumn("event_time", _event_time(stream))
     return (
         with_time.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
@@ -82,9 +104,7 @@ def session_value_agg(
     once the watermark passes a session's end, so state stays bounded.
     Accepts a batch DataFrame too (watermark skipped) — the tests use
     that for stream↔batch equivalence."""
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    with_time = stream.withColumn("event_time", _event_time(stream))
     if stream.isStreaming:
         with_time = with_time.withWatermark("event_time", watermark)
     return (
