@@ -20,7 +20,7 @@ driver and inlined as literal arrays — deterministic and broadcast-free
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.functions.scalar import cosine_similarity
@@ -215,6 +215,78 @@ class IVFIndex:
             .orderBy(F.col("cos_sim").desc(), self.id_col)
             .limit(k)
         )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group, skew-safe.
+
+    A single ``row_number`` window over ``group_cols`` hash-partitions on
+    the group key — with few groups (a handful of queries scanning a huge
+    corpus) every group's full candidate set lands on ONE task. Instead:
+    phase 1 ranks within (group, input-partition) — |groups|·|partitions|
+    keys, so the exchange spreads over the whole cluster and each task
+    sorts only its local slice — keeping ≤k rows per (group, partition);
+    phase 2 ranks the surviving |groups|·|partitions|·k rows globally.
+    Same answer (a global top-k row is a top-k row of its partition),
+    bounded memory everywhere.
+    """
+    staged = df.withColumn("_src_part", F.spark_partition_id())
+    w_local = Window.partitionBy(*group_cols, "_src_part").orderBy(*order_by)
+    survivors = (
+        staged.withColumn("_rk", F.row_number().over(w_local))
+        .where(F.col("_rk") <= k)
+        .drop("_rk", "_src_part")
+    )
+    w_global = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .where(F.col("rk") <= k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine k-NN JOIN: top-k corpus neighbors for EVERY query row.
+
+    The query side broadcasts (it is the small side by construction — a
+    batch of probes against a huge corpus), so scoring is a narrow map
+    over corpus partitions: no corpus shuffle, one HOF dot product per
+    (corpus row, query). Ranking goes through topk_per_group, so a small
+    query batch cannot skew-collapse onto single tasks. Output:
+    (query_id, neighbor_id, rk, cos_sim).
+
+    For |queries| too large to broadcast, use RandomHyperplaneLSH/IVFIndex
+    bucketing instead — the all-pairs score matrix is the scale boundary
+    of the exact path, not the join strategy.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    ranked = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        k,
+    )
+    return ranked.select("query_id", "neighbor_id", "rk", "cos_sim")
 
 
 def embedding_near_dup_pairs(

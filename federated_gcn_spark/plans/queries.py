@@ -2454,3 +2454,87 @@ def pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component long, eigenvalue double, explained_ratio double"
     )
+
+
+@register(
+    "knn_join_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= 5
+    ), s AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, cv) AS cs
+        FROM q CROSS JOIN c
+    ), r AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+        FROM s
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rk AS BIGINT) AS rk,
+           ROUND(cs, 6) AS cos_sim
+    FROM r WHERE rk <= 3
+    """,
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN JOIN (operators/similarity.knn_join): top-3
+    corpus neighbors for EVERY query in a 5-vector probe batch. The probe
+    side broadcasts (scoring is a narrow map over corpus partitions) and
+    ranking is the skew-safe two-phase top-k, so a small batch cannot
+    collapse onto single tasks. Oracle: DuckDB cross join +
+    list_cosine_similarity on DOUBLE[] (float32 lists diverge from
+    Spark's double HOF fold at ~1e-8)."""
+    from federated_gcn_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    out = knn_join(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=3
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rk").cast("long").alias("rk"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH u AS (
+        SELECT label,
+               unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(i - 1 AS INT) AS dim_pos,
+           ROUND(AVG(CAST(e AS DOUBLE)), 5) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM u GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long format (label, dim, mean) —
+    the class-prototype computation behind nearest-centroid classifiers
+    and IVF coarse quantizers. posexplode keeps it one shuffle of
+    (label, dim, value) triples with map-side combine: at 100 TB the
+    shuffle is |labels|*dim partial sums per map task, not the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("int").alias("dim_pos"),
+        )
+        .agg(
+            F.round(F.avg("col"), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -118,3 +118,30 @@ def test_ivf_lloyd_training_improves_recall_on_clustered_corpus(spark):
     r_tr = np.mean([recall(trained, a_tr, q) for q in queries])
     assert r_tr >= 0.9, f"trained recall {r_tr}"
     assert r_tr >= r_un, f"training must not hurt ({r_tr} vs {r_un})"
+
+
+def test_knn_join_matches_numpy_per_query(spark):
+    """knn_join == per-query numpy brute force, including rank order, and
+    the two-phase top-k survives an adversarial repartition (many input
+    partitions, tiny groups)."""
+    from federated_gcn_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus, queries = df.where("vec_id >= 4").repartition(13), df.where("vec_id < 4")
+
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in knn_join(corpus, queries, k=5).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in range(4):
+        sims = vecs[4:] @ vecs[qid] / (norms[4:] * norms[qid])
+        ids = np.arange(4, 60)
+        order = sorted(zip(-sims, ids))  # sim desc, id asc — knn_join's tiebreak
+        for rk, (neg_sim, nid) in enumerate(order[:5], start=1):
+            want_id, want_sim = int(nid), round(float(-neg_sim), 9)
+            assert got[(qid, rk)] == (want_id, want_sim), (qid, rk)
+    assert len(got) == 20
