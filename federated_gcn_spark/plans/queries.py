@@ -2538,3 +2538,54 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@register("kcore_stats")  # rows-only: iterative fixpoint, not SQL-expressible
+def kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness histogram of the order→supplier bipartite graph
+    (graph/kcore.py h-index fixpoint; pinned against pure-Python peeling
+    in test_kcore.py). Output: (coreness, n_vertices)."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.kcore import core_numbers
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    cores = core_numbers(Graph.from_edges(edges))
+    return (
+        cores.groupBy(F.col("coreness").cast("long").alias("coreness"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("coreness")
+    )
+
+
+@register("label_communities")  # rows-only: iterative fixpoint, not SQL
+def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-size distribution from deterministic label propagation
+    (graph/labelprop.py) over the same bipartite sample as kcore_stats.
+    Output: (community_size, n_communities)."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.labelprop import label_propagation
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    comms = label_propagation(Graph.from_edges(edges), max_iterations=5)
+    sizes = comms.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("community_size"))
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("community_size")
+    )

@@ -1,0 +1,100 @@
+"""k-core decomposition + label propagation against pure-Python references."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.graph import Graph
+from federated_gcn_spark.graph.kcore import core_numbers, k_core
+from federated_gcn_spark.graph.labelprop import label_propagation
+
+
+def _py_coreness(edges):
+    """Textbook peeling: repeatedly remove the min-degree vertex."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core = {}
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+        remaining.discard(v)
+    return core
+
+
+def _random_edges(n, m, seed):
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    return sorted(es)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_core_numbers_match_peeling(spark, seed):
+    edges = _random_edges(40, 120, seed)
+    want = _py_coreness(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["coreness"]
+        for r in core_numbers(Graph.from_edges(df)).collect()
+    }
+    assert got == want
+
+
+def test_k_core_subgraph_every_vertex_meets_degree(spark):
+    edges = _random_edges(50, 160, 3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sub = k_core(Graph.from_edges(df), k=3)
+    degs = (
+        sub.symmetrized_edges()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.countDistinct("dst").alias("d"))
+        .collect()
+    )
+    assert len(degs) > 0
+    assert all(r["d"] >= 3 for r in degs)
+    # parity with coreness: the k-core vertex set == {v : coreness >= k}
+    want = {v for v, c in _py_coreness(edges).items() if c >= 3}
+    got = {r["id"] for r in sub.vertices.collect()}
+    assert got == want
+
+
+def test_label_propagation_finds_two_communities(spark):
+    # two 5-cliques joined by one bridge edge
+    cliq_a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cliq_b = [(i + 10, j + 10) for i in range(5) for j in range(i + 1, 5)]
+    edges = cliq_a + cliq_b + [(0, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(Graph.from_edges(df), max_iterations=10)
+    rows = {r["id"]: r["community"] for r in out.collect()}
+    comm_a = {rows[i] for i in range(5)}
+    comm_b = {rows[i + 10] for i in range(5)}
+    assert len(comm_a) == 1 and len(comm_b) == 1
+    assert comm_a != comm_b
+
+
+def test_label_propagation_deterministic_across_layouts(spark):
+    edges = _random_edges(30, 60, 11)
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(17)
+    r1 = sorted(
+        (r["id"], r["community"])
+        for r in label_propagation(Graph.from_edges(df1)).collect()
+    )
+    r2 = sorted(
+        (r["id"], r["community"])
+        for r in label_propagation(Graph.from_edges(df2)).collect()
+    )
+    assert r1 == r2
