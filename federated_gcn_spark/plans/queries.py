@@ -2589,3 +2589,171 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+        FROM events
+    ), v AS (
+        SELECT user_id, MIN(sec) AS tv FROM t
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT t.user_id, MIN(sec) AS tc FROM t JOIN v USING (user_id)
+        WHERE event_type = 'click' AND sec > tv GROUP BY t.user_id
+    ), p AS (
+        SELECT t.user_id, MIN(sec) AS tp FROM t JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND sec > tc GROUP BY t.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage is
+    the first qualifying event strictly AFTER the previous stage's first
+    event. Three small user-keyed aggregates whose exchanges share one
+    partitioning (user_id) — no windows over raw events, no
+    driver-side loops."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select("user_id", "event_type", _event_epoch_sec(events).alias("sec"))
+    v = (
+        t.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("tv"))
+    )
+    c = (
+        t.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("sec") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("tc"))
+    )
+    p = (
+        t.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("sec") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@register(
+    "retention_daily",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    )
+    SELECT CAST(a.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_retained
+    FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    """,
+)
+def retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: users active on day d AND d+1. The (user, day)
+    distinct set self-joins on (user_id, day+1) — both sides share the
+    dedup exchange, and the join key includes user_id so it scales as a
+    co-partitioned equi join, never a cross of days."""
+    events = load_table(spark, sf_dir, "events")
+    sec = _event_epoch_sec(events)
+    d = events.select(
+        "user_id", (sec - sec % 86400).alias("day_sec")
+    ).select("user_id", (F.col("day_sec") / 86400).cast("long").alias("day")).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.col("a.day") + 1),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+
+
+@register(
+    "normalized_dedup",
+    """
+    WITH n AS (
+        SELECT doc_id, lang,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct_norm,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM n GROUP BY lang
+    """,
+)
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup stats: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical pre-pass before exact dedup
+    (catches trivial formatting dupes MinHash would waste candidates on).
+    Pure codegen string expressions fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("norm").alias("n_distinct_norm"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "zipf_top_terms",
+    """
+    WITH tf AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), c AS (
+        SELECT term, COUNT(*) AS freq FROM tf GROUP BY term
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank,
+           term,
+           CAST(freq AS BIGINT) AS freq
+    FROM c ORDER BY rank LIMIT 30
+    """,
+)
+def zipf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head of the corpus vocabulary: rank + frequency of the top-30
+    terms. Token counts are one map-side-combinable groupBy; the rank
+    window runs over only the 30 surviving rows (TakeOrdered first,
+    window after — never a global window over the vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    c = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = c.orderBy(F.col("freq").desc(), "term").limit(30)
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "term", "freq"
+    )
