@@ -2757,3 +2757,181 @@ def zipf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "term", "freq"
     )
+
+
+@register(
+    "max_acctbal_customer",
+    """
+    SELECT c_nationkey, CAST(c_custkey AS BIGINT) AS c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal = (
+        SELECT MAX(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def max_acctbal_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (richest customer per nation), written
+    in its decorrelated form: a per-nation max aggregate joined back on
+    (nationkey, acctbal). This is exactly what a decorrelation rewrite
+    produces — one small aggregate side that AQE broadcasts — instead of
+    a per-row subquery execution. Oracle keeps the correlated spelling."""
+    customer = load_table(spark, sf_dir, "customer")
+    mx = customer.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        F.max("c_acctbal").alias("_mx")
+    )
+    return (
+        customer.join(
+            mx,
+            (F.col("c_nationkey") == F.col("_nk"))
+            & (F.col("c_acctbal") == F.col("_mx")),
+        )
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "gap_fill_daily",
+    """
+    WITH t AS (
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ), bounds AS (
+        SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        FROM t GROUP BY event_type
+    ), days AS (
+        SELECT event_type, UNNEST(generate_series(lo, hi)) AS day FROM bounds
+    ), counts AS (
+        SELECT event_type, day, COUNT(*) AS n FROM t GROUP BY 1, 2
+    )
+    SELECT days.event_type, CAST(days.day AS BIGINT) AS day,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN counts USING (event_type, day)
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per event type, a dense daily count series
+    over the type's own [min_day, max_day] with zeros for silent days —
+    F.sequence + explode generates each type's calendar (rows ∝ span,
+    not data volume) and the counts join back on (type, day)."""
+    events = load_table(spark, sf_dir, "events")
+    sec = _event_epoch_sec(events)
+    t = events.select(
+        "event_type", ((sec - sec % 86400) / 86400).cast("long").alias("day")
+    )
+    bounds = t.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    counts = t.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    return days.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "edit_distance_adjacent",
+    """
+    WITH t AS (
+        SELECT doc_id, SUBSTRING(LOWER(text), 1, 40) AS head FROM documents
+    )
+    SELECT a.doc_id AS doc_id,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive documents' 40-char heads
+    — the exact-verify kernel of fuzzy title dedup (candidates come from
+    LSH/banding at scale; here the adjacent-id pairing keeps the checked
+    pair set deterministic, as in ngram_jaccard_adjacent)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    t = docs.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, 40).alias("head")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.levenshtein(F.col("a.head"), F.col("b.head"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-mitigation path (operators/skew.salted_join)
+    through the correctness gate: lineitem salted, the filtered orders
+    side replicated x buckets, join on (orderkey, salt). The oracle is
+    the PLAIN join — salting must be invisible in the result."""
+    from federated_gcn_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = salted_join(
+        lineitem.withColumnRenamed("l_orderkey", "okey"),
+        orders.withColumnRenamed("o_orderkey", "okey").select("okey"),
+        on=["okey"],
+        buckets=8,
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "ntile_spend_quartiles",
+    """
+    WITH q AS (
+        SELECT c_nationkey,
+               NTILE(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM q GROUP BY 1, 2
+    """,
+)
+def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles within each nation (NTILE window with a
+    unique tiebreak so bucket boundaries are engine-independent), rolled
+    up to per-(nation, quartile) size + mean."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    q = customer.select(
+        "c_nationkey", F.ntile(4).over(w).alias("quartile"), "c_acctbal"
+    )
+    return q.groupBy("c_nationkey", F.col("quartile").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
