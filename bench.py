@@ -46,6 +46,16 @@ HEADLINE = [
     "decontam_report",
     "domain_mixture_sample",
     "sequence_packing",
+    "knn_join_topk",
+    "embedding_centroids",
+    "funnel_conversion",
+    "retention_daily",
+    "gap_fill_daily",
+    "normalized_dedup",
+    "zipf_top_terms",
+    "unigram_nll",
+    "salted_join_revenue",
+    "max_acctbal_customer",
 ]
 
 

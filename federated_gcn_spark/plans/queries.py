@@ -2935,3 +2935,48 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
     )
+
+
+@register(
+    "unigram_nll",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens FROM toks
+    ), p AS (
+        SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(AVG(-LN(tf / (SELECT n_tokens FROM tot))), 6) AS nll,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN p USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative
+    log-likelihood under the corpus's own unigram LM. Low-probability-
+    token-heavy docs (gibberish, boilerplate explosions, wrong-language
+    contamination) surface with high NLL — the classic cheap stand-in
+    for model-based perplexity filtering. The tokenize subtree is shaped
+    identically on both join sides so Spark reuses one exchange, and the
+    corpus token total rides along as a broadcast single-row side."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    p = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(p, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("tf") / F.col("n_tokens"))), 6).alias("nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
