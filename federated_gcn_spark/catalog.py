@@ -69,6 +69,24 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """The engine's SQL front door: every catalog table registered as a
+    temp view over its parquet file, then ``spark.sql(query)``.
+
+    Views are lazy relations — registering all ten costs nothing until a
+    query references one, and referenced views get full Catalyst
+    treatment (pushdown into the parquet scan, pruning, AQE). This is
+    the surface a reference user migrating from hand-rolled pandas
+    scripts actually wants: the same ANSI SQL the DuckDB oracle runs.
+    """
+    tune(spark)
+    for n in TABLES:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(n)
+    return spark.sql(query)
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

@@ -2980,3 +2980,97 @@ def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+_SQL_INTERFACE_QUERY = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_interface_orders", _SQL_INTERFACE_QUERY)
+def sql_interface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface end-to-end: catalog.run_sql registers the
+    parquet catalog as temp views and executes the SAME SQL text the
+    DuckDB oracle runs — one query string, two engines, identical
+    results. Proves a reference user can bring plain ANSI SQL instead of
+    the DataFrame API."""
+    from federated_gcn_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_INTERFACE_QUERY)
+
+
+@register(
+    "full_outer_match_stats",
+    """
+    WITH c AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), o AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS match_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def full_outer_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join null-extension semantics through the gate (both
+    sides filtered so unmatched rows exist on each): BUILDING customers
+    with no urgent orders surface as customer_only, urgent orders from
+    other segments as order_only. Outer joins are where engines disagree
+    subtly (null-key matching, duplicate factors) — worth a hash-checked
+    row."""
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    j = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "full_outer"
+    )
+    status = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_orderkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.groupBy(status.alias("match_status")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "incremental_dedup",
+    """
+    WITH hist AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id < 250
+    ), novel AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id
+    FROM novel WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = novel.fp)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup — the daily-crawl pattern: drop new-batch
+    docs whose content fingerprint already exists in the historical
+    corpus. A left_anti join on md5(text): at 100 TB the history side is
+    a fingerprint-only table (16 bytes/doc), partitioned by fingerprint
+    prefix, so each increment shuffles only the new batch."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    hist = docs.where(F.col("doc_id") < 250).select(F.md5("text").alias("fp"))
+    novel = docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return novel.join(hist, "fp", "left_anti").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
