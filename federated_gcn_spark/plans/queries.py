@@ -3074,3 +3074,26 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.join(hist, "fp", "left_anti").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+
+
+@register("sketch_cardinalities")  # rows-only: approx values are engine-specific
+def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch surface (operators/sketch.py): per-event-type
+    exact vs DataSketches-HLL distinct users + the merged incremental
+    estimate. Error bounds (≤5%) and sketch mergeability are pinned in
+    test_sketch.py; the estimates themselves are library-specific so
+    this stays a rows-only check."""
+    from federated_gcn_spark.operators.sketch import (
+        cardinality_report,
+        incremental_hll,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rep = cardinality_report(events, "user_id", "event_type")
+    merged = incremental_hll(events, "user_id", "event_type").select(
+        F.lit("__merged__").alias("event_type"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.col("merged_estimate").alias("approx_distinct"),
+        F.lit(None).cast("double").alias("rel_err"),
+    )
+    return rep.unionByName(merged)

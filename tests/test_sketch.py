@@ -1,0 +1,57 @@
+"""Sketch aggregates: HLL error bounds, mergeability, quantile accuracy."""
+
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.operators.sketch import (
+    cardinality_report,
+    incremental_hll,
+    quantile_report,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_hll_within_5pct_of_exact(spark):
+    rep = cardinality_report(_events(spark), "user_id", "event_type").collect()
+    assert len(rep) > 0
+    for r in rep:
+        assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
+
+
+def test_hll_merge_equals_single_sketch(spark):
+    """Union of per-type sketches == the estimate a single global sketch
+    gives — mergeability is the property incremental pipelines rely on."""
+    ev = _events(spark)
+    merged = incremental_hll(ev, "user_id", "event_type").collect()[0]
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+    ).collect()[0][0]
+    assert merged["merged_estimate"] == single
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged["merged_estimate"] - exact) / exact <= 0.05
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {
+        (r["l_returnflag"], r["prob"]): r["value"]
+        for r in quantile_report(li, "l_extendedprice", "l_returnflag").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for (flag, prob), v in got.items():
+        idx = [0.25, 0.5, 0.75, 0.95].index(prob)
+        e = exact[flag][idx]
+        assert abs(v - e) / max(abs(e), 1e-9) <= 0.02, (flag, prob, v, e)
