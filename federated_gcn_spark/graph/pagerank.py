@@ -76,3 +76,74 @@ def pagerank(
             )
         )
     return ranks.select(ID, "rank")
+
+
+def personalized_pagerank(
+    graph: Graph,
+    seeds: list[int],
+    damping: float = 0.85,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Random-walk-with-restart scores relative to a seed set.
+
+    rank_v = (1-d)·tele(v) + d·(Σ_{u→v} rank_u/outdeg_u + dangling·tele(v))
+
+    with tele uniform over ``seeds`` and zero elsewhere — both the
+    restart and the dangling redistribution return to the seeds, so mass
+    stays conserved and scores measure proximity TO the seed set (the
+    similar-items / who-to-follow primitive). Same superstep structure
+    and cost as pagerank; the teleport vector rides as a column of the
+    staged degree table, never a driver-side map.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    n_seeds = len(seeds)
+    edges = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST)).distinct()
+    out_deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    seed_col = F.when(
+        F.col(ID).isin([int(s) for s in seeds]), F.lit(1.0 / n_seeds)
+    ).otherwise(F.lit(0.0))
+    degrees = (
+        graph.vertices.select(ID)
+        .join(out_deg, ID, "left")
+        .select(
+            ID,
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            seed_col.alias("tele"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    ranks = degrees.select(ID, F.col("tele").alias("rank"), "out_degree", "tele")
+    for _ in range(max_iterations):
+        dangling_mass = (
+            ranks.where(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            ranks.where(F.col("out_degree") > 0)
+            .join(edges, ranks[ID] == edges[SRC])
+            .select(
+                F.col(DST).alias(ID),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy(ID)
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = iteration_barrier(
+            degrees.join(contribs, ID, "left")
+            .select(
+                ID,
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.lit(dangling_mass))
+                    * F.col("tele")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "out_degree",
+                "tele",
+            )
+        )
+    return ranks.select(ID, "rank")

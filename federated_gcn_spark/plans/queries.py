@@ -3097,3 +3097,33 @@ def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("rel_err"),
     )
     return rep.unionByName(merged)
+
+
+@register("ppr_top")  # rows-only: iterative fixpoint, not SQL-expressible
+def ppr_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph/pagerank.py:personalized_pagerank)
+    seeded at the two lowest-id order vertices of the order→supplier
+    graph, top-20 by proximity score — the similar-items primitive.
+    Pinned against a dense numpy power iteration in test_graph.py."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.pagerank import personalized_pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    g = Graph.from_edges(edges)
+    seeds = [r["src"] for r in edges.select("src").orderBy("src").limit(2).collect()]
+    ranks = personalized_pagerank(g, seeds, damping=0.85, max_iterations=5)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+        .select(
+            F.col("id").cast("long").alias("id"), F.round("rank", 8).alias("rank")
+        )
+    )

@@ -64,3 +64,37 @@ def test_pagerank_matches_numpy_power_iteration(spark, toy_graph):
     for v in ids:
         assert abs(got[v] - rank[pos[v]]) < 1e-9, (v, got[v], rank[pos[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+
+
+def test_personalized_pagerank_matches_numpy(spark, toy_graph):
+    import numpy as np
+
+    from federated_gcn_spark.graph.pagerank import personalized_pagerank
+
+    seeds = [1, 3]
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(toy_graph, seeds, 0.85, 10).collect()
+    }
+    ids = sorted(got)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for r in toy_graph.edges.select("src", "dst").distinct().collect():
+        if r["src"] != r["dst"]:
+            A[pos[r["dst"]], pos[r["src"]]] = 1.0
+    out = A.sum(axis=0)
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[pos[s]] = 1.0 / len(seeds)
+    rank = tele.copy()
+    for _ in range(10):
+        dangling = rank[out == 0].sum()
+        spread = np.where(out > 0, rank / np.maximum(out, 1), 0.0)
+        rank = (1 - 0.85) * tele + 0.85 * (A @ spread + dangling * tele)
+    for v in ids:
+        assert abs(got[v] - rank[pos[v]]) < 1e-9, (v, got[v], rank[pos[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # proximity semantics: seeds outrank the average non-seed
+    non_seed = [got[v] for v in ids if v not in seeds]
+    assert min(got[s] for s in seeds) > sum(non_seed) / len(non_seed)
