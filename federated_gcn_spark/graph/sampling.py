@@ -170,3 +170,95 @@ def fanout_sample(
         )
         frontier = picked.select("root", "vertex", *gcols)
     return out
+
+
+def node2vec_walks(
+    graph: Graph,
+    p: float = 1.0,
+    q: float = 1.0,
+    length: int = 5,
+    number_of_walks: int = 1,
+    seed: int = 42,
+    start_vertices: DataFrame | None = None,
+    undirected: bool = True,
+) -> DataFrame:
+    """Second-order biased random walks (node2vec; Grover & Leskovec,
+    KDD'16) as (walk_id, start, step, vertex).
+
+    From edge (prev → cur), candidate x gets the standard search bias
+        1/p  if x == prev            (return)
+        1    if edge(prev, x) exists (stay in the BFS ring)
+        1/q  otherwise               (explore outward),
+    so p < 1 keeps walks local and q < 1 pushes them outward.
+
+    Weighted choice stays relational AND deterministic via an
+    exponential race: each candidate draws key = -ln(u)/w with u a pure
+    hash of (walk_id, step, candidate, seed); the min key wins with
+    probability w/Σw — no collect, no per-vertex alias tables, one
+    row_number window per step exactly like the uniform walk. The
+    ring-membership test is a broadcast-able left-semi-style marker join
+    against the edge set keyed on (prev, candidate); at 100 TB both
+    joins hash on vertex keys and the frontier is |walks| rows, never
+    the graph.
+    """
+    starts = (start_vertices or graph.vertices).select(ID)
+    edges = (
+        graph.symmetrized_edges() if undirected else graph.edges.select(SRC, DST)
+    ).distinct().localCheckpoint(eager=True)
+
+    walk_ids = F.explode(
+        F.sequence(F.lit(0), F.lit(number_of_walks - 1))
+    ).alias("walk_no")
+    frontier = starts.select(F.col(ID).alias("start"), walk_ids).select(
+        "start",
+        F.concat_ws("_", F.col("start"), F.col("walk_no")).alias("walk_id"),
+        F.lit(None).cast(starts.schema[ID].dataType).alias("prev"),
+        F.col("start").alias("vertex"),
+    )
+    out = frontier.select("walk_id", "start", F.lit(0).alias("step"), "vertex")
+
+    # u in (0,1]: shift the hash fraction off exact zero so -ln(u) is finite
+    def _u(step):
+        return (
+            _pseudo_rand(
+                F.col("walk_id"), F.lit(step), F.col("next_vertex"), F.lit(seed)
+            )
+            * F.lit(1.0 - 1e-12)
+            + F.lit(1e-12)
+        )
+
+    ring = edges.select(
+        F.col(SRC).alias("prev"), F.col(DST).alias("next_vertex"), F.lit(1).alias("__ring")
+    )
+    for step in range(1, length):
+        cand = frontier.join(edges, frontier["vertex"] == edges[SRC]).select(
+            "walk_id", "start", "prev", "vertex", F.col(DST).alias("next_vertex")
+        )
+        if step == 1:
+            weight = F.lit(1.0)  # first hop is first-order (uniform)
+            weighted = cand.withColumn("__w", weight)
+        else:
+            weighted = cand.join(ring, ["prev", "next_vertex"], "left").withColumn(
+                "__w",
+                F.when(F.col("next_vertex") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("__ring").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        w = Window.partitionBy("walk_id").orderBy(
+            (-F.log(_u(step)) / F.col("__w")).asc(), F.col("next_vertex")
+        )
+        picked = iteration_barrier(
+            weighted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "walk_id",
+                "start",
+                F.col("vertex").alias("prev"),
+                F.col("next_vertex").alias("vertex"),
+            )
+        )
+        out = out.unionByName(
+            picked.select("walk_id", "start", F.lit(step).alias("step"), "vertex")
+        )
+        frontier = picked
+    return out

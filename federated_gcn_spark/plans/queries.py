@@ -3127,3 +3127,32 @@ def ppr_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("long").alias("id"), F.round("rank", 8).alias("rank")
         )
     )
+
+
+@register("node2vec_walk_stats")  # rows-only: seeded sampling, not SQL
+def node2vec_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (graph/sampling.node2vec_walks, p=0.5
+    q=2.0 — BFS-ish) over the order→supplier graph: per-step vertex and
+    distinct-walk counts. Bias and edge-validity are pinned in
+    test_sampling.py."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.sampling import node2vec_walks
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    g = Graph.from_edges(edges)
+    starts = g.vertices.orderBy("id").limit(100)
+    walks = node2vec_walks(
+        g, p=0.5, q=2.0, length=4, seed=42, start_vertices=starts
+    )
+    return walks.groupBy(F.col("step").cast("long").alias("step")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("walk_id").alias("n_walks"),
+    )
