@@ -1,0 +1,81 @@
+"""Approximate neighborhood function / effective diameter (HyperANF).
+
+Boldi, Rosa, Vigna, "HyperANF: approximating the neighbourhood function
+of very large graphs on a budget" (WWW'11): give every vertex an HLL
+sketch of {itself}; each superstep, union each vertex's sketch with its
+neighbors' sketches. After h rounds vertex v's sketch estimates
+|B(v, h)| — the ball of radius h — and Σ_v |B(v, h)| is the
+neighborhood function N(h), whose saturation point gives the effective
+diameter. Exact reachability needs O(n²) pair state; sketches make it
+O(n · sketch_size) with bounded error, which is the only way the
+computation exists at 100 TB.
+
+Spark-native: the sketch column is Spark's built-in DataSketches HLL
+binary (``hll_sketch_agg`` to build, ``hll_union_agg`` to merge,
+``hll_sketch_estimate`` to read) — union-by-neighbor is one
+join + groupBy per superstep, the same shuffle shape as PageRank, and
+sketches in sparse mode are exact for small balls, so small-graph tests
+can pin near-exact equality with BFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def neighborhood_function(
+    graph: Graph, max_hops: int = 6, lg_k: int = 12
+) -> DataFrame:
+    """(hop, reachable_pairs) for hop = 0..max_hops.
+
+    reachable_pairs(h) = Σ_v estimate|B(v, h)| — ordered pairs within
+    distance h (including v itself). Effective diameter at quantile q is
+    the smallest h with N(h) >= q * N(max_hops).
+    """
+    spark = graph.vertices.sparkSession
+    edges = graph.symmetrized_edges().select(SRC, DST).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    cur = (
+        graph.vertices.select(ID)
+        .groupBy(ID)
+        .agg(F.hll_sketch_agg(F.col(ID), F.lit(lg_k)).alias("sketch"))
+    )
+    cur = iteration_barrier(cur)
+
+    def total(df: DataFrame) -> float:
+        return df.agg(
+            F.sum(F.hll_sketch_estimate(F.col("sketch")))
+        ).collect()[0][0]
+
+    rows = [(0, float(total(cur)))]
+    for hop in range(1, max_hops + 1):
+        msgs = edges.join(cur.withColumnRenamed(ID, SRC), SRC).select(
+            F.col(DST).alias(ID), "sketch"
+        )
+        nxt = (
+            msgs.unionByName(cur)
+            .groupBy(ID)
+            .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+        )
+        nxt = iteration_barrier(nxt)
+        cur = nxt
+        rows.append((hop, float(total(cur))))
+    return spark.createDataFrame(rows, "hop int, reachable_pairs double")
+
+
+def effective_diameter(
+    nf: DataFrame, quantile: float = 0.9
+) -> int:
+    """Smallest hop whose neighborhood function reaches ``quantile`` of
+    the final (saturated) value. ``nf`` is neighborhood_function output."""
+    rows = sorted((r["hop"], r["reachable_pairs"]) for r in nf.collect())
+    target = quantile * rows[-1][1]
+    for hop, n in rows:
+        if n >= target:
+            return hop
+    return rows[-1][0]

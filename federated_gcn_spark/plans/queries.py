@@ -3156,3 +3156,24 @@ def node2vec_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("walk_id").alias("n_walks"),
     )
+
+
+@register("neighborhood_function")  # rows-only: sketch estimates, not SQL
+def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (graph/anf.py): per-hop reachable-pair estimates of the
+    order→supplier graph via per-vertex mergeable HLL sketches — the
+    only way ball sizes exist at 100 TB (exact needs O(n²) pair state).
+    Pinned within 2% of exact BFS on small graphs in test_anf.py."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.anf import neighborhood_function
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return neighborhood_function(Graph.from_edges(edges), max_hops=4)

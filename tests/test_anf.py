@@ -1,0 +1,53 @@
+"""HyperANF neighborhood function vs exact BFS reachability."""
+
+from collections import deque
+
+from federated_gcn_spark.graph import Graph
+from federated_gcn_spark.graph.anf import effective_diameter, neighborhood_function
+
+
+def _exact_nf(edges, n_hops):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for h in range(n_hops + 1):
+        total = 0
+        for s in adj:
+            seen = {s}
+            frontier = deque([(s, 0)])
+            while frontier:
+                v, d = frontier.popleft()
+                if d == h:
+                    continue
+                for u in adj[v]:
+                    if u not in seen:
+                        seen.add(u)
+                        frontier.append((u, d + 1))
+            total += len(seen)
+        out[h] = total
+    return out
+
+
+def test_neighborhood_function_matches_bfs_on_path(spark):
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nf = neighborhood_function(Graph.from_edges(df), max_hops=5)
+    got = {r["hop"]: r["reachable_pairs"] for r in nf.collect()}
+    want = _exact_nf(edges, 5)
+    for h in range(6):
+        assert abs(got[h] - want[h]) / want[h] < 0.02, (h, got[h], want[h])
+    # strictly growing until saturation on a path
+    assert got[0] < got[1] < got[2]
+
+
+def test_effective_diameter_small_world_vs_chain(spark):
+    chain = [(i, i + 1) for i in range(30)]
+    hub = [(0, i) for i in range(1, 31)]  # star: everything 2 hops apart
+    g_chain = Graph.from_edges(spark.createDataFrame(chain, "src long, dst long"))
+    g_hub = Graph.from_edges(spark.createDataFrame(hub, "src long, dst long"))
+    d_chain = effective_diameter(neighborhood_function(g_chain, max_hops=8))
+    d_hub = effective_diameter(neighborhood_function(g_hub, max_hops=8))
+    assert d_hub <= 2
+    assert d_chain > d_hub  # the chain saturates much later
