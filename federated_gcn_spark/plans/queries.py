@@ -3177,3 +3177,81 @@ def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return neighborhood_function(Graph.from_edges(edges), max_hops=4)
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)), 4) AS avg_len
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (null rates, cardinalities, ranges) — the
+    first query anyone runs on a new 100 TB drop. All aggregates ride a
+    single scan; the two countDistincts expand to one extra shuffle
+    each, still bounded by the distinct sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("null_text"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("null_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.round(F.avg(F.length("text").cast("double")), 4).alias("avg_len"),
+    )
+
+
+@register(
+    "integrity_report",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+          AS orders_missing_customer,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+          AS lineitems_missing_order,
+      CAST((SELECT COUNT(*) FROM (
+            SELECT c_custkey FROM customer
+            GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+          AS duplicate_custkeys
+    """,
+)
+def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit as anti joins + a duplicate-key scan —
+    the relational generalization of StellarGraph's construction check
+    (J1, graph.validated): dangling FKs and PK duplicates, one row."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orders_missing_customer"))
+    b = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("lineitems_missing_order"))
+    c = (
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("duplicate_custkeys"))
+    )
+    return a.crossJoin(b).crossJoin(c)
