@@ -3255,3 +3255,81 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("duplicate_custkeys"))
     )
     return a.crossJoin(b).crossJoin(c)
+
+
+@register(
+    "confusion_matrix",
+    """
+    WITH s AS (
+        SELECT CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS yhat,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(AVG(CASE WHEN y = yhat THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM s
+    """,
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix as one conditional aggregate pass —
+    the eval primitive behind the reference's per-round accuracy/
+    precision/recall logging (fl_client.py:139-160), at any scale one
+    map-side-combinable scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    yhat = F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0)
+    s = lineitem.select(y.alias("y"), yhat.alias("yhat"))
+    return s.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.round(
+            F.avg(F.when(F.col("y") == F.col("yhat"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "score_calibration",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS score_bin,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+    )
+    SELECT score_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(y), 6) AS positive_rate
+    FROM s GROUP BY score_bin
+    """,
+)
+def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table: fixed-width score bins vs observed positive
+    rate (fixed-width, not ntile, so bin edges are engine- and
+    layout-independent). One groupBy with map-side combine."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.floor(F.col("l_extendedprice") / 10000)
+            .cast("long")
+            .alias("score_bin"),
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("y"), 6).alias("positive_rate"),
+        )
+    )
