@@ -1,0 +1,56 @@
+"""Compare two bench.py JSON outputs per query.
+
+    python tools/bench_diff.py BENCH_r01.json bench_now.json [--tol 0.20]
+
+Accepts either the raw one-line bench.py output or the driver's
+BENCH_r{N}.json wrapper (with a "parsed" field). Exits 1 if any shared
+query regressed more than --tol (default 20%) — the VERDICT r01 rule
+that no query may regress >20% without a named reason.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    if "parsed" in data:
+        data = data["parsed"]
+    return data
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tol = 0.20
+    for a in sys.argv[1:]:
+        if a.startswith("--tol"):
+            tol = float(a.split("=", 1)[1]) if "=" in a else tol
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    regressions = []
+    print(f"{'query':32s} {'old':>8s} {'new':>8s} {'delta':>8s}")
+    for name in shared:
+        d = (nq[name] - oq[name]) / oq[name]
+        flag = " <-- REGRESSION" if d > tol else ""
+        if d > tol:
+            regressions.append((name, oq[name], nq[name], d))
+        print(f"{name:32s} {oq[name]:8.3f} {nq[name]:8.3f} {d:+7.1%}{flag}")
+    only_new = sorted(set(nq) - set(oq))
+    if only_new:
+        print(f"\nnew queries: {', '.join(only_new)}")
+    so, sn = sum(oq[n] for n in shared), sum(nq[n] for n in shared)
+    print(f"\nshared-query total: {so:.3f}s -> {sn:.3f}s ({(sn - so) / so:+.1%})")
+    if regressions:
+        print(f"\n{len(regressions)} regression(s) beyond {tol:.0%}:")
+        for name, a, b, d in regressions:
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s ({d:+.1%})")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
