@@ -118,6 +118,44 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    new file count.
+
+    Streaming sinks and fine-grained incremental writes accrete small
+    files; at scale the scan cost becomes file-open-bound (every file is
+    a footer read + task schedule) long before it is byte-bound.
+    Sizing uses the actual on-disk bytes, and ``sort_within_by``
+    re-sorts within output files so min/max row-group statistics stay
+    selective for downstream predicate skipping. The rewrite goes
+    through a temp dir then an atomic-enough rename, never reading and
+    overwriting the same live path in one job.
+    """
+    import shutil
+
+    size_b = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 # ---------------------------------------------------------------------------
 # Partitioned graph store (nodes/edges as Hive-partitioned parquet)
 # ---------------------------------------------------------------------------

@@ -2615,34 +2615,41 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: each stage is
     the first qualifying event strictly AFTER the previous stage's first
-    event. Three small user-keyed aggregates whose exchanges share one
-    partitioning (user_id) — no windows over raw events, no
-    driver-side loops."""
+    event.
+
+    ONE shuffle total: three frameless (whole-partition, no orderBy ⇒ no
+    sort) windows over the same user_id partitioning compute the staged
+    first-times — each sees the previous stage's column, Spark reuses
+    the single exchange — then a per-user dedup rides the same
+    partitioning and a final singleton aggregate counts the stages.
+    The join-per-stage spelling (the oracle's CTE chain) costs an
+    exchange per stage; this is the plan you want at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     t = events.select("user_id", "event_type", _event_epoch_sec(events).alias("sec"))
-    v = (
-        t.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("sec").alias("tv"))
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("sec"))).over(w)
+    staged = t.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("sec") > F.col("tv")),
+            F.col("sec"),
+        )
+    ).over(w)
+    staged = staged.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("sec") > F.col("tc")),
+            F.col("sec"),
+        )
+    ).over(w)
+    staged = staged.withColumn("tp", tp)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("tv").alias("tv"), F.first("tc").alias("tc"), F.first("tp").alias("tp")
     )
-    c = (
-        t.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("sec") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("sec").alias("tc"))
-    )
-    p = (
-        t.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("sec") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("sec").alias("tp"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    return per_user.agg(
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked_after_view"),
+        F.count("tp").alias("n_purchased_after_click"),
     )
 
 

@@ -63,3 +63,22 @@ def test_graph_store_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "partition_id" in plan.split(
         "PartitionFilters", 1
     )[1].split("\n", 1)[0], plan
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    import os
+
+    from federated_gcn_spark.catalog import compact_parquet
+
+    src = str(tmp_path / "shards")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(40).write.parquet(src)  # pathological small files
+    n_before = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_before >= 40
+
+    want = {r["doc_id"] for r in docs.collect()}
+    compact_parquet(spark, src, target_file_mb=128, sort_within_by=["doc_id"])
+    n_after = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    back = spark.read.parquet(src)
+    assert {r["doc_id"] for r in back.collect()} == want
+    assert n_after < n_before

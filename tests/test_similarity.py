@@ -145,3 +145,48 @@ def test_knn_join_matches_numpy_per_query(spark):
             want_id, want_sim = int(nid), round(float(-neg_sim), 9)
             assert got[(qid, rk)] == (want_id, want_sim), (qid, rk)
     assert len(got) == 20
+
+
+def test_topk_per_group_property(spark):
+    """Property (hypothesis): two-phase top-k == plain global window
+    top-k for arbitrary group sizes, duplicates, and partition layouts."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from federated_gcn_spark.operators.similarity import topk_per_group
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 4),              # group
+                st.integers(-50, 50),           # score (duplicates likely)
+                st.integers(0, 10**6),          # id (tiebreak)
+            ),
+            min_size=1,
+            max_size=120,
+            unique_by=lambda t: t[2],
+        ),
+        k=st.integers(1, 6),
+        nparts=st.integers(1, 9),
+    )
+    def check(rows, k, nparts):
+        df = spark.createDataFrame(
+            rows, "g int, score int, id long"
+        ).repartition(nparts)
+        order = [F.col("score").desc(), F.col("id")]
+        got = sorted(
+            (r["g"], r["rk"], r["id"])
+            for r in topk_per_group(df, ["g"], order, k).collect()
+        )
+        w = Window.partitionBy("g").orderBy(*order)
+        want = sorted(
+            (r["g"], r["rk"], r["id"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        )
+        assert got == want
+
+    check()
