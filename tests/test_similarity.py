@@ -190,3 +190,27 @@ def test_topk_per_group_property(spark):
         assert got == want
 
     check()
+
+
+def test_trimmed_mean_centroids_ignore_outliers(spark):
+    """Grouped-agg pandas UDF == numpy trimmed mean, and a planted
+    outlier moves the plain mean but not the trimmed centroid."""
+    import numpy as np
+
+    from federated_gcn_spark.operators.robust import trimmed_mean_centroids
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(loc=1.0, scale=0.01, size=(30, 8))
+    base[0] = 1000.0  # contamination
+    rows = [(0, [float(x) for x in v]) for v in base]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+
+    got = np.array(
+        trimmed_mean_centroids(df).collect()[0]["centroid"]
+    )
+    n, k = 30, 3
+    srt = np.sort(base, axis=0)
+    want = srt[k : n - k].mean(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert np.all(np.abs(got - 1.0) < 0.1)  # outlier rejected
+    assert abs(base.mean(axis=0)[0] - 1.0) > 10  # plain mean is dragged
