@@ -1,0 +1,49 @@
+"""Single-source BFS distances as a frontier fixpoint.
+
+The remaining classic graph primitive: hop distance from a source to
+every reachable vertex. Frontier expansion — join the current frontier
+with edges, keep only vertices not yet labeled (left_anti against the
+settled set), repeat until the frontier empties. Each round shuffles
+only the frontier (≤ |V| rows total across ALL rounds — every vertex
+enters a frontier exactly once), making this the cheapest of the
+engine's fixpoints; rounds = eccentricity of the source. Deterministic,
+and — unusually for the iterative ops — exactly expressible as a
+recursive SQL CTE, so the declared query gets a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def bfs_distances(
+    graph: Graph, source: int, max_hops: int = 50, undirected: bool = True
+) -> DataFrame:
+    """(id, distance) for every vertex reachable from ``source``."""
+    edges = (
+        graph.symmetrized_edges() if undirected else graph.edges.select(SRC, DST)
+    ).distinct().localCheckpoint(eager=True)
+
+    settled = graph.vertices.sparkSession.createDataFrame(
+        [(int(source), 0)], f"{ID} long, distance int"
+    )
+    settled = iteration_barrier(settled)
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[ID] == edges[SRC])
+            .select(F.col(DST).alias(ID))
+            .distinct()
+            .join(settled.select(ID), ID, "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        nxt = iteration_barrier(nxt)
+        if nxt.count() == 0:
+            break
+        settled = iteration_barrier(settled.unionByName(nxt))
+        frontier = nxt
+    return settled

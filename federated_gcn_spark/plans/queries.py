@@ -3340,3 +3340,92 @@ def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("y"), 6).alias("positive_rate"),
         )
     )
+
+
+@register(
+    "bfs_distances",
+    """
+    WITH RECURSIVE e AS (
+        SELECT n_nationkey + 100 AS a, n_regionkey AS b FROM nation
+        UNION ALL
+        SELECT n_regionkey AS a, n_nationkey + 100 AS b FROM nation
+    ), walk(id, distance) AS (
+        SELECT CAST(0 AS BIGINT) AS id, 0 AS distance
+        UNION
+        SELECT e.b AS id, walk.distance + 1
+        FROM walk JOIN e ON walk.id = e.a
+        WHERE walk.distance < 10
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(MIN(distance) AS BIGINT) AS distance
+    FROM walk GROUP BY id
+    """,
+)
+def bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (graph/bfs.py) over the nation↔region bipartite
+    graph from region 0 — the one iterative fixpoint with a FULL DuckDB
+    oracle (recursive CTE), so the superstep machinery itself gets
+    hash-checked, not just rows-counted."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.bfs import bfs_distances
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = nation.select(
+        (F.col("n_nationkey") + 100).alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    g = Graph.from_edges(edges.select(F.col("src").cast("long").alias("src"), "dst"))
+    out = bfs_distances(g, source=0)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+@register(
+    "linear_fit",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group via the SQL-standard regression
+    aggregates (regr_slope/intercept/r2) — distributed model fitting as
+    ONE map-side-combinable pass (the moments compose), no iterative
+    solver, no driver math."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 6
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )
+
+
+@register("robust_centroids")  # rows-only: grouped-agg pandas UDF (Arrow)
+def robust_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed-mean per-label centroids (operators/robust.py, the
+    grouped-agg pandas-UDF surface), first 4 dimensions in long format.
+    Numpy parity + outlier rejection pinned in test_similarity.py."""
+    from federated_gcn_spark.operators.robust import trimmed_mean_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    cent = trimmed_mean_centroids(emb)
+    return (
+        cent.select(
+            F.col("label").cast("int").alias("label"),
+            F.posexplode(F.slice("centroid", 1, 4)),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("dim_pos"),
+            F.round("col", 5).alias("centroid_val"),
+        )
+    )

@@ -98,3 +98,30 @@ def test_label_propagation_deterministic_across_layouts(spark):
         for r in label_propagation(Graph.from_edges(df2)).collect()
     )
     assert r1 == r2
+
+
+def test_bfs_distances_match_python(spark):
+    from collections import deque
+
+    from federated_gcn_spark.graph.bfs import bfs_distances
+
+    edges = _random_edges(40, 70, 9)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(adj)
+    want = {src: 0}
+    dq = deque([src])
+    while dq:
+        v = dq.popleft()
+        for u in adj[v]:
+            if u not in want:
+                want[u] = want[v] + 1
+                dq.append(u)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(Graph.from_edges(df), source=src).collect()
+    }
+    assert got == want
