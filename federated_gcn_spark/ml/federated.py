@@ -281,8 +281,16 @@ def federated_fit(
     fanouts: list[int] | None = None,
     eval_fraction: float = 0.0,
     mem_budget_gb: float | None = None,
+    initial_weights: list[np.ndarray] | None = None,
+    start_round: int = 0,
 ) -> tuple[list[np.ndarray], list[dict]]:
     """Run R federated rounds; returns (global weights, round log).
+
+    ``initial_weights`` + ``start_round`` resume a previous run (e.g.
+    from the versioned weights_sink): round numbering — and therefore
+    the per-round fanout-sampling seed stream — continues where it left
+    off, so fit(R) and fit(k) → resume(R-k) produce bit-identical
+    weights (test_federated.py pins this).
 
     nodes: (id, features ARRAY<FLOAT/DOUBLE>, partition_id)
     edges: (src, dst, partition_id)
@@ -327,7 +335,11 @@ def federated_fit(
         wave_partitions = [sorted(by_wave[w]) for w in sorted(by_wave)]
     global_model = GraphSAGELinkModel(feature_dim, layer_sizes, lr=lr, seed=seed,
                                       optimizer=optimizer, dropout=dropout)
-    global_weights = global_model.get_weights()
+    global_weights = (
+        [np.asarray(w, dtype="float64") for w in initial_weights]
+        if initial_weights is not None
+        else global_model.get_weights()
+    )
     history: list[dict] = []
 
     eval_pairs = None
@@ -340,7 +352,7 @@ def federated_fit(
 
     grouped_nodes = nodes.groupBy("partition_id")
 
-    for round_no in range(rounds):
+    for round_no in range(start_round, start_round + rounds):
         if fanouts:
             # re-sample every round (the generator re-samples every batch;
             # per-round is the distributed-cost-aware cadence) — G3 with

@@ -325,3 +325,25 @@ def test_scheduled_waves_bit_identical_to_unscheduled(spark):
     assert len(hist) == 2
     for a, b in zip(w_plain, w_sched):
         np.testing.assert_array_equal(a, b)
+
+
+def test_federated_fit_resume_bit_identical(spark, fl_result):
+    """fit(2 rounds) == fit(1) then resume(1) from its weights — the
+    round-numbered seed stream continues, so checkpoint/restart of a
+    long training job is loss-free."""
+    nodes, edges, weights_full, _ = fl_result
+    w1, h1 = federated_fit(
+        spark, nodes, edges, rounds=1, epochs=2, layer_sizes=(4, 4), seed=42,
+        fanouts=[3, 2],
+    )
+    w_resumed, h2 = federated_fit(
+        spark, nodes, edges, rounds=1, epochs=2, layer_sizes=(4, 4), seed=42,
+        fanouts=[3, 2], initial_weights=w1, start_round=1,
+    )
+    w_straight, _ = federated_fit(
+        spark, nodes, edges, rounds=2, epochs=2, layer_sizes=(4, 4), seed=42,
+        fanouts=[3, 2],
+    )
+    assert h2[0]["round"] == 1
+    for a, b in zip(w_resumed, w_straight):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
