@@ -3429,3 +3429,59 @@ def robust_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("col", 5).alias("centroid_val"),
         )
     )
+
+
+@register(
+    "monthly_revenue",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup via date_trunc — the date-dimension scalar
+    family through the gate (the reference never touches dates; the
+    engine inherits Spark's full date library and this pins its
+    cross-engine semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "weekday_activity",
+    """
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def weekday_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity histogram. Weekday numbering is a classic
+    cross-engine trap (Spark weekday: 0=Monday; DuckDB isodow:
+    1=Monday) — normalized to ISO here and hash-checked."""
+    events = load_table(spark, sf_dir, "events")
+    ts = F.timestamp_seconds(_event_epoch_sec(events))
+    return events.groupBy(
+        (F.weekday(ts) + 1).cast("long").alias("iso_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
