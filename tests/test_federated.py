@@ -214,7 +214,11 @@ def test_federated_fit_fanout_minibatch_with_eval_metrics(spark):
     w2, h2 = federated_fit(spark, nodes, edges, **kw)
     for a, b in zip(weights, w2):
         np.testing.assert_allclose(a, b, rtol=1e-12)
-    assert [h["loss"] for h in history] == [h["loss"] for h in h2]
+    # eval loss is a Spark float aggregate: summation order varies with
+    # task scheduling, so runs agree to ~ULP, not bit-for-bit
+    np.testing.assert_allclose(
+        [h["loss"] for h in history], [h["loss"] for h in h2], rtol=1e-12
+    )
 
 
 def test_eval_metrics_pinned_against_numpy(spark):
