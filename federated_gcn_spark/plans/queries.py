@@ -3485,3 +3485,130 @@ def weekday_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "session_stats",
+    """
+    WITH t AS (
+        SELECT user_id, event_id, value,
+               epoch_ns(ts) // 1000000000 AS sec
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, value, sec,
+               CASE WHEN sec - LAG(sec) OVER w > 600
+                         OR LAG(sec) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sessions AS (
+        SELECT user_id, value, sec,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY sec, event_id) AS session_no
+        FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sessionization (not just counts): session ids assigned by a
+    cumulative sum over new-session flags, then per-session duration /
+    event count / value. Both windows and the final groupBy share ONE
+    user_id partitioning, so the whole thing is a single exchange plus
+    ordered scans — the batch twin of session_window with aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id", "event_id", "value", _event_epoch_sec(events).alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = t.withColumn(
+        "is_new",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > 600, 1
+        ).when(F.lag("sec").over(w).isNull(), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "supplier_lift",
+    """
+    WITH pairs AS (
+        SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+               COUNT(DISTINCT a.l_orderkey) AS n_both
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), singles AS (
+        SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY 1
+    ), total AS (
+        SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n FROM orders
+    )
+    SELECT supp_a, supp_b, CAST(n_both AS BIGINT) AS n_both,
+           ROUND(n_both * (SELECT n FROM total)
+                 / (sa.n_orders * CAST(sb.n_orders AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.l_suppkey = supp_a
+    JOIN singles sb ON sb.l_suppkey = supp_b
+    ORDER BY n_both DESC, supp_a, supp_b LIMIT 20
+    """,
+)
+def supplier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over the order→supplier
+    bipartite graph. The pair join is keyed on l_orderkey, so pairs only
+    form WITHIN an order (items-per-order bounded) — the same
+    never-cross-product discipline as the LSH bucket joins — and the
+    marginals broadcast back onto the top pairs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ok = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a = ok.toDF("l_orderkey", "supp_a")
+    b = ok.toDF("l_orderkey", "supp_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    singles = ok.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.agg(
+        F.countDistinct("o_orderkey").cast("double").alias("n")
+    )
+    top = pairs.orderBy(F.col("n_both").desc(), "supp_a", "supp_b").limit(20)
+    return (
+        top.join(
+            F.broadcast(singles.toDF("supp_a", "na")), "supp_a"
+        )
+        .join(F.broadcast(singles.toDF("supp_b", "nb")), "supp_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "supp_a", "supp_b")
+    )
