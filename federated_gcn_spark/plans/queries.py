@@ -3612,3 +3612,49 @@ def supplier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_both").desc(), "supp_a", "supp_b")
     )
+
+
+@register(
+    "weighted_neighbor_value",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS id,
+           ROUND(SUM(l_quantity * o_totalprice) / SUM(l_quantity), 6)
+               AS weighted_avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    """,
+)
+def weighted_neighbor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-WEIGHTED message passing (J2 + edge attributes, which the
+    reference's unweighted graphs never exercise): per supplier, the
+    quantity-weighted mean of neighboring orders' totalprice, via
+    Graph.aggregate_messages with a weight-carrying msg expression."""
+    from federated_gcn_spark.graph import Graph
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    vertices = orders.select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("price")
+    ).unionByName(
+        lineitem.select(F.col("l_suppkey").alias("id"), F.lit(0.0).alias("price"))
+    ).groupBy("id").agg(F.max("price").alias("price"))
+    edges = lineitem.select(
+        F.col("l_orderkey").alias("src"),
+        F.col("l_suppkey").alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+    g = Graph(vertices, edges)
+    msgs = g.aggregate_messages(
+        msg=F.col("weight") * F.col("src_price"),
+        agg=F.sum("_msg") / F.sum("weight"),  # result lands in column "agg"
+        direction="dst",
+    )
+    counts = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    return msgs.join(counts, "id").select(
+        F.col("id").cast("long").alias("id"),
+        F.round("agg", 6).alias("weighted_avg_price"),
+        "n_edges",
+    )
