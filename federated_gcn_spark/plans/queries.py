@@ -3658,3 +3658,32 @@ def weighted_neighbor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("agg", 6).alias("weighted_avg_price"),
         "n_edges",
     )
+
+
+@register("logistic_coeffs")  # rows-only: iterative GD, not SQL-expressible
+def logistic_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/logistic.py) — predict
+    returnflag='R' from standardized (l_quantity, l_extendedprice,
+    l_discount): every GD step is ONE map-side-combinable aggregate with
+    the weights inlined as literals; no Python, no MLlib. Numpy GD
+    parity pinned in test_sketch.py."""
+    from federated_gcn_spark.operators.logistic import logistic_fit
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    df = lineitem.select(
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    w, b = logistic_fit(
+        df, ["l_quantity", "l_extendedprice", "l_discount"], "y",
+        lr=0.5, iterations=10,
+    )
+    rows = [
+        ("l_quantity", round(float(w[0]), 6)),
+        ("l_extendedprice", round(float(w[1]), 6)),
+        ("l_discount", round(float(w[2]), 6)),
+        ("__intercept__", round(float(b), 6)),
+    ]
+    return spark.createDataFrame(rows, "feature string, coefficient double")

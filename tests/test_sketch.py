@@ -98,3 +98,34 @@ def test_streaming_incremental_distinct_counts(spark, tmp_path):
     assert got == single  # sketch merge is exactly associative
     for t, n in exact.items():
         assert abs(got[t] - n) / n <= 0.05
+
+
+def test_logistic_fit_matches_numpy_gd(spark):
+    """Catalyst-expression GD == the same GD in numpy (tight tolerance;
+    float sum order is the only difference), and the fit separates a
+    separable synthetic."""
+    import numpy as np
+
+    from federated_gcn_spark.operators.logistic import logistic_fit
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    X = rng.normal(size=(n, 2))
+    yv = (X[:, 0] + 2 * X[:, 1] + rng.normal(scale=0.3, size=n) > 0).astype(float)
+    rows = [(float(a), float(b), float(c)) for (a, b), c in zip(X, yv)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double")
+
+    w, b = logistic_fit(df, ["f1", "f2"], "y", lr=0.5, iterations=30,
+                        standardize=False)
+
+    wn = np.zeros(2); bn = 0.0
+    for _ in range(30):
+        z = X @ wn + bn
+        r = 1 / (1 + np.exp(-z)) - yv
+        wn -= 0.5 * (r[:, None] * X).mean(axis=0)
+        bn -= 0.5 * r.mean()
+    np.testing.assert_allclose(w, wn, rtol=1e-9)
+    assert abs(b - bn) < 1e-9
+    acc = ((1 / (1 + np.exp(-(X @ w + b))) > 0.5) == (yv == 1)).mean()
+    assert acc > 0.9
+    assert w[1] > w[0] > 0  # recovers the 1:2 coefficient structure
