@@ -3687,3 +3687,61 @@ def logistic_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("__intercept__", round(float(b), 6)),
     ]
     return spark.createDataFrame(rows, "feature string, coefficient double")
+
+
+@register(
+    "value_anomalies",
+    """
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(m.med, 6) AS median_value,
+           ROUND(d.mad, 6) AS mad_value
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value deviates from
+    the per-type median by more than 3 MAD (median absolute deviation) —
+    outlier-resistant where mean±3σ is dragged by the outliers
+    themselves. Exact medians via percentile on both engines; the two
+    median passes and the flag pass all shuffle on event_type only, and
+    the tiny per-type stats broadcast back onto the scan."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    flagged = events.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.first("mad"), 6).alias("mad_value"),
+    )
