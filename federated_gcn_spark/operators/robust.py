@@ -24,9 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
 
 
-@pandas_udf("array<double>")
+# returnType as a DataType object, not a DDL string: string parsing needs
+# an active SparkContext, which would make this module unimportable
+# before a session exists
+@pandas_udf(ArrayType(DoubleType()))
 def _trimmed_mean_10(vectors: pd.Series) -> list[float]:
     """Per-dimension 10%-trimmed mean of a series of equal-length arrays."""
     mat = np.asarray([np.asarray(v, dtype="float64") for v in vectors])

@@ -129,3 +129,28 @@ def test_logistic_fit_matches_numpy_gd(spark):
     acc = ((1 / (1 + np.exp(-(X @ w + b))) > 0.5) == (yv == 1)).mean()
     assert acc > 0.9
     assert w[1] > w[0] > 0  # recovers the 1:2 coefficient structure
+
+
+def test_hll_state_fold_is_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch retries re-deliver a batch; HLL union over the same
+    elements is a set-union, so re-folding an identical batch must not
+    change any estimate — the exactly-once-effect property the streaming
+    cardinality sink relies on."""
+    from federated_gcn_spark.streaming.cardinality import (
+        merge_sketch_state,
+        read_distinct_counts,
+    )
+
+    ev = _events(spark)
+    state = str(tmp_path / "state")
+    merge_sketch_state(spark, ev, state, "event_type", "user_id")
+    once = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in read_distinct_counts(spark, state, "event_type").collect()
+    }
+    merge_sketch_state(spark, ev, state, "event_type", "user_id")  # replay
+    twice = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in read_distinct_counts(spark, state, "event_type").collect()
+    }
+    assert once == twice
