@@ -134,3 +134,21 @@ def mixture_sample(
         .where(uniform_fraction(key_col, seed) < F.col("_frac"))
         .drop("_frac")
     )
+
+
+def kfold_assignment(
+    df: DataFrame, k: int, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Append a deterministic ``fold`` column in [0, k).
+
+    fold = floor(u(key) · k) with the portable LCG selector — the same
+    row lands in the same fold on any cluster layout, any partitioning,
+    and in any SQL engine (the oracle reproduces it verbatim), which is
+    what makes cross-validation splits and held-out evals reproducible
+    across runs and engines. A narrow projection: no shuffle.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = F.floor(uniform_fraction(key_col, seed) * k).cast("int")
+    # u < 1 strictly, but guard the k boundary against float edge cases
+    return df.withColumn("fold", F.least(fold, F.lit(k - 1)))

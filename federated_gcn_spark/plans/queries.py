@@ -3828,3 +3828,33 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "kfold_split_stats",
+    """
+    WITH f AS (
+        SELECT lang,
+               LEAST(CAST(FLOOR(
+                   (((doc_id + 42) % 2147483648) * 1103515245 + 12345)
+                   % 2147483648 / 2147483648.0 * 5) AS INT), 4) AS fold
+        FROM documents
+    )
+    SELECT lang, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY lang, fold
+    """,
+)
+def kfold_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (operators/sample.kfold_assignment): per-(lang, fold) counts. The
+    fold function is the portable LCG, reproduced verbatim in the
+    oracle — same split in any engine, on any layout."""
+    from federated_gcn_spark.operators.sample import kfold_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assignment(docs, k=5, key_col="doc_id")
+        .groupBy("lang", F.col("fold").cast("long").alias("fold"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

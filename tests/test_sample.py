@@ -59,3 +59,25 @@ def test_sample_fractions_nest(spark):
     small = {r["k"] for r in deterministic_sample(df, 0.2, "k", seed=5).collect()}
     big = {r["k"] for r in deterministic_sample(df, 0.3, "k", seed=5).collect()}
     assert small < big
+
+
+def test_kfold_assignment_partitions_every_row_exactly_once(spark):
+    from federated_gcn_spark.operators.sample import kfold_assignment
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    folds = kfold_assignment(df, k=5, key_col="doc_id")
+    rows = folds.collect()
+    assert len(rows) == 2000
+    by_fold = {}
+    for r in rows:
+        assert 0 <= r["fold"] < 5
+        by_fold[r["fold"]] = by_fold.get(r["fold"], 0) + 1
+    assert set(by_fold) == {0, 1, 2, 3, 4}
+    assert all(n > 250 for n in by_fold.values())  # roughly balanced
+    # layout-independent: same assignment after adversarial repartition
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in kfold_assignment(df.repartition(17), k=5, key_col="doc_id").collect()
+    }
+    first = {r["doc_id"]: r["fold"] for r in rows}
+    assert first == again
