@@ -3858,3 +3858,46 @@ def kfold_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", F.col("fold").cast("long").alias("fold"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "rolling_weekly_revenue",
+    """
+    WITH d AS (
+        SELECT event_type,
+               epoch_ns(ts) // 86400000000000 AS day,
+               SUM(value) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           ROUND(SUM(day_value) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS weekly_value
+    FROM d
+    """,
+)
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (trailing 7 calendar days by VALUE, not row
+    count — silent days shrink the sum, unlike a ROWS frame) over
+    pre-aggregated daily totals: the window input is |types|x|days|
+    rows, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    sec = _event_epoch_sec(events)
+    d = (
+        events.select(
+            "event_type", ((sec - sec % 86400) / 86400).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.round(F.sum("day_value").over(w), 6).alias("weekly_value"),
+    )
