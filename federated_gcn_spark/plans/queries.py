@@ -3901,3 +3901,97 @@ def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(F.sum("day_value").over(w), 6).alias("weekly_value"),
     )
+
+
+@register(
+    "scd2_user_value_versions",
+    """
+    WITH t AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000000000 AS sec,
+               event_id,
+               CAST(FLOOR(value / 25) AS BIGINT) AS tier
+        FROM events
+    ), flagged AS (
+        SELECT *, LAG(tier) OVER w AS prev_tier
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), versions AS (
+        SELECT user_id, sec, event_id, tier FROM flagged
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sec AS BIGINT) AS valid_from_sec,
+           CAST(LEAD(sec) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS BIGINT)
+               AS valid_to_sec,
+           tier
+    FROM versions
+    """,
+)
+def scd2_user_value_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) derivation: collapse a change
+    stream into validity intervals — keep only rows whose tier CHANGED
+    (lag), then close each version with the next change's timestamp
+    (lead, NULL = current). Change detection, versioning, and interval
+    assembly all share one user_id window partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id",
+        _event_epoch_sec(events).alias("sec"),
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = t.withColumn("prev_tier", F.lag("tier").over(w))
+    versions = flagged.where(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    return versions.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("sec").cast("long").alias("valid_from_sec"),
+        F.lead("sec").over(w).cast("long").alias("valid_to_sec"),
+        "tier",
+    )
+
+
+@register(
+    "revenue_share",
+    """
+    WITH r AS (
+        SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    FROM r
+    """,
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window — safe here because
+    it runs AFTER the aggregate, over |nations| rows, not the fact
+    table (the general rule: global windows only over already-reduced
+    inputs)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return r.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
