@@ -3995,3 +3995,89 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "readability_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE)
+                   AS words,
+               CAST(len(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                   AS DOUBLE) AS syllables,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS DOUBLE)
+                   AS sentences
+        FROM documents WHERE TRIM(text) <> ''
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(206.835 - 1.015 * (words / sentences)
+                         - 84.6 * (syllables / words), 4) AS flesch
+    FROM t
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard cheap proxies
+    (vowel-group count for syllables, terminal punctuation + 1 for
+    sentences) — a quality-filter signal computed entirely in codegen
+    regexp expressions fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    words = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("double")
+    sentences = (
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")) + 1
+    ).cast("double")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "price_band_join",
+    """
+    WITH bands AS (
+        SELECT band_id, band_id * 25000.0 AS lo, (band_id + 1) * 25000.0 AS hi
+        FROM (SELECT UNNEST(generate_series(0, 4)) AS band_id)
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    """,
+)
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi join: each band spans exactly one
+    floor(price/width) bucket, so the theta predicate (>= lo AND < hi)
+    becomes a hash join on the bucket id. At 100 TB a theta join is a
+    broadcast-nested-loop disaster; aligning bands to buckets (or
+    splitting bands into covering buckets) is the standard rewrite that
+    keeps it a shuffle-free broadcast hash join. Oracle keeps the theta
+    spelling."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spark_bands = spark.range(0, 5).select(
+        F.col("id").cast("long").alias("band_id")
+    )
+    bucketed = lineitem.select(
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / 25000).cast("long").alias("band_id"),
+    )
+    return (
+        bucketed.join(F.broadcast(spark_bands), "band_id")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
