@@ -4081,3 +4081,29 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "acctbal_percentiles",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey), 6)
+               AS cume
+    FROM customer
+    """,
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per nation with a unique order key (ties
+    would make both engine-dependent otherwise) — the rank-statistics
+    window family the AUC computation builds on, exposed directly."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
