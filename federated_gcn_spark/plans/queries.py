@@ -4107,3 +4107,88 @@ def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "bm25_search",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len(toks) AS DOUBLE)) AS avgdl
+        FROM d
+    ), tf AS (
+        SELECT doc_id, UNNEST(toks) AS term FROM d
+    ), tfc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ('spark', 'shuffle', 'broadcast')
+        GROUP BY doc_id, term
+    ), dfc AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfc GROUP BY term
+    ), dl AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+    )
+    SELECT CAST(tfc.doc_id AS BIGINT) AS doc_id,
+           ROUND(SUM(
+               LN(1 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+           ), 6) AS bm25
+    FROM tfc
+    JOIN dfc USING (term)
+    JOIN dl ON dl.doc_id = tfc.doc_id
+    GROUP BY tfc.doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for the query {spark, shuffle,
+    broadcast}: top-20 docs. The retrieval primitive behind
+    contamination search and RAG-corpus indexing — term filter pushes
+    into the explode so only query-term postings survive, corpus stats
+    ride as a broadcast single row, and the final top-20 is
+    TakeOrdered."""
+    terms = ["spark", "shuffle", "broadcast"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    tfc = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6
+            ).alias("bm25")
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "bm25")
+    )
