@@ -39,7 +39,11 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 
 def oriented_by_degree(und: DataFrame) -> DataFrame:
     """Orient each undirected edge from the endpoint with lower
-    (degree, id) toward the higher one. Output columns (u, v)."""
+    (degree, id) toward the higher one. Output columns (u, v, deg_v) —
+    deg_v rides along because downstream wedge pairing must order
+    endpoints by the SAME (degree, id) key: ordering wedge pairs by
+    bare id while edges are degree-oriented silently drops every
+    triangle whose id order disagrees with its degree order."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -59,7 +63,29 @@ def oriented_by_degree(und: DataFrame) -> DataFrame:
     return j.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
     )
+
+
+def _oriented_wedge_triangles(ori: DataFrame) -> DataFrame:
+    """(u, x, y) rows, one per triangle, from degree-oriented edges.
+
+    The wedge pair (x, y) is ordered by (deg, id) — the orientation key
+    — so the closing edge is always stored as (x → y) and the lookup is
+    a plain equi join.
+    """
+    e1 = ori.select(
+        F.col("u"), F.col("v").alias("x"), F.col("deg_v").alias("dx")
+    )
+    e2 = ori.select(
+        F.col("u"), F.col("v").alias("y"), F.col("deg_v").alias("dy")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedge_pairs = e1.join(e2, "u").where(x_first)
+    closing = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedge_pairs.join(closing, ["x", "y"]).select("u", "x", "y")
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -69,13 +95,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     und = edges.transform(undirected_edges).localCheckpoint(eager=False)
     ori = oriented_by_degree(und)
 
-    e1 = ori.select(F.col("u"), F.col("v").alias("x"))
-    e2 = ori.select(F.col("u"), F.col("v").alias("y"))
-    wedge_pairs = e1.join(e2, "u").where(F.col("x") < F.col("y"))
-    closing = ori.select(
-        F.col("u").alias("x"), F.col("v").alias("y")
-    )
-    tri = wedge_pairs.join(closing, ["x", "y"]).agg(
+    tri = _oriented_wedge_triangles(ori).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
 
@@ -99,4 +119,44 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.col("n_wedges") > 0,
             F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).otherwise(F.lit(0.0)).alias("clustering"),
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, lcc) — per-vertex local clustering
+    coefficient lcc = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2.
+
+    Reuses the degree-oriented enumeration (each triangle surfaces
+    exactly once as (u, x, y)), then credits all three corners with one
+    union + groupBy — per-vertex counts cost one extra combinable
+    aggregate over 3·|triangles| rows, nothing quadratic."""
+    und = edges.transform(undirected_edges).localCheckpoint(eager=False)
+    ori = oriented_by_degree(und).localCheckpoint(eager=False)
+
+    tris = _oriented_wedge_triangles(ori)
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.join(corners, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("lcc"),
     )

@@ -4192,3 +4192,63 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "bm25")
     )
+
+
+@register(
+    "local_clustering",
+    """
+    WITH co AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ), tri AS (
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM co e1
+        JOIN co e2 ON e2.s1 = e1.s2
+        JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ), tc AS (
+        SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT s1 AS node FROM co UNION ALL SELECT s2 FROM co
+        ) GROUP BY node
+    )
+    SELECT CAST(deg.node AS BIGINT) AS node,
+           CAST(deg AS BIGINT) AS deg,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg >= 2 THEN ROUND(
+                2.0 * COALESCE(n_triangles, 0) / (deg * (deg - 1.0)), 6)
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+    """,
+)
+def local_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the supplier
+    co-occurrence graph (graph/triangles.local_clustering — degree-
+    oriented enumeration keeps the wedge join O(sqrt m) per vertex; the
+    oracle enumerates the same triangle set with id-ordered joins)."""
+    from federated_gcn_spark.graph.triangles import local_clustering
+
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    ok = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a = ok.toDF("l_orderkey", "s1")
+    b = ok.toDF("l_orderkey", "s2")
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return local_clustering(co).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        "n_triangles",
+        "lcc",
+    )

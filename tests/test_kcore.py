@@ -125,3 +125,42 @@ def test_bfs_distances_match_python(spark):
         for r in bfs_distances(Graph.from_edges(df), source=src).collect()
     }
     assert got == want
+
+
+def test_triangle_counts_match_brute_force_on_skewed_degrees(spark):
+    """Regression for the wedge-ordering bug: ordering wedge pairs by id
+    while edges are (degree, id)-oriented drops every triangle whose id
+    order disagrees with its degree order — invisible on regular graphs
+    (the old oracle's ring had uniform degree), certain on skewed ones."""
+    import itertools
+
+    from federated_gcn_spark.graph.triangles import (
+        local_clustering,
+        triangle_stats,
+    )
+
+    for seed in (4, 23):
+        edges = _random_edges(25, 120, seed)
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        brute = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        per_vertex = {
+            v: sum(
+                1
+                for a, b in itertools.combinations(sorted(adj[v]), 2)
+                if b in adj[a]
+            )
+            for v in adj
+        }
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert triangle_stats(df).collect()[0]["n_triangles"] == brute
+        got = {
+            r["node"]: r["n_triangles"] for r in local_clustering(df).collect()
+        }
+        assert {v: got.get(v, 0) for v in adj} == per_vertex
