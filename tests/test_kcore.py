@@ -164,3 +164,38 @@ def test_triangle_counts_match_brute_force_on_skewed_degrees(spark):
             r["node"]: r["n_triangles"] for r in local_clustering(df).collect()
         }
         assert {v: got.get(v, 0) for v in adj} == per_vertex
+
+
+def test_connected_components_match_union_find_on_random_graphs(spark):
+    """Differential on skewed random graphs (same rigor as the triangle
+    regression): large-star/small-star must agree with a pure-Python
+    union-find, component by component."""
+    from federated_gcn_spark.graph.components import connected_components
+
+    for seed in (2, 31):
+        edges = _random_edges(60, 70, seed)  # sparse -> many components
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        want = {}
+        for u, v in edges:
+            for n in (u, v):
+                want.setdefault(find(n), set()).add(n)
+        want_sets = sorted(sorted(s) for s in want.values())
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {}
+        for r in connected_components(Graph.from_edges(df)).collect():
+            got.setdefault(r["component"], set()).add(r["id"])
+        got_sets = sorted(sorted(s) for s in got.values())
+        assert got_sets == want_sets
+        # canonical labeling: every component labeled by its min member
+        assert all(min(s) == c for c, s in got.items())
