@@ -199,3 +199,80 @@ def test_connected_components_match_union_find_on_random_graphs(spark):
         assert got_sets == want_sets
         # canonical labeling: every component labeled by its min member
         assert all(min(s) == c for c, s in got.items())
+
+
+def _random_connected_edges(n, extra, seed):
+    rng = random.Random(seed)
+    nodes = list(range(n))
+    rng.shuffle(nodes)
+    es = set()
+    for i in range(1, n):  # random spanning tree first
+        a, b = nodes[rng.randrange(i)], nodes[i]
+        es.add((min(a, b), max(a, b)))
+    while len(es) < n - 1 + extra:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    return sorted(es)
+
+
+def test_pagerank_numpy_parity_on_random_graph_with_dangling(spark):
+    import numpy as np
+
+    from federated_gcn_spark.graph import pagerank
+
+    # directed edges incl. guaranteed dangling sinks (no out-edges)
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(30), 30 + rng.randrange(5)) for _ in range(60)}
+                   | {(rng.randrange(30), rng.randrange(30)) for _ in range(40)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df)
+    got = {r["id"]: r["rank"] for r in pagerank(g, 0.85, 8).collect()}
+    ids = sorted(got)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for u, v in set(edges):
+        A[pos[v], pos[u]] = 1.0
+    out = A.sum(axis=0)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dangling = rank[out == 0].sum()
+        spread = np.where(out > 0, rank / np.maximum(out, 1), 0.0)
+        rank = (1 - 0.85) / n + 0.85 * (A @ spread + dangling / n)
+    for v in ids:
+        assert abs(got[v] - rank[pos[v]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_split_keeps_residual_connected_on_random_graphs(spark):
+    from federated_gcn_spark.graph.split import connectivity_preserving_split
+
+    for seed in (5, 17):
+        edges = _random_connected_edges(40, 30, seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph.from_edges(df)
+        res = connectivity_preserving_split(g, p=0.2, seed=seed)
+        residual = {
+            (r["src"], r["dst"]) for r in res.residual.collect()
+        }
+        removed = {(r["src"], r["dst"]) for r in res.positives.collect()}
+        assert removed and residual
+        assert not (removed & residual)
+        # residual must still connect every original vertex
+        adj = {}
+        for u, v in residual:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        all_nodes = {x for e in edges for x in e}
+        start = next(iter(all_nodes))
+        seen = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert seen == all_nodes
