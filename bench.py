@@ -56,6 +56,13 @@ HEADLINE = [
     "unigram_nll",
     "salted_join_revenue",
     "max_acctbal_customer",
+    "session_stats",
+    "supplier_lift",
+    "bm25_search",
+    "value_anomalies",
+    "linear_fit",
+    "monthly_revenue",
+    "local_clustering",
 ]
 
 
