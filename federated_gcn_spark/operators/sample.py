@@ -152,3 +152,27 @@ def kfold_assignment(
     fold = F.floor(uniform_fraction(key_col, seed) * k).cast("int")
     # u < 1 strictly, but guard the k boundary against float edge cases
     return df.withColumn("fold", F.least(fold, F.lit(k - 1)))
+
+
+def weighted_sample(
+    df: DataFrame, n: int, weight_col: str, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws key = -ln(u)/w with u from the
+    portable LCG, and the n smallest keys win — inclusion probability
+    proportional to weight, layout-independent, and reproducible in any
+    SQL engine (the oracle spells the identical arithmetic). The
+    importance-sampling primitive for quality-weighted corpus selection.
+    Selection is TakeOrdered, never a global sort."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    u = uniform_fraction(key_col, seed) * (1.0 - 1e-12) + 1e-12
+    w = F.col(weight_col).cast("double")
+    race = (-F.log(u) / w).alias("__race")
+    return (
+        df.where(w > 0)
+        .withColumn("__race", race)
+        .orderBy("__race", key_col)
+        .limit(n)
+        .drop("__race")
+    )

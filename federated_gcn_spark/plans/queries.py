@@ -4252,3 +4252,31 @@ def local_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         "lcc",
     )
+
+
+@register(
+    "quality_weighted_sample",
+    """
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS DOUBLE) AS w,
+               (((doc_id + 42) % 2147483648) * 1103515245 + 12345)
+                   % 2147483648 / 2147483648.0 * (1 - 1e-12) + 1e-12 AS u
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM q ORDER BY -LN(u) / w, doc_id LIMIT 50
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sample.weighted_sample, Efraimidis-Spirakis race keyed by
+    the portable LCG): 50 docs with inclusion odds proportional to
+    length — the importance-sampling primitive for quality-weighted
+    corpus selection, reproduced bit-for-bit by the oracle."""
+    from federated_gcn_spark.operators.sample import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return weighted_sample(
+        docs, n=50, weight_col="n_chars", key_col="doc_id"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")

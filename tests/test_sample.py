@@ -81,3 +81,21 @@ def test_kfold_assignment_partitions_every_row_exactly_once(spark):
     }
     first = {r["doc_id"]: r["fold"] for r in rows}
     assert first == again
+
+
+def test_weighted_sample_is_deterministic_and_biased_by_weight(spark):
+    from federated_gcn_spark.operators.sample import weighted_sample
+
+    # ids 0..199 weight 1; ids 200..219 weight 50
+    rows = [(i, 1.0) for i in range(200)] + [(i, 50.0) for i in range(200, 220)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, 40, "w", "doc_id").collect()}
+    assert len(got) == 40
+    heavy = sum(1 for i in got if i >= 200)
+    # heavy ids are 9% of rows but 83% of total weight -> dominate the sample
+    assert heavy >= 10
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), 40, "w", "doc_id").collect()
+    }
+    assert got == again  # layout-independent
