@@ -133,8 +133,10 @@ def compact_parquet(
     Sizing uses the actual on-disk bytes, and ``sort_within_by``
     re-sorts within output files so min/max row-group statistics stay
     selective for downstream predicate skipping. The rewrite goes
-    through a temp dir then an atomic-enough rename, never reading and
-    overwriting the same live path in one job.
+    through a temp dir then a rename-aside swap (old dir moved aside
+    before the new one moves in), so a crash at any point leaves a fully
+    intact copy of the data on disk; callers must still quiesce readers
+    across the swap.
     """
     import shutil
 
@@ -149,10 +151,21 @@ def compact_parquet(
     out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp = base + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Swap via rename-aside: at no point is the live path missing its data.
+    # A crash after the first rename leaves the dataset at `__old` (fully
+    # intact, recoverable); a crash after the second leaves the new data
+    # live plus a stale `__old` to garbage-collect. Concurrent readers must
+    # still quiesce across the swap (renames are atomic per-path, not as a
+    # pair).
+    old = base + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 

@@ -43,8 +43,13 @@ def logistic_fit(
             *[F.avg(c).alias(f"m{i}") for i, c in enumerate(cols)],
             *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(cols)],
         ).collect()[0]
+        if any(stats[f"m{i}"] is None for i in range(len(cols))):
+            raise ValueError(
+                "logistic_fit: empty input or all-null feature column "
+                "(aggregate stats returned NULL)"
+            )
         cols = [
-            (c - F.lit(stats[f"m{i}"])) / F.lit(max(stats[f"s{i}"], 1e-12))
+            (c - F.lit(stats[f"m{i}"])) / F.lit(max(stats[f"s{i}"] or 0.0, 1e-12))
             for i, c in enumerate(cols)
         ]
 

@@ -3125,7 +3125,10 @@ def ppr_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     g = Graph.from_edges(edges)
-    seeds = [r["src"] for r in edges.select("src").orderBy("src").limit(2).collect()]
+    seeds = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
     ranks = personalized_pagerank(g, seeds, damping=0.85, max_iterations=5)
     return (
         ranks.orderBy(F.col("rank").desc(), "id")

@@ -10,8 +10,8 @@ that no query may regress >20% without a named reason.
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def load(path: str) -> dict:
@@ -23,12 +23,13 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tol = 0.20
-    for a in sys.argv[1:]:
-        if a.startswith("--tol"):
-            tol = float(a.split("=", 1)[1]) if "=" in a else tol
-    old, new = load(args[0]), load(args[1])
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old", help="baseline bench JSON")
+    p.add_argument("new", help="candidate bench JSON")
+    p.add_argument("--tol", type=float, default=0.20, help="regression gate")
+    ns = p.parse_args()
+    old, new = load(ns.old), load(ns.new)
+    tol = ns.tol
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     regressions = []
