@@ -68,6 +68,37 @@ def neighborhood_function(
     return spark.createDataFrame(rows, "hop int, reachable_pairs double")
 
 
+def exact_neighborhood_function(graph: Graph, max_hops: int = 6) -> DataFrame:
+    """(hop, reachable_pairs) for hop = 0..max_hops — EXACT.
+
+    Materializes the full reachability relation: per hop, the distinct
+    (source, reached) pair set grows by one frontier expansion (join on
+    the symmetrized edge list + distinct). State is O(Σ_v |B(v, h)|)
+    rows — quadratic on dense graphs — so this is the small/medium-graph
+    exactness anchor (it hash-checks the superstep machinery against a
+    recursive-CTE SQL oracle and pins HyperANF's error bound in tests);
+    ``neighborhood_function`` (HLL sketches, O(n · sketch) state) is the
+    100 TB path. Same superstep shape either way: one equi-join + one
+    distinct/groupBy shuffle per hop, lineage cut per hop.
+    """
+    spark = graph.vertices.sparkSession
+    edges = graph.symmetrized_edges().select(SRC, DST).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    reach = graph.vertices.select(
+        F.col(ID).alias("origin"), F.col(ID).alias("reached")
+    )
+    reach = iteration_barrier(reach)
+    rows = [(0, reach.count())]
+    for hop in range(1, max_hops + 1):
+        step = reach.join(
+            edges.withColumnRenamed(SRC, "reached"), "reached"
+        ).select("origin", F.col(DST).alias("reached"))
+        reach = iteration_barrier(reach.unionByName(step).distinct())
+        rows.append((hop, reach.count()))
+    return spark.createDataFrame(rows, "hop int, reachable_pairs bigint")
+
+
 def effective_diameter(
     nf: DataFrame, quantile: float = 0.9
 ) -> int:

@@ -1843,11 +1843,60 @@ def price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pagerank_top")  # rows-only: iterative fixpoint, no SQL oracle
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled power-iteration oracle: a fixed iteration count needs no
+    recursive aggregation (which SQL recursion forbids) — each superstep
+    is one CTE pair (contributions join-agg, then the damped update with
+    dangling mass redistributed uniformly), exactly the update rule of
+    graph/pagerank.pagerank. Generated, committed-as-text SQL."""
+    d = damping
+    parts = [
+        """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), v AS (
+        SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+    ), deg AS (
+        SELECT v.id, COUNT(e.src) AS outdeg
+        FROM v LEFT JOIN e ON e.src = v.id GROUP BY v.id
+    ), nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    r0 AS (
+        SELECT id, outdeg, 1.0 / (SELECT n FROM nv) AS pr FROM deg
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f""", c{t} AS (
+        SELECT e.dst AS id, SUM(r.pr / r.outdeg) AS contrib
+        FROM r{p} r JOIN e ON e.src = r.id WHERE r.outdeg > 0
+        GROUP BY e.dst
+    ), r{t} AS (
+        SELECT d.id, d.outdeg,
+               (1 - {d}) / (SELECT n FROM nv)
+               + {d} * (SELECT COALESCE(SUM(pr), 0) FROM r{p} WHERE outdeg = 0)
+                     / (SELECT n FROM nv)
+               + {d} * COALESCE(c.contrib, 0) AS pr
+        FROM deg d LEFT JOIN c{t} c ON c.id = d.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, ROUND(pr, 9) AS rank
+    FROM r{iterations} ORDER BY pr DESC, id LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@register("pagerank_top", _pagerank_oracle(damping=0.85, iterations=5))
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (graph/pagerank.py) over the order→supplier bipartite
     graph, top-20 vertices by rank. Deterministic (no sampling); unit
-    test pins exact parity with a dense NumPy power iteration."""
+    test pins exact parity with a dense NumPy power iteration, and the
+    DuckDB oracle replays the damped update (unrolled 5 supersteps) so
+    the distributed superstep machinery itself is hash-checked."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.pagerank import pagerank
 
@@ -2540,11 +2589,57 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kcore_stats")  # rows-only: iterative fixpoint, not SQL-expressible
+def _kcore_oracle(rounds: int = 8) -> str:
+    """Unrolled h-index-fixpoint oracle (graph/kcore.core_numbers update
+    rule): start at degree, each round set c(v) to the h-index of its
+    neighbors' values — computed relationally as a (vertex, value)
+    histogram + suffix-count window + max(least(value, count_ge)),
+    mirroring the Spark plan. The sf0.01 %20 subgraph converges in 5
+    rounds (measured); 8 unrolled rounds leave margin, and extra rounds
+    are no-ops at the fixpoint."""
+    parts = [
+        """
+    WITH ed AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 20 = 0
+    ), sym AS (
+        SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ), r0 AS (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sym GROUP BY src
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""", m{t} AS (
+        SELECT s.dst AS id, r.c AS val, COUNT(*) AS n
+        FROM sym s JOIN r{p} r ON r.id = s.src GROUP BY s.dst, r.c
+    ), r{t} AS (
+        SELECT id, MAX(LEAST(val, n_ge)) AS c FROM (
+            SELECT id, val,
+                   SUM(n) OVER (PARTITION BY id ORDER BY val DESC) AS n_ge
+            FROM m{t}
+        ) t GROUP BY id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(c AS BIGINT) AS coreness,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM r{rounds} GROUP BY c ORDER BY coreness
+    """
+    )
+    return "".join(parts)
+
+
+@register("kcore_stats", _kcore_oracle(rounds=8))
 def kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness histogram of the order→supplier bipartite graph
     (graph/kcore.py h-index fixpoint; pinned against pure-Python peeling
-    in test_kcore.py). Output: (coreness, n_vertices)."""
+    in test_kcore.py, and hash-checked against a DuckDB oracle that
+    replays the h-index update rule unrolled to the fixpoint).
+    Output: (coreness, n_vertices)."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.kcore import core_numbers
 
@@ -3168,17 +3263,9 @@ def node2vec_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("neighborhood_function")  # rows-only: sketch estimates, not SQL
-def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperANF (graph/anf.py): per-hop reachable-pair estimates of the
-    order→supplier graph via per-vertex mergeable HLL sketches — the
-    only way ball sizes exist at 100 TB (exact needs O(n²) pair state).
-    Pinned within 2% of exact BFS on small graphs in test_anf.py."""
-    from federated_gcn_spark.graph import Graph
-    from federated_gcn_spark.graph.anf import neighborhood_function
-
+def _edges_mod50(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    return (
         lineitem.where(F.col("l_orderkey") % 50 == 0)
         .select(
             F.col("l_orderkey").alias("src"),
@@ -3186,6 +3273,55 @@ def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "neighborhood_function",
+    """
+    WITH RECURSIVE ed AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), sym AS (
+        SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ), walk(origin, reached, d) AS (
+        SELECT src AS origin, src AS reached, 0 FROM sym
+        UNION
+        SELECT walk.origin, sym.dst AS reached, walk.d + 1
+        FROM walk JOIN sym ON walk.reached = sym.src
+        WHERE walk.d < 4
+    ), md AS (
+        SELECT origin, reached, MIN(d) AS d FROM walk GROUP BY origin, reached
+    ), hops AS (SELECT UNNEST(range(0, 5)) AS hop)
+    SELECT CAST(hops.hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS reachable_pairs
+    FROM hops JOIN md ON md.d <= hops.hop
+    GROUP BY hops.hop ORDER BY hop
+    """,
+)
+def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT neighborhood function (graph/anf.exact_neighborhood_function):
+    per-hop reachable-pair counts of the order→supplier graph by
+    materialized frontier expansion, hash-checked against a DuckDB
+    recursive-CTE oracle — the exactness anchor for the superstep
+    machinery. ``hyperanf_reachable_pairs`` is the sketch-based scale
+    path (pinned within 2% of this on small graphs in test_anf.py)."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.anf import exact_neighborhood_function
+
+    edges = _edges_mod50(spark, sf_dir)
+    return exact_neighborhood_function(Graph.from_edges(edges), max_hops=4)
+
+
+@register("hyperanf_reachable_pairs")  # rows-only: sketch estimates, not SQL
+def hyperanf_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (graph/anf.py): per-hop reachable-pair estimates of the
+    order→supplier graph via per-vertex mergeable HLL sketches — the
+    only way ball sizes exist at 100 TB (exact needs O(Σ ball) pair
+    state). Pinned within 2% of the exact count in test_anf.py."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.anf import neighborhood_function
+
+    edges = _edges_mod50(spark, sf_dir)
     return neighborhood_function(Graph.from_edges(edges), max_hops=4)
 
 

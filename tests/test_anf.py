@@ -3,7 +3,11 @@
 from collections import deque
 
 from federated_gcn_spark.graph import Graph
-from federated_gcn_spark.graph.anf import effective_diameter, neighborhood_function
+from federated_gcn_spark.graph.anf import (
+    effective_diameter,
+    exact_neighborhood_function,
+    neighborhood_function,
+)
 
 
 def _exact_nf(edges, n_hops):
@@ -40,6 +44,27 @@ def test_neighborhood_function_matches_bfs_on_path(spark):
         assert abs(got[h] - want[h]) / want[h] < 0.02, (h, got[h], want[h])
     # strictly growing until saturation on a path
     assert got[0] < got[1] < got[2]
+
+
+def test_exact_nf_equals_bfs_and_bounds_hyperanf(spark):
+    """exact_neighborhood_function is bit-exact vs local BFS, and the
+    HLL estimate stays within 2% of it — the distributed exactness
+    anchor behind the neighborhood_function oracle check."""
+    edges = [(i, i + 1) for i in range(15)] + [(0, 8), (3, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df)
+    got = {
+        r["hop"]: r["reachable_pairs"]
+        for r in exact_neighborhood_function(g, max_hops=4).collect()
+    }
+    want = _exact_nf(edges, 4)
+    assert got == want
+    est = {
+        r["hop"]: r["reachable_pairs"]
+        for r in neighborhood_function(g, max_hops=4).collect()
+    }
+    for h in range(5):
+        assert abs(est[h] - got[h]) / got[h] < 0.02, (h, est[h], got[h])
 
 
 def test_effective_diameter_small_world_vs_chain(spark):
