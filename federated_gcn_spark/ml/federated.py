@@ -25,6 +25,8 @@ Scale: features never leave their executor — only weight tensors move
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -352,7 +354,9 @@ def federated_fit(
 
     grouped_nodes = nodes.groupBy("partition_id")
 
+    fit_start = time.monotonic()
     for round_no in range(start_round, start_round + rounds):
+        round_start = time.monotonic()
         if fanouts:
             # re-sample every round (the generator re-samples every batch;
             # per-round is the distributed-cost-aware cadence) — G3 with
@@ -424,12 +428,17 @@ def federated_fit(
             ).withColumn("round", F.lit(round_no)).write.mode(
                 "append"
             ).partitionBy("round").parquet(weights_sink)
+        # per-round walltime telemetry — the reference's elapsed-seconds
+        # round log (fl_server.py:225-231); elapsed_s is cumulative since
+        # fit start, so it is strictly monotone across history rows
         entry = {
             "round": round_no,
             "n_layers": len(global_weights),
             "weight_norm": float(
                 sum(float(np.linalg.norm(w)) for w in global_weights)
             ),
+            "round_wall_s": round(time.monotonic() - round_start, 6),
+            "elapsed_s": round(time.monotonic() - fit_start, 6),
         }
         if eval_pairs is not None:
             # evaluate the freshly-averaged global model on the held-out

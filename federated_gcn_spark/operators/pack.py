@@ -16,12 +16,14 @@ coordination exists; 100 TB packs as thousands of independent groups.
 The assignment is deterministic: items are sorted by (id, chunk) inside
 the group before the scan, independent of partition layout.
 
-The bin loop is numpy-vectorized where possible (cumsum restart points
-found iteratively — O(#bins) python iterations, not O(#rows)).
+The bin loop is numpy-vectorized: one cumsum over the group, then one
+searchsorted per bin to find the overflow point — O(#bins) python
+iterations with O(log #rows) work each, not O(#rows).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -32,16 +34,29 @@ from pyspark.sql.types import LongType, StructField, StructType
 def _next_fit(tokens, budget: int):
     """Bin index per item for next-fit over an ordered token-count list.
 
-    Items larger than the budget get a bin of their own (never split)."""
-    bins = []
-    bin_id, fill = 0, 0
-    for t in tokens:
-        t = int(t)
-        if fill > 0 and fill + t > budget:
-            bin_id += 1
-            fill = 0
-        bins.append(bin_id)
-        fill += t
+    Items larger than the budget get a bin of their own (never split).
+    Vectorized: a bin is the maximal prefix of remaining items whose
+    running sum stays within budget, so each bin's end is one
+    ``searchsorted`` into the global cumsum — the loop advances one BIN
+    per iteration, not one row."""
+    t = np.asarray(tokens, dtype=np.int64)
+    n = len(t)
+    bins = np.zeros(n, dtype=np.int64)
+    cs = np.cumsum(t)
+    start = 0  # first item of the current bin
+    base = 0  # cumsum consumed before the current bin
+    bin_id = 0
+    while True:
+        j = int(np.searchsorted(cs, base + budget, side="right"))
+        if j <= start:  # first item alone exceeds budget: its own bin
+            j = start + 1
+        if j >= n:
+            bins[start:] = bin_id
+            break
+        bins[start:j] = bin_id
+        bin_id += 1
+        base = int(cs[j - 1])
+        start = j
     return bins
 
 

@@ -188,9 +188,34 @@ def test_mixture_sample_rejects_bad_shares(spark):
 
 def test_next_fit_hand_example():
     # budget 10: [4,4,4] -> bins 0,0,1 ; oversized item isolated
-    assert _next_fit([4, 4, 4], 10) == [0, 0, 1]
-    assert _next_fit([12, 3, 3], 10) == [0, 1, 1]
-    assert _next_fit([], 10) == []
+    assert list(_next_fit([4, 4, 4], 10)) == [0, 0, 1]
+    assert list(_next_fit([12, 3, 3], 10)) == [0, 1, 1]
+    assert list(_next_fit([], 10)) == []
+
+
+def test_next_fit_matches_scalar_reference():
+    """The searchsorted-vectorized scan is bin-for-bin identical to the
+    obvious one-row-at-a-time next-fit loop, including oversized items
+    mid-stream and exact-fit boundaries."""
+    import random
+
+    def scalar_next_fit(tokens, budget):
+        bins, bin_id, fill = [], 0, 0
+        for t in tokens:
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            fill += t
+        return bins
+
+    rng = random.Random(7)
+    for budget in (1, 7, 64, 512):
+        for _ in range(20):
+            toks = [rng.choice([1, 2, 3, budget, budget + 5, budget // 2 or 1])
+                    for _ in range(rng.randrange(0, 60))]
+            assert list(_next_fit(toks, budget)) == scalar_next_fit(toks, budget), (
+                budget, toks)
 
 
 def _chunks_df(spark):

@@ -143,6 +143,19 @@ def test_federated_fit_runs_rounds(fl_result):
     assert all(np.isfinite(w).all() for w in weights)
 
 
+def test_federated_fit_round_walltime_telemetry(fl_result):
+    """Every history row logs its round walltime (fl_server.py:225-231's
+    elapsed-seconds line) and a cumulative clock that is strictly
+    monotone across rounds."""
+    _, _, _, history = fl_result
+    for entry in history:
+        assert entry["round_wall_s"] > 0.0
+        assert entry["elapsed_s"] >= entry["round_wall_s"]
+    elapsed = [e["elapsed_s"] for e in history]
+    assert elapsed == sorted(elapsed)
+    assert all(b > a for a, b in zip(elapsed, elapsed[1:]))
+
+
 def test_federated_fit_deterministic(spark, fl_result):
     nodes, edges, weights, _ = fl_result
     w2, _ = federated_fit(
