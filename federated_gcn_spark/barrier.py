@@ -31,6 +31,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _rewrap_internal(ck: DataFrame, spark) -> DataFrame:
+    """Zero-copy stats cut via ``internalCreateDataFrame`` (private[sql];
+    callable from py4j because Scala access modifiers don't reach
+    bytecode). May break on a Spark upgrade — hence the strategy list."""
+    je = ck._jdf.queryExecution()
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        je.toRdd(), je.analyzed().schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
+def _rewrap_public(ck: DataFrame, spark) -> DataFrame:
+    """Public-API stats cut: round-trip the checkpointed RDD through
+    ``createDataFrame(RDD[Row], schema)``. Same fresh-LogicalRDD effect,
+    costs one extra InternalRow↔Row conversion per downstream pass."""
+    jdf = spark._jsparkSession.createDataFrame(ck._jdf.rdd(), ck._jdf.schema())
+    return DataFrame(jdf, spark)
+
+
+# Tried in order; tests force the fallback by patching this list.
+_REWRAP_STRATEGIES = (_rewrap_internal, _rewrap_public)
+
+
 def iteration_barrier(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and cut BOTH lineage and carried statistics.
 
@@ -40,17 +63,9 @@ def iteration_barrier(df: DataFrame) -> DataFrame:
     """
     ck = df.localCheckpoint(eager=True)
     spark = ck.sparkSession
-    try:
-        je = ck._jdf.queryExecution()
-        jdf = spark._jsparkSession.internalCreateDataFrame(
-            je.toRdd(), je.analyzed().schema(), False
-        )
-        return DataFrame(jdf, spark)
-    except Exception:
+    for rewrap in _REWRAP_STRATEGIES:
         try:
-            jdf = spark._jsparkSession.createDataFrame(
-                ck._jdf.rdd(), ck._jdf.schema()
-            )
-            return DataFrame(jdf, spark)
+            return rewrap(ck, spark)
         except Exception:
-            return ck
+            continue
+    return ck  # correct but re-grows stats
