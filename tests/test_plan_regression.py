@@ -1,0 +1,119 @@
+"""Physical-plan regression pins for the 10 most expensive bench queries.
+
+A correctness-green query can still silently regress at the PLAN level —
+an accidental cartesian product, a fact-side broadcast, a new exchange
+from a lost partitioning — and nothing but wall-clock would notice.
+These tests freeze the structural plan budget measured at round 3 (under
+the test fixture's 1 MiB broadcast threshold, sf0.001): exchange-count
+ceilings, zero cartesian products, zero row-at-a-time Python, and
+broadcast build sides restricted to dimension tables. If a refactor
+legitimately changes a plan, re-measure and move the pin consciously —
+that is the point.
+"""
+
+import re
+
+import pytest
+
+from federated_gcn_spark.plans import QUERIES
+
+# (max exchanges, max sortmerge joins) at sf0.001 under the test fixture.
+PLAN_BUDGET = {
+    "local_clustering": (14, 7),
+    "supplier_lift": (13, 0),
+    "roc_auc": (3, 0),
+    "graphsage_layer": (8, 0),
+    "flagship_revenue": (6, 0),
+    "bm25_search": (12, 0),
+    "fedavg_tensor": (2, 0),
+    "two_hop_paths": (2, 0),
+    "tfidf_top_terms": (10, 0),
+    "decontam_report": (5, 0),
+}
+
+# Tables small enough to ever sit on a broadcast build side. Facts
+# (lineitem, orders, customer at scale, documents, embeddings, events)
+# must never appear under a BroadcastExchange.
+_DIM_TABLES = ("nation.parquet", "region.parquet", "supplier.parquet",
+               "part.parquet")
+_FACT_TABLES = ("lineitem.parquet", "orders.parquet", "customer.parquet",
+                "documents.parquet", "embeddings.parquet", "events.parquet")
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Text blocks under each BroadcastExchange node, by tree indentation.
+
+    Spark's plan toString draws children strictly further right than the
+    parent's node label, so a subtree ends at the first line whose
+    indentation returns to <= the parent's.
+    """
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = len(re.match(r"^[\s:+-]*", line).group(0))
+        block = []
+        for nxt in lines[i + 1:]:
+            nd = len(re.match(r"^[\s:+-]*", nxt).group(0))
+            if nd <= depth:
+                break
+            block.append(nxt)
+        out.append("\n".join(block))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
+def test_plan_budget(spark, name):
+    plan = _plan(spark, name)
+    max_xchg, max_smj = PLAN_BUDGET[name]
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    n_xchg = plan.count("Exchange")
+    n_smj = plan.count("SortMergeJoin")
+    assert n_xchg <= max_xchg, (
+        f"{name}: {n_xchg} exchanges, budget {max_xchg} — a shuffle grew; "
+        "re-measure and move the pin only if the extra exchange is intended"
+    )
+    assert n_smj <= max_smj, f"{name}: {n_smj} SMJ, budget {max_smj}"
+
+
+_REDUCERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+             "TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
+def test_no_forced_fact_broadcast(spark, name, monkeypatch):
+    """flagship_revenue's round-1 lesson, generalized: explicit broadcast
+    hints are for dimensions (and tiny aggregates). With
+    autoBroadcastJoinThreshold=-1 the planner's own size-based broadcasts
+    disappear — those are safe at 100 TB, where the same query compiles
+    to a shuffle join — so any BroadcastExchange that REMAINS was forced
+    by a hint. A hint-forced raw fact scan OOMs at scale even though it
+    is invisible at sf0.001. Hinted build sides that aggregate/limit
+    first (e.g. bm25's per-term corpus stats) stay legitimate."""
+    # tune() re-applies RUNTIME_CONFS inside every query entry point, so
+    # patch the source of truth, not just the live session conf
+    from federated_gcn_spark import session as session_mod
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    monkeypatch.setitem(session_mod.RUNTIME_CONFS, key, "-1")
+    spark.conf.set(key, "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set(key, saved)
+    for block in _broadcast_subtrees(plan):
+        if any(r in block for r in _REDUCERS):
+            continue
+        for fact in _FACT_TABLES:
+            assert fact not in block, (
+                f"{name}: hint-forced un-reduced {fact} broadcast:\n"
+                f"{block[:500]}"
+            )
