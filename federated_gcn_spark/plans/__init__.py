@@ -48,6 +48,7 @@ _PROMOTED = [
     "pagerank_top", "pricing_summary", "asof_latest_update",
     "pivot_status_counts", "bpe_token_estimate", "orders_array_agg",
     "price_stats", "kcore_stats", "neighborhood_function",
+    "ppr_top", "robust_centroids", "label_communities", "sequence_packing",
 ]
 
 

@@ -2347,12 +2347,57 @@ def domain_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 
 
-@register("sequence_packing")  # rows-only: next-fit is sequential per group
+@register(
+    "sequence_packing",
+    r"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), c AS (
+        SELECT doc_id, lang, CAST(s // 64 AS BIGINT) AS chunk_id,
+               CAST(LEAST(64, len(toks) - s) AS BIGINT) AS tok
+        FROM (
+            SELECT doc_id, lang, toks,
+                   UNNEST(range(0, len(toks), 64)) AS s
+            FROM d
+        ) u
+    ), ordered AS (
+        SELECT lang, tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY doc_id, chunk_id
+               ) AS rn
+        FROM c
+    ), walk(lang, rn, tok, fill, bin) AS (
+        SELECT lang, rn, tok, tok, CAST(0 AS BIGINT)
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.rn, o.tok,
+               CASE WHEN w.fill + o.tok > 256
+                    THEN o.tok ELSE w.fill + o.tok END,
+               CASE WHEN w.fill + o.tok > 256
+                    THEN w.bin + 1 ELSE w.bin END
+        FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1
+    ), per_bin AS (
+        SELECT lang, bin, SUM(tok) AS bin_tokens, COUNT(*) AS bin_chunks
+        FROM walk GROUP BY lang, bin
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           ROUND(SUM(bin_tokens) / (COUNT(*) * 256.0), 6) AS utilization
+    FROM per_bin GROUP BY lang ORDER BY lang
+    """,
+)
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk documents into non-overlapping 64-token windows, then pack
     chunks into 256-token training sequences per language (next-fit,
     deterministic under any layout). Per-language packing efficiency;
-    invariant pinned by tests: max_bin_tokens <= budget."""
+    invariant pinned by tests: max_bin_tokens <= budget. The DuckDB
+    oracle replays the sequential next-fit scan as a recursive CTE
+    (one recursion level per chunk, all languages in lockstep), so the
+    bin assignment itself is hash-checked, not just invariants."""
     from federated_gcn_spark.operators.chunk import chunk_documents
     from federated_gcn_spark.operators.pack import pack_sequences, packing_stats
 
@@ -2660,11 +2705,60 @@ def kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("label_communities")  # rows-only: iterative fixpoint, not SQL
+def _labelprop_oracle(rounds: int = 5) -> str:
+    """Unrolled deterministic-LPA oracle (graph/labelprop.py update
+    rule): votes = neighbor labels + a self-vote, winner = most frequent
+    label with ties to the smaller id. Spark early-stops on convergence,
+    which a fixpoint makes indistinguishable from running all rounds, so
+    exactly ``rounds`` unrolled rounds always agree with Spark's
+    ``max_iterations=rounds`` result."""
+    parts = [
+        """
+    WITH ed AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 20 = 0
+    ), sym AS (
+        SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ), r0 AS (
+        SELECT DISTINCT src AS id, src AS label FROM sym
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""", m{t} AS (
+        SELECT s.dst AS id, r.label FROM sym s JOIN r{p} r ON r.id = s.src
+        UNION ALL SELECT id, label FROM r{p}
+    ), t{t} AS (
+        SELECT id, label, COUNT(*) AS n FROM m{t} GROUP BY id, label
+    ), r{t} AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY n DESC, label ASC
+                   ) AS rk
+            FROM t{t}
+        ) w WHERE rk = 1
+    )"""
+        )
+    parts.append(
+        f""", sizes AS (
+        SELECT label, COUNT(*) AS sz FROM r{rounds} GROUP BY label
+    )
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY sz ORDER BY community_size
+    """
+    )
+    return "".join(parts)
+
+
+@register("label_communities", _labelprop_oracle(rounds=5))
 def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community-size distribution from deterministic label propagation
-    (graph/labelprop.py) over the same bipartite sample as kcore_stats.
-    Output: (community_size, n_communities)."""
+    (graph/labelprop.py) over the same bipartite sample as kcore_stats,
+    hash-checked against a DuckDB oracle that replays the vote-tally
+    update rule round by round. Output: (community_size, n_communities)."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.labelprop import label_propagation
 
@@ -3201,12 +3295,67 @@ def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(merged)
 
 
-@register("ppr_top")  # rows-only: iterative fixpoint, not SQL-expressible
+def _ppr_oracle(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled personalized-pagerank oracle: the restart AND the
+    dangling mass both return to the seed set (personalized_pagerank's
+    update rule), seeds = the two lowest distinct order vertices,
+    teleport weight 1/2 each. Same generated-CTE scheme as
+    ``_pagerank_oracle``."""
+    d = damping
+    parts = [
+        """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), v AS (
+        SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+    ), deg AS (
+        SELECT v.id, COUNT(e.src) AS outdeg
+        FROM v LEFT JOIN e ON e.src = v.id GROUP BY v.id
+    ), seeds AS (
+        SELECT src AS id FROM (SELECT DISTINCT src FROM e) s
+        ORDER BY src LIMIT 2
+    ), tl AS (
+        SELECT deg.id, deg.outdeg,
+               CASE WHEN deg.id IN (SELECT id FROM seeds)
+                    THEN 1.0 / (SELECT COUNT(*) FROM seeds)
+                    ELSE 0.0 END AS tele
+        FROM deg
+    ), r0 AS (
+        SELECT id, outdeg, tele, tele AS pr FROM tl
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f""", c{t} AS (
+        SELECT e.dst AS id, SUM(r.pr / r.outdeg) AS contrib
+        FROM r{p} r JOIN e ON e.src = r.id WHERE r.outdeg > 0
+        GROUP BY e.dst
+    ), r{t} AS (
+        SELECT t.id, t.outdeg, t.tele,
+               (1 - {d} + {d} * (SELECT COALESCE(SUM(pr), 0)
+                                 FROM r{p} WHERE outdeg = 0)) * t.tele
+               + {d} * COALESCE(c.contrib, 0) AS pr
+        FROM tl t LEFT JOIN c{t} c ON c.id = t.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(id AS BIGINT) AS id, ROUND(pr, 8) AS rank
+    FROM r{iterations} ORDER BY pr DESC, id LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@register("ppr_top", _ppr_oracle(damping=0.85, iterations=5))
 def ppr_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (graph/pagerank.py:personalized_pagerank)
     seeded at the two lowest-id order vertices of the order→supplier
     graph, top-20 by proximity score — the similar-items primitive.
-    Pinned against a dense numpy power iteration in test_graph.py."""
+    Pinned against a dense numpy power iteration in test_graph.py and
+    hash-checked against an unrolled-superstep DuckDB oracle."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.pagerank import personalized_pagerank
 
@@ -3548,11 +3697,36 @@ def linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("robust_centroids")  # rows-only: grouped-agg pandas UDF (Arrow)
+@register(
+    "robust_centroids",
+    """
+    WITH dims AS (SELECT UNNEST(range(0, 4)) AS dim_pos),
+    vals AS (
+        SELECT label, CAST(dims.dim_pos AS INT) AS dim_pos,
+               CAST(embedding[dims.dim_pos + 1] AS DOUBLE) AS val
+        FROM embeddings, dims
+    ), ranked AS (
+        SELECT label, dim_pos, val,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label, dim_pos ORDER BY val
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY label, dim_pos) AS n
+        FROM vals
+    )
+    SELECT CAST(label AS INT) AS label, dim_pos,
+           ROUND(AVG(val), 5) AS centroid_val
+    FROM ranked
+    WHERE n - 2 * FLOOR(n * 0.10) <= 0
+       OR (rn > FLOOR(n * 0.10) AND rn <= n - FLOOR(n * 0.10))
+    GROUP BY label, dim_pos
+    """,
+)
 def robust_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed-mean per-label centroids (operators/robust.py, the
     grouped-agg pandas-UDF surface), first 4 dimensions in long format.
-    Numpy parity + outlier rejection pinned in test_similarity.py."""
+    Numpy parity + outlier rejection pinned in test_similarity.py; the
+    DuckDB oracle replays the trim as a rank-window filter (drop the
+    bottom/top floor(0.1·n) by value, average the middle)."""
     from federated_gcn_spark.operators.robust import trimmed_mean_centroids
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)

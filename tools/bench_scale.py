@@ -1,0 +1,83 @@
+"""Scaling-curve bench: the same queries at sf0.1 and sf1 (gen_scale
+tiling), one session, best-of-2 each — turns the catalog's 100 TB design
+claims into measured sf0.1→sf1 ratios. A scale-safe plan should grow
+~linearly (ratio ≈ data factor, here 10) or sub-linearly when the output
+side is fixed (top-k, aggregates); super-linear growth flags a plan that
+would not survive 100×.
+
+    python tools/bench_scale.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from federated_gcn_spark.plans import QUERIES  # noqa: E402
+from federated_gcn_spark.session import get_spark  # noqa: E402
+
+ROSTER = [
+    # top-10 by BENCH_r02 cost
+    "local_clustering", "supplier_lift", "roc_auc", "graphsage_layer",
+    "flagship_revenue", "bm25_search", "fedavg_tensor", "two_hop_paths",
+    "tfidf_top_terms", "decontam_report",
+    # named scale-validation targets (VERDICT r02 §next-round-3)
+    "near_dedup_corpus", "edge_split_stats", "pricing_summary", "dedup_exact",
+]
+
+SF_DIRS = {
+    "0.1": "/root/testdata/sf0.1",
+    "1": os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scaledata", "sf1",
+    ),
+}
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1.json"
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(
+        os.path.join(SF_DIRS["0.1"], "region.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {sf: {} for sf in SF_DIRS}
+    for sf, sf_dir in SF_DIRS.items():
+        for name in ROSTER:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[sf][name] = round(best, 3)
+            print(f"sf{sf} {name}: {results[sf][name]:.3f}s", flush=True)
+
+    ratios = {
+        n: round(results["1"][n] / results["0.1"][n], 2) for n in ROSTER
+    }
+    payload = {
+        "metric": "scale_curve_sf0.1_to_sf1",
+        "data_factor": 10,
+        "times_sf0.1": results["0.1"],
+        "times_sf1": results["1"],
+        "ratio": ratios,
+        "total_sf0.1": round(sum(results["0.1"].values()), 3),
+        "total_sf1": round(sum(results["1"].values()), 3),
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({"total_sf1": payload["total_sf1"], "ratios": ratios}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
