@@ -913,9 +913,82 @@ def double_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific; exactness is covered by unit/property tests)
 # ---------------------------------------------------------------------------
 
-@register("minhash_signatures")  # rows-only
+def _minhash_base_ctes(k: int = 3, seed: int = 42) -> str:
+    """Shared oracle CTE prefix: documents → word k-shingles → per-shingle
+    MinHash base hash ``pmod(xxhash64(shingle, seed), PRIME)``.
+
+    The xxhash64 replay (plans/xxh64_sql) runs at ROW level — shingles are
+    unnested first, and the two chained hash stages (string path, then the
+    trailing seed-literal int path of ``F.xxhash64(s, lit(seed))``) are
+    staged as successive CTE columns so no single expression exceeds
+    DuckDB's binder depth.
+    """
+    from federated_gcn_spark.operators.dedup import _PRIME
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_string_sql,
+        pmod_sql,
+    )
+
+    # F.xxhash64 always starts from seed 42; the `seed` param is the
+    # trailing literal child (dedup.py: F.xxhash64(s, F.lit(seed))).
+    h_str = hash_string_sql("sgl", "42")
+    h_base = pmod_sql(hash_int_sql(str(seed), "h1"), _PRIME)
+    return rf"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                   AS toks,
+               LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {k}
+                    THEN list_transform(range(1, len(toks) - {k - 2}),
+                         i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                    ELSE [norm] END AS s
+        FROM d
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS sgl FROM sh
+    ), hs AS (
+        SELECT doc_id, {h_str} AS h1 FROM ex
+    ), base AS (
+        SELECT doc_id, {h_base} AS b FROM hs
+    )"""
+
+
+def _minhash_sig_oracle(num_hashes: int = 32, k: int = 3, seed: int = 42) -> str:
+    """Full replay of with_minhash_signature: sig[i] = min over shingles of
+    (a_i·base + b_i) mod PRIME, then the query's min/max/first summary."""
+    from federated_gcn_spark.operators.dedup import _PRIME, _affine_params
+
+    a_params, b_params = _affine_params(num_hashes, seed)
+    a_sql = "[" + ",".join(map(str, a_params)) + "]"
+    b_sql = "[" + ",".join(map(str, b_params)) + "]"
+    return (
+        _minhash_base_ctes(k, seed)
+        + f""", aff AS (
+        SELECT doc_id, u.i AS i,
+               MIN(({a_sql}[u.i + 1] * b + {b_sql}[u.i + 1]) % {_PRIME}) AS sig
+        FROM base CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i) u
+        GROUP BY doc_id, u.i
+    )
+    SELECT doc_id,
+           MIN(sig) AS sig_min,
+           MAX(sig) AS sig_max,
+           MIN(CASE WHEN i = 0 THEN sig END) AS sig_0
+    FROM aff GROUP BY doc_id
+    """
+    )
+
+
+@register("minhash_signatures", _minhash_sig_oracle(num_hashes=32, k=3, seed=42))
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature summary per document (near-dup building block)."""
+    """MinHash signature summary per document (near-dup building block).
+
+    Oracle: full DuckDB replay of the signature math — word shingles,
+    Spark-exact xxhash64 (plans/xxh64_sql), affine family, min-fold — so
+    the seeded signatures themselves are hash-checked, not rows-only."""
     from federated_gcn_spark.operators.dedup import with_minhash_signature
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
@@ -930,15 +1003,132 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_fingerprints")  # rows-only
+def _simhash_oracle(seed: int = 42) -> str:
+    """Replay of operators/dedup.simhash: per-token base hash →
+    63 affine parity bits → counter signs → Σ 2^j assembly. Tokenization
+    is functions/text.tokens (trim + \\s+ split, case-preserved, empty →
+    no tokens → simhash 0, kept via the LEFT JOIN)."""
+    from federated_gcn_spark.operators.dedup import (
+        N_SIMHASH_BITS,
+        _PRIME,
+        _affine_params,
+    )
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_string_sql,
+        pmod_sql,
+    )
+
+    a_params, b_params = _affine_params(N_SIMHASH_BITS, seed)
+    a_sql = "[" + ",".join(map(str, a_params)) + "]"
+    b_sql = "[" + ",".join(map(str, b_params)) + "]"
+    h_str = hash_string_sql("sgl", "42")
+    h_base = pmod_sql(hash_int_sql(str(seed), "h1"), _PRIME)
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(toks) AS sgl FROM t
+    ), hs AS (
+        SELECT doc_id, {h_str} AS h1 FROM ex
+    ), base AS (
+        SELECT doc_id, {h_base} AS b FROM hs
+    ), bits AS (
+        SELECT doc_id, u.j AS j,
+               SUM(CASE WHEN (({a_sql}[u.j + 1] * b + {b_sql}[u.j + 1])
+                              % {_PRIME}) % 2 = 1
+                        THEN 1 ELSE -1 END) AS c
+        FROM base CROSS JOIN (SELECT unnest(range(0, {N_SIMHASH_BITS})) AS j) u
+        GROUP BY doc_id, u.j
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                    AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash64
+    FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+    """
+
+
+@register("simhash_fingerprints", _simhash_oracle(seed=42))
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document; oracle replays the full bit math on
+    Spark-exact xxhash64 (plans/xxh64_sql) so the fingerprints are
+    value-checked, not rows-only."""
     from federated_gcn_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.select("doc_id", simhash("text").alias("simhash64"))
 
 
-@register("minhash_near_dup_pairs")  # rows-only (may be empty on clean data)
+def _minhash_pairs_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> str:
+    """Replay of minhash_lsh_pairs → ngram_jaccard_pairs → marker union.
+
+    The Spark side joins on (band_id, xxhash64(band CSV)); the oracle
+    joins on the band's 4-value CSV itself — identical pair set up to
+    xxhash64 collisions between different CSVs (~2^-64 per pair; at
+    oracle scale, zero)."""
+    from federated_gcn_spark.operators.dedup import _PRIME, _affine_params
+
+    a_params, b_params = _affine_params(num_hashes, seed)
+    a_sql = "[" + ",".join(map(str, a_params)) + "]"
+    b_sql = "[" + ",".join(map(str, b_params)) + "]"
+    rows_per_band = num_hashes // bands
+    return (
+        _minhash_base_ctes(k, seed)
+        + f""", aff AS (
+        SELECT doc_id, u.i AS i,
+               MIN(({a_sql}[u.i + 1] * b + {b_sql}[u.i + 1]) % {_PRIME}) AS sig
+        FROM base CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i) u
+        GROUP BY doc_id, u.i
+    ), bandkey AS (
+        SELECT doc_id, i // {rows_per_band} AS band_id,
+               string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM aff GROUP BY doc_id, i // {rows_per_band}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkey a JOIN bandkey b
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN aff sa ON sa.doc_id = c.id_a
+        JOIN aff sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b
+        HAVING SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE
+               / {float(num_hashes)} >= {threshold}
+    ), dsh AS (
+        SELECT doc_id, list_distinct(s) AS s FROM sh
+    ), verified AS (
+        SELECT e.id_a, e.id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM est e
+        JOIN dsh a ON a.doc_id = e.id_a
+        JOIN dsh b ON b.doc_id = e.id_b
+    )
+    SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    UNION ALL
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+    )
+
+
+@register(
+    "minhash_near_dup_pairs",
+    _minhash_pairs_oracle(num_hashes=64, bands=16, k=3, seed=42, threshold=0.5),
+)  # (may be only the marker row on clean data)
 def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.5, exact-
     verified with shingle-set Jaccard ≥ 0.5. Returns the union of one
