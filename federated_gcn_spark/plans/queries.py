@@ -793,10 +793,77 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(Graph.from_edges(edges))
 
 
-@register("random_walks")  # rows-only: seeded sampling is engine-specific
+def _random_walks_oracle(length: int = 4, seed: int = 42) -> str:
+    """Unrolled replay of graph/sampling.uniform_random_walks: per step,
+    each walk joins the symmetrized edge set and takes the neighbor with
+    the smallest (pseudo-rand, vertex) key, where pseudo-rand is
+    ``pmod(xxhash64(walk_id, step, candidate, seed), 1e9+7)`` — replayed
+    bit-exactly via plans/xxh64_sql (ordering by the pmod integer is
+    equivalent to ordering by the [0,1) fraction: division by a positive
+    constant is monotonic). Each hash stage is its own CTE column to stay
+    under DuckDB's binder depth."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        hash_string_sql,
+        pmod_sql,
+    )
+
+    parts = [
+        f"""
+    WITH e0 AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem
+    ), e AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), w0 AS (
+        SELECT s_suppkey + 10000000 AS start,
+               (s_suppkey + 10000000)::VARCHAR || '_0' AS walk_id,
+               s_suppkey + 10000000 AS vertex
+        FROM supplier
+    ), wh AS (
+        SELECT walk_id, start, vertex,
+               {hash_string_sql('walk_id', '42')} AS hs
+        FROM w0
+    )"""
+    ]
+    for step in range(1, length):
+        prev = "wh" if step == 1 else f"p{step - 1}"
+        parts.append(
+            f""", c{step}a AS (
+        SELECT t.walk_id, t.start, t.hs, e.dst AS nv,
+               {hash_int_sql(str(step), 't.hs')} AS h2
+        FROM {prev} t JOIN e ON e.src = t.vertex
+    ), c{step}b AS (
+        SELECT walk_id, start, hs, nv,
+               {hash_long_sql('nv', 'h2')} AS h3
+        FROM c{step}a
+    ), c{step}c AS (
+        SELECT walk_id, start, hs, nv,
+               {pmod_sql(hash_int_sql(str(seed), 'h3'), 1_000_000_007)} AS r
+        FROM c{step}b
+    ), p{step} AS (
+        SELECT walk_id, start, hs, nv AS vertex FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY r, nv) AS rn
+            FROM c{step}c
+        ) WHERE rn = 1
+    )"""
+        )
+    sel = ["SELECT walk_id, start, CAST(0 AS INT) AS step, vertex FROM w0"]
+    for step in range(1, length):
+        sel.append(
+            f"SELECT walk_id, start, CAST({step} AS INT) AS step, vertex FROM p{step}"
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@register("random_walks", _random_walks_oracle(length=4, seed=42))
 def random_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform random walks (G2) over the order→supplier bipartite graph,
-    started from every supplier. Deterministic for the fixed seed."""
+    started from every supplier. Deterministic for the fixed seed; the
+    oracle replays every draw (see _random_walks_oracle), so the walk
+    superstep machinery itself is hash-checked."""
     from federated_gcn_spark.graph import Graph, uniform_random_walks
 
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -813,9 +880,67 @@ def random_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.orderBy("walk_id", "step")
 
 
-@register("fanout_sampling")  # rows-only
+def _fanout_oracle(fanouts: tuple[int, ...] = (3, 2), seed: int = 42) -> str:
+    """Unrolled replay of graph/sampling.fanout_sample: per hop, each
+    frontier vertex keeps its ≤k neighbors with the smallest
+    (pmod(xxhash64(root, parent, child, hop, seed), 1e9+7), child) keys.
+    All five hash children are scalars, staged as CTE columns."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        pmod_sql,
+    )
+
+    parts = [
+        """
+    WITH e0 AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem
+    ), e AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), f0 AS (
+        SELECT s_suppkey + 10000000 AS root, s_suppkey + 10000000 AS vertex
+        FROM supplier
+    )"""
+    ]
+    for hop, k in enumerate(fanouts, start=1):
+        prev = "f0" if hop == 1 else f"f{hop - 1}"
+        parts.append(
+            f""", c{hop}a AS (
+        SELECT t.root, t.vertex AS parent, e.dst AS child,
+               {hash_long_sql('t.root', '42')} AS h1
+        FROM {prev} t JOIN e ON e.src = t.vertex
+    ), c{hop}b AS (
+        SELECT root, parent, child, {hash_long_sql('parent', 'h1')} AS h2 FROM c{hop}a
+    ), c{hop}c AS (
+        SELECT root, parent, child, {hash_long_sql('child', 'h2')} AS h3 FROM c{hop}b
+    ), c{hop}d AS (
+        SELECT root, parent, child,
+               {pmod_sql(hash_int_sql(str(seed), hash_int_sql(str(hop), 'h3')), 1_000_000_007)} AS r
+        FROM c{hop}c
+    ), f{hop} AS (
+        SELECT root, parent, child AS vertex FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY root, parent ORDER BY r, child) AS rn
+            FROM c{hop}d
+        ) WHERE rn <= {k}
+    )"""
+        )
+    sel = [
+        "SELECT root, CAST(0 AS INT) AS hop, CAST(NULL AS BIGINT) AS parent,"
+        " vertex FROM f0"
+    ]
+    for hop in range(1, len(fanouts) + 1):
+        sel.append(
+            f"SELECT root, CAST({hop} AS INT) AS hop, parent, vertex FROM f{hop}"
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@register("fanout_sampling", _fanout_oracle(fanouts=(3, 2), seed=42))
 def fanout_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-fanout 2-hop neighborhood sampling (G3), fanouts [3, 2]."""
+    """Fixed-fanout 2-hop neighborhood sampling (G3), fanouts [3, 2];
+    the oracle replays every sampling draw (see _fanout_oracle)."""
     from federated_gcn_spark.graph import Graph, fanout_sample
 
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -3573,12 +3698,33 @@ def ppr_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("node2vec_walk_stats")  # rows-only: seeded sampling, not SQL
+@register(
+    "node2vec_walk_stats",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), v AS (
+        SELECT src AS id FROM e0 UNION SELECT dst FROM e0
+    ), n AS (
+        SELECT CAST(LEAST(COUNT(*), 100) AS BIGINT) AS c FROM v
+    )
+    SELECT CAST(u.s AS BIGINT) AS step, n.c AS n_rows, n.c AS n_walks
+    FROM (SELECT unnest(range(0, 4)) AS s) u, n
+    """,
+)
 def node2vec_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order biased walks (graph/sampling.node2vec_walks, p=0.5
     q=2.0 — BFS-ish) over the order→supplier graph: per-step vertex and
     distinct-walk counts. Bias and edge-validity are pinned in
-    test_sampling.py."""
+    test_sampling.py.
+
+    Oracle: on the symmetrized graph every vertex has a neighbor, so no
+    walk ever dies — per-step counts equal the start count
+    min(100, |V|) for all 4 steps. The float exponential-race keys that
+    pick WHICH neighbor wins are not replayed (cross-engine ln() is not
+    bit-pinned); the picked vertices don't surface in this aggregate, so
+    the oracle is exact for everything the query returns."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.sampling import node2vec_walks
 
