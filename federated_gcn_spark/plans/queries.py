@@ -1038,7 +1038,7 @@ def double_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific; exactness is covered by unit/property tests)
 # ---------------------------------------------------------------------------
 
-def _minhash_base_ctes(k: int = 3, seed: int = 42) -> str:
+def _minhash_base_ctes(k: int = 3, seed: int = 42, recursive: bool = False) -> str:
     """Shared oracle CTE prefix: documents → word k-shingles → per-shingle
     MinHash base hash ``pmod(xxhash64(shingle, seed), PRIME)``.
 
@@ -1047,6 +1047,9 @@ def _minhash_base_ctes(k: int = 3, seed: int = 42) -> str:
     trailing seed-literal int path of ``F.xxhash64(s, lit(seed))``) are
     staged as successive CTE columns so no single expression exceeds
     DuckDB's binder depth.
+
+    ``recursive=True`` emits ``WITH RECURSIVE`` so downstream CTEs may
+    recurse (near_dedup_corpus's component closure).
     """
     from federated_gcn_spark.operators.dedup import _PRIME
     from federated_gcn_spark.plans.xxh64_sql import (
@@ -1059,8 +1062,9 @@ def _minhash_base_ctes(k: int = 3, seed: int = 42) -> str:
     # trailing literal child (dedup.py: F.xxhash64(s, F.lit(seed))).
     h_str = hash_string_sql("sgl", "42")
     h_base = pmod_sql(hash_int_sql(str(seed), "h1"), _PRIME)
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return rf"""
-    WITH d AS (
+    {kw} d AS (
         SELECT doc_id,
                string_split(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
                    AS toks,
@@ -1270,10 +1274,97 @@ def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marker.unionByName(verified.orderBy("id_a", "id_b"))
 
 
-@register("ann_topk")  # rows-only
+def _planes_cte(dim: int, n_planes: int, seed: int) -> str:
+    """Hyperplane literals (numpy default_rng(seed).normal, the exact
+    arrays RandomHyperplaneLSH inlines into its Spark plan) as a
+    (plane_id, i, pv) CTE — repr() round-trips each double exactly."""
+    from federated_gcn_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({pid}, [{','.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for pid, p in enumerate(planes)
+    )
+    return f"""planes AS (
+        SELECT p.plane_id, GENERATE_SUBSCRIPTS(p.v, 1) AS i,
+               UNNEST(p.v) AS pv
+        FROM (VALUES {rows}) p(plane_id, v)
+    )"""
+
+
+def _bucket_ctes(src: str, out: str) -> str:
+    """bucket id per vector of CTE ``src(vec_id, embedding)``:
+    Σ 2^plane_id over planes with sign(<v, plane>) ≥ 0."""
+    return f"""{out}_ex AS (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM {src}
+    ), {out} AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot >= 0 THEN 1::BIGINT << plane_id
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM (
+            SELECT e.vec_id, p.plane_id, SUM(e.v * p.pv) AS dot
+            FROM {out}_ex e JOIN planes p USING (i)
+            GROUP BY e.vec_id, p.plane_id
+        ) GROUP BY vec_id
+    )"""
+
+
+def _ann_topk_oracle(n_planes: int = 8, seed: int = 42, k: int = 10,
+                     multiprobe: int = 2, dim: int = 64) -> str:
+    """Replay of RandomHyperplaneLSH.topk for the min-vec_id query: bucket
+    every vector, probe the query's bucket ∪ all ≤2-bit flips, exact
+    cosine on the probed candidates only (same SUM+ROUND spelling as the
+    passing similarity_topk oracle)."""
+    flips = [0] + [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    flips_sql = ",".join(map(str, flips))
+    return f"""
+    WITH {_planes_cte(dim, n_planes, seed)},
+    qsrc AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    dsrc AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    {_bucket_ctes('qsrc', 'qb')},
+    {_bucket_ctes('dsrc', 'db')},
+    probes AS (
+        SELECT DISTINCT xor(qb.bucket, f.f) AS b
+        FROM qb, (SELECT UNNEST([{flips_sql}]) AS f) f
+    ),
+    cand AS (
+        SELECT vec_id FROM db WHERE bucket IN (SELECT b FROM probes)
+    ),
+    d AS (
+        SELECT e.vec_id, SUM(e.v * q.v) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(q.v * q.v) AS n2
+        FROM db_ex e JOIN qb_ex q USING (i)
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos_sim
+    FROM d
+    ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("ann_topk", _ann_topk_oracle(n_planes=8, seed=42, k=10, multiprobe=2))
 def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 cosine neighbors of the min-vec_id
-    query vector (the scale path; brute-force twin is similarity_topk)."""
+    query vector (the scale path; brute-force twin is similarity_topk).
+    Oracle replays the bucketing (inlined hyperplanes), the ≤2-bit
+    multiprobe set, and the exact-cosine re-rank."""
     from federated_gcn_spark.operators.similarity import RandomHyperplaneLSH
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
@@ -1809,11 +1900,45 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup")  # rows-only (may be empty on clean data)
+def _embedding_near_dup_oracle(
+    n_planes: int = 8, seed: int = 42, threshold: float = 0.9, dim: int = 64
+) -> str:
+    """Replay of embedding_near_dup_pairs: same-bucket (id_a < id_b)
+    candidates, exact cosine ≥ threshold, marker-row union."""
+    return f"""
+    WITH {_planes_cte(dim, n_planes, seed)},
+    allsrc AS (SELECT vec_id, embedding FROM embeddings),
+    {_bucket_ctes('allsrc', 'ab')},
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ab a JOIN ab b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    d AS (
+        SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot,
+               SUM(ea.v * ea.v) AS n1, SUM(eb.v * eb.v) AS n2
+        FROM cand c
+        JOIN ab_ex ea ON ea.vec_id = c.id_a
+        JOIN ab_ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    UNION ALL
+    SELECT CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos_sim
+    FROM d
+    WHERE dot / (SQRT(n1) * SQRT(n2)) >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup",
+    _embedding_near_dup_oracle(n_planes=8, seed=42, threshold=0.9),
+)  # (may be only the marker row on clean data)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs (≥0.9) via random-hyperplane LSH
-    buckets + exact verify; marker row keeps the rows-only check stable
-    on duplicate-free data."""
+    buckets + exact verify; marker row keeps the check stable on
+    duplicate-free data. Oracle replays bucketing + verify."""
     from federated_gcn_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
@@ -2347,11 +2472,81 @@ def documents_curated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dedup_corpus")  # rows-only: xxhash LSH seeds are engine-specific
+def _near_dedup_corpus_oracle(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
+    threshold: float = 0.8,
+) -> str:
+    """Replay of the full near_dedup pipeline's summary counts: LSH band
+    candidates (no est filter — exact_verify passes threshold=None to the
+    LSH stage) → exact Jaccard ≥ threshold → connected components of the
+    pair graph via a recursive-CTE closure (the pair set is tiny by
+    construction — components only ever run over pair members).
+    n_kept = n_docs − members + components; n_clusters == n_kept (one
+    canonical per member-cluster, untouched docs are their own cluster).
+    """
+    from federated_gcn_spark.operators.dedup import _PRIME, _affine_params
+
+    a_params, b_params = _affine_params(num_hashes, seed)
+    a_sql = "[" + ",".join(map(str, a_params)) + "]"
+    b_sql = "[" + ",".join(map(str, b_params)) + "]"
+    rows_per_band = num_hashes // bands
+    return (
+        _minhash_base_ctes(k, seed, recursive=True)
+        + f""", aff AS (
+        SELECT doc_id, u.i AS i,
+               MIN(({a_sql}[u.i + 1] * b + {b_sql}[u.i + 1]) % {_PRIME}) AS sig
+        FROM base CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i) u
+        GROUP BY doc_id, u.i
+    ), bandkey AS (
+        SELECT doc_id, i // {rows_per_band} AS band_id,
+               string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM aff GROUP BY doc_id, i // {rows_per_band}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkey a JOIN bandkey b
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, list_distinct(s) AS s FROM sh
+    ), ver AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}
+    ), mem AS (
+        SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b2 FROM ver
+        UNION SELECT id_b, id_a FROM ver
+    ), reach AS (
+        SELECT id AS a, id AS b2 FROM mem
+        UNION
+        SELECT r.a, s.b2 FROM reach r JOIN sym s ON s.a = r.b2
+    ), lbl AS (
+        SELECT a, MIN(b2) AS l FROM reach GROUP BY a
+    ), comp AS (
+        SELECT COUNT(DISTINCT l) AS c, COUNT(*) AS m FROM lbl
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           CAST(tot.n - comp.m + comp.c AS BIGINT) AS n_kept,
+           CAST(tot.n - comp.m + comp.c AS BIGINT) AS n_clusters
+    FROM tot, comp
+    """
+    )
+
+
+@register(
+    "near_dedup_corpus",
+    _near_dedup_corpus_oracle(num_hashes=64, bands=16, k=3, seed=42, threshold=0.8),
+)
 def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup corpus dedup (MinHash-LSH candidates → exact-Jaccard
     verify → connected-component clusters → keep lowest id per cluster):
-    one row of invariants (kept ≤ total, kept = #clusters)."""
+    one row of invariants (kept ≤ total, kept = #clusters). The oracle
+    replays the whole pipeline, including the component closure."""
     from federated_gcn_spark.operators.dedup import near_dedup
 
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
