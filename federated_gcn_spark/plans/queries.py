@@ -1882,10 +1882,129 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific; exactness covered by unit tests)
 # ---------------------------------------------------------------------------
 
-@register("ivf_ann_topk")  # rows-only
+def _ivf_oracle(
+    kc: int = 16, seed: int = 42, train_iters: int = 3, k: int = 10,
+    nprobe: int = 4,
+) -> str:
+    """Replay of IVFIndex end-to-end: seeded centroid pick (top-kc by
+    xxhash64(vec_id, seed) — replayed via plans/xxh64_sql), train_iters
+    unrolled Lloyd iterations (argmax-cosine assign with Spark's
+    higher-id tie-break, per-(cluster,dim) mean, empty-cluster carry,
+    re-normalize), then the query's nprobe nearest lists and the exact
+    cosine re-rank. Float summation order differs across engines
+    (~1e-15); assignments/rankings only flip on exact knife-edge ties,
+    and the output cosine is rounded to 6 on both sides."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    h_chain = to_signed64(hash_int_sql(str(seed), hash_long_sql("vec_id", "42")))
+    cos = "(dot / (GREATEST(SQRT(n1), 1e-300) * GREATEST(SQRT(n2), 1e-300)))"
+    parts = [
+        f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ), init_sel AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+        FROM (SELECT vec_id, {h_chain} AS h FROM embeddings)
+        ORDER BY h, vec_id LIMIT {kc}
+    ), craw AS (
+        SELECT s.cid, e.i AS pos, e.v AS val
+        FROM init_sel s JOIN ex e ON e.vec_id = s.vec_id
+    ), c0 AS MATERIALIZED (
+        SELECT cid, pos, val / GREATEST(nrm, 1e-12) AS val
+        FROM craw JOIN (
+            SELECT cid, SQRT(SUM(val * val)) AS nrm FROM craw GROUP BY cid
+        ) USING (cid)
+    )"""
+    ]
+    for t in range(1, train_iters + 1):
+        parts.append(
+            f""", s{t} AS (
+        SELECT e.vec_id, c.cid, SUM(e.v * c.val) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(c.val * c.val) AS n2
+        FROM ex e JOIN c{t - 1} c ON c.pos = e.i
+        GROUP BY e.vec_id, c.cid
+    ), a{t} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {cos} DESC, cid DESC) AS rn
+            FROM s{t}
+        ) WHERE rn = 1
+    ), m{t} AS (
+        SELECT a.cid, e.i AS pos, AVG(e.v) AS m
+        FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.i
+    ), u{t} AS (
+        SELECT c.cid, c.pos, COALESCE(m.m, c.val) AS x
+        FROM c{t - 1} c LEFT JOIN m{t} m ON m.cid = c.cid AND m.pos = c.pos
+    ), c{t} AS MATERIALIZED (
+        SELECT cid, pos, x / GREATEST(nrm, 1e-12) AS val
+        FROM u{t} JOIN (
+            SELECT cid, SQRT(SUM(x * x)) AS nrm FROM u{t} GROUP BY cid
+        ) USING (cid)
+    )"""
+        )
+    cT = f"c{train_iters}"
+    parts.append(
+        f""", qex AS (
+        SELECT CAST(UNNEST(embedding) AS DOUBLE) AS qv,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), qn AS (
+        SELECT i, qv / GREATEST((SELECT SQRT(SUM(qv * qv)) FROM qex), 1e-12) AS qv
+        FROM qex
+    ), probe AS (
+        SELECT c.cid FROM {cT} c JOIN qn ON qn.i = c.pos
+        GROUP BY c.cid
+        ORDER BY SUM(c.val * qn.qv) DESC, c.cid
+        LIMIT {nprobe}
+    ), dex AS MATERIALIZED (
+        SELECT * FROM ex WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ), sfin AS (
+        SELECT e.vec_id, c.cid, SUM(e.v * c.val) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(c.val * c.val) AS n2
+        FROM dex e JOIN {cT} c ON c.pos = e.i
+        GROUP BY e.vec_id, c.cid
+    ), afin AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {cos} DESC, cid DESC) AS rn
+            FROM sfin
+        ) WHERE rn = 1
+    ), cand AS (
+        SELECT vec_id FROM afin WHERE cid IN (SELECT cid FROM probe)
+    ), d AS (
+        SELECT e.vec_id, SUM(e.v * q.qv) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(q.qv * q.qv) AS n2
+        FROM dex e JOIN qex q USING (i)
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos_sim
+    FROM d
+    ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, vec_id
+    LIMIT {k}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "ivf_ann_topk",
+    _ivf_oracle(kc=16, seed=42, train_iters=3, k=10, nprobe=4),
+)
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-10 for the min-vec_id query vector (the partition-
-    pruned scale path; exact twin is similarity_topk, LSH twin ann_topk)."""
+    pruned scale path; exact twin is similarity_topk, LSH twin ann_topk).
+    Oracle replays centroid seeding, Lloyd training, and the probe."""
     from federated_gcn_spark.operators.similarity import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
@@ -4504,7 +4623,54 @@ def weighted_neighbor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("logistic_coeffs")  # rows-only: iterative GD, not SQL-expressible
+def _logistic_oracle(lr: float = 0.5, iterations: int = 10) -> str:
+    """Unrolled full-batch GD replay of operators/logistic.logistic_fit:
+    standardize stats, then one (gradient CTE, weight-update CTE) pair
+    per iteration with the weights carried as a 1-row cross-joined
+    relation. Float summation order differs between engines (~1e-14
+    relative); the 6-decimal rounding on both sides absorbs it."""
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = [
+        f"""
+    WITH st AS (
+        SELECT {', '.join(f'AVG({c}) AS m{i}, STDDEV_POP({c}) AS s{i}' for i, c in enumerate(feats))}
+        FROM lineitem
+    ), staged AS MATERIALIZED (
+        SELECT {', '.join(f'({c} - st.m{i}) / GREATEST(st.s{i}, 1e-12) AS x{i}' for i, c in enumerate(feats))},
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem, st
+    ), it0 AS (
+        SELECT {', '.join(f'0.0::DOUBLE AS w{i}' for i in range(len(feats)))}, 0.0::DOUBLE AS b
+    )"""
+    ]
+    k = len(feats)
+    for t in range(1, iterations + 1):
+        z = "w.b" + "".join(f" + w.w{i} * x{i}" for i in range(k))
+        resid = f"(1.0 / (1.0 + EXP(-({z}))) - y)"
+        grads = ", ".join(f"AVG({resid} * x{i}) AS g{i}" for i in range(k))
+        upd = ", ".join(f"w.w{i} - {lr} * g.g{i} AS w{i}" for i in range(k))
+        parts.append(
+            f""", grad{t} AS MATERIALIZED (
+        SELECT {grads}, AVG({resid}) AS gb
+        FROM staged, it{t - 1} w
+    ), it{t} AS MATERIALIZED (
+        SELECT {upd}, w.b - {lr} * g.gb AS b FROM it{t - 1} w, grad{t} g
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, ROUND(w{i}, 6) AS coefficient FROM it{iterations}"
+        for i, c in enumerate(feats)
+    )
+    parts.append(
+        f"""
+    {sel}
+    UNION ALL SELECT '__intercept__', ROUND(b, 6) FROM it{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+@register("logistic_coeffs", _logistic_oracle(lr=0.5, iterations=10))
 def logistic_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (operators/logistic.py) — predict
     returnflag='R' from standardized (l_quantity, l_extendedprice,
