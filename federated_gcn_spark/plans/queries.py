@@ -757,7 +757,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Graph algorithms (oracle: recursive CTE; sampling ops: rows-only checks)
+# Graph algorithms (iterative oracles: unrolled/recursive CTEs; seeded
+# sampling ops: full xxhash64 draw replay — see plans/xxh64_sql)
 # ---------------------------------------------------------------------------
 
 @register(
@@ -953,13 +954,61 @@ def fanout_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanout_sample(Graph.from_edges(edges), roots, fanouts=[3, 2], seed=42)
 
 
-@register("edge_split_stats")  # rows-only
+_SPLIT_GRAPH_CTES = """
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 50000000 AS dst
+        FROM lineitem WHERE l_orderkey % 20 = 0
+    ), v AS (
+        -- DuckDB quirk: a top-level UNION in a non-recursive CTE inside
+        -- WITH RECURSIVE loses its dedup; spell the dedup explicitly
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0
+        )
+    ), sym AS (
+        SELECT src AS a, dst AS b2 FROM e0
+        UNION ALL SELECT dst, src FROM e0
+    ), reach AS (
+        SELECT id AS a, id AS b2 FROM v
+        UNION
+        SELECT r.a, s.b2 FROM reach r JOIN sym s ON s.a = r.b2
+    ), lbl AS (
+        SELECT a, MIN(b2) AS l FROM reach GROUP BY a
+    ), c AS (
+        SELECT COUNT(DISTINCT l) AS comps FROM lbl
+    ), m AS (
+        SELECT COUNT(*) AS ne FROM e0
+    ), nv AS (
+        SELECT COUNT(*) AS nver FROM v
+    )"""
+
+
+@register(
+    "edge_split_stats",
+    _SPLIT_GRAPH_CTES
+    + """
+    SELECT CAST(m.ne AS BIGINT) AS n_edges,
+           CAST(LEAST(CAST(FLOOR(0.1 * m.ne) AS BIGINT),
+                      m.ne - (nv.nver - c.comps)) AS BIGINT) AS n_pos,
+           CAST(LEAST(CAST(FLOOR(0.1 * m.ne) AS BIGINT),
+                      m.ne - (nv.nver - c.comps)) AS BIGINT) AS n_neg,
+           CAST(c.comps AS BIGINT) AS comps_before,
+           CAST(c.comps AS BIGINT) AS comps_after
+    FROM m, nv, c
+    """,
+)
 def edge_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connectivity-preserving split (G1) invariant report on a cyclic
     order↔supplier bipartite subgraph (a star forest like customer→nation
     would make every edge a tree edge — nothing removable): one row of
     counts proving |neg| == |pos| and that the component count is
-    unchanged by edge removal."""
+    unchanged by edge removal.
+
+    Oracle: closed-form — EVERY spanning forest has exactly V − C edges,
+    so n_pos = min(⌊p·E⌋, E − (V − C)) regardless of which forest
+    Borůvka picks; C comes from a recursive-CTE closure. comps_after = C
+    is the keep-connected guarantee itself: if the split ever removed a
+    bridge, Spark's measured count would rise and the hash check would
+    fail."""
     from federated_gcn_spark.graph import Graph, connectivity_preserving_split
     from federated_gcn_spark.graph.components import num_components
 
@@ -990,13 +1039,42 @@ def edge_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("double_split_stats")  # rows-only
+@register(
+    "double_split_stats",
+    _SPLIT_GRAPH_CTES
+    + """
+    , t AS (
+        SELECT m.ne, nv.nver, c.comps,
+               LEAST(CAST(FLOOR(0.1 * m.ne) AS BIGINT),
+                     m.ne - (nv.nver - c.comps)) AS test_pos
+        FROM m, nv, c
+    ), tr AS (
+        SELECT t.*,
+               LEAST(CAST(FLOOR(0.1 * (t.ne - t.test_pos)) AS BIGINT),
+                     (t.ne - t.test_pos) - (t.nver - t.comps)) AS train_pos
+        FROM t
+    )
+    SELECT CAST(ne AS BIGINT) AS n_edges,
+           CAST(test_pos AS BIGINT) AS test_pos,
+           CAST(test_pos AS BIGINT) AS test_neg,
+           CAST(train_pos AS BIGINT) AS train_pos,
+           CAST(train_pos AS BIGINT) AS train_neg,
+           CAST(0 AS BIGINT) AS pos_overlap,
+           CAST(comps AS BIGINT) AS comps_before,
+           CAST(comps AS BIGINT) AS comps_after
+    FROM tr
+    """,
+)
 def double_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage EdgeSplitter composition (models/supervised.py:67-77):
     test split on the full graph, then train split on the residual. One
     row of invariants: |neg| == |pos| at BOTH stages, test and train
     positives disjoint, and the component count unchanged through both
-    removals (keep_connected survives composition)."""
+    removals (keep_connected survives composition).
+
+    Oracle: closed-form (see edge_split_stats_q) applied twice —
+    train_pos = min(⌊p·E₁⌋, E₁ − (V − C)) with E₁ = E − test_pos; the
+    residual keeps all V vertices and all C components by construction."""
     from federated_gcn_spark.graph import Graph, double_split
     from federated_gcn_spark.graph.components import num_components
 
@@ -1034,8 +1112,9 @@ def double_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup dedup + ANN (rows-only: xxhash64/hyperplane seeds are
-# engine-specific; exactness is covered by unit/property tests)
+# Near-dup dedup + ANN (oracles replay the seeded hashes bit-exactly:
+# xxhash64 via plans/xxh64_sql, hyperplanes/centroids as inlined
+# literals; unit/property tests additionally pin recall bounds)
 # ---------------------------------------------------------------------------
 
 def _minhash_base_ctes(k: int = 3, seed: int = 42, recursive: bool = False) -> str:
@@ -1261,7 +1340,7 @@ def _minhash_pairs_oracle(
 def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.5, exact-
     verified with shingle-set Jaccard ≥ 0.5. Returns the union of one
-    marker row (so the rows-only check sees a stable non-empty result on
+    marker row (so the check sees a stable non-empty result on
     duplicate-free data) + the verified pairs."""
     from federated_gcn_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
@@ -1878,8 +1957,7 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Remaining extension variants (rows-only: seeded LSH/IVF layouts are
-# engine-specific; exactness covered by unit tests)
+# Remaining extension variants
 # ---------------------------------------------------------------------------
 
 def _ivf_oracle(
@@ -2634,10 +2712,14 @@ def _near_dedup_corpus_oracle(
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}
     ), mem AS (
-        SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver
+        -- explicit dedup: top-level UNION in a non-recursive CTE inside
+        -- WITH RECURSIVE loses dedup in DuckDB 1.0 (see _SPLIT_GRAPH_CTES)
+        SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM ver UNION ALL SELECT id_b FROM ver
+        )
     ), sym AS (
         SELECT id_a AS a, id_b AS b2 FROM ver
-        UNION SELECT id_b, id_a FROM ver
+        UNION ALL SELECT id_b, id_a FROM ver
     ), reach AS (
         SELECT id AS a, id AS b2 FROM mem
         UNION
