@@ -17,6 +17,8 @@ this ordering only affects which subset lands in the driver's official
 CORRECTNESS_r{N}.json file.
 """
 
+from federated_gcn_spark.plans import queries_analytics  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_mining  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 

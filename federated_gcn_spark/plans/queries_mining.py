@@ -1,0 +1,463 @@
+"""Mining-shaped queries: link prediction, co-occurrence PMI, cross-doc
+span duplication, and SemDeDup-style semantic dedup.
+
+Round-3 additions on top of the §2.10 extension surface:
+
+- ``link_prediction_scores``: the classic neighborhood heuristics
+  (common neighbors, Jaccard, Adamic-Adar) that baseline the
+  reference's GraphSAGE link predictor (models/supervised.py trains a
+  link-prediction GCN; these are the non-learned features every link
+  prediction paper compares against).
+- ``pmi_top_pairs``: pointwise mutual information over co-occurring
+  vocabulary terms — the word2vec/SGNS shifted-PMI statistic, computed
+  corpus-wide.
+- ``duplicated_span_fraction``: per-document fraction of 8-token
+  shingles that also appear in other documents — the detection half of
+  exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+  Makes Language Models Better").
+- ``semantic_dedup_stats``: SemDeDup (Abbas et al. 2023) shape —
+  k-means-cluster the embedding space, then look for near-duplicate
+  pairs ONLY within clusters, turning a global O(n²) scan into
+  Σ O(n_c²).
+
+All follow the catalog's cross-engine determinism rules (plans.queries
+module docstring); the SemDeDup oracle replays the IVF Lloyd training
+loop in unrolled DuckDB SQL exactly like ``_ivf_oracle``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.plans.queries import register
+
+
+@register(
+    "link_prediction_scores",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), odeg AS (
+        SELECT o, COUNT(*) AS d FROM e GROUP BY o
+    ), sdeg AS (
+        SELECT s, COUNT(*) AS d FROM e GROUP BY s
+    ), pairs AS (
+        SELECT a.s AS s1, b.s AS s2,
+               COUNT(*) AS cn,
+               SUM(1.0 / LN(odeg.d)) AS aa
+        FROM e a
+        JOIN e b ON a.o = b.o AND a.s < b.s
+        JOIN odeg ON odeg.o = a.o
+        GROUP BY a.s, b.s
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(cn AS BIGINT) AS common_orders,
+           ROUND(aa, 6) AS aa_score,
+           ROUND(CAST(cn AS DOUBLE) / (d1.d + d2.d - cn), 6) AS jaccard
+    FROM pairs
+    JOIN sdeg d1 ON d1.s = s1
+    JOIN sdeg d2 ON d2.s = s2
+    ORDER BY aa_score DESC, s1, s2
+    LIMIT 50
+    """,
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic-Adar link-prediction scores
+    for supplier pairs on the bipartite order→supplier graph (common
+    neighbors = shared orders; AA weights each shared order by
+    1/ln(degree), Adamic & Adar 2003).
+
+    Scale shape: candidate pairs are generated per shared ORDER, so the
+    blowup is Σ deg(order)² — bounded by max items per order (a
+    single-digit constant in an order-lines schema), never |suppliers|².
+    The order-degree weight joins on the same orderkey the pair join
+    shuffles on (exchange reuse); supplier degrees are a broadcast-sized
+    aggregate joined to the already-reduced pair table; the final top-50
+    is TakeOrderedAndProject.
+    """
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    odeg = e.groupBy("o").agg(F.count(F.lit(1)).alias("d"))
+    sdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+    a = e.select(F.col("o"), F.col("s").alias("s1"))
+    b = e.select(F.col("o").alias("_o"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("_o")) & (F.col("s1") < F.col("s2")))
+        .join(odeg, "o")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("d1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            F.col("cn").cast("long").alias("common_orders"),
+            F.round("aa", 6).alias("aa_score"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("aa_score").desc(), "s1", "s2")
+        .limit(50)
+    )
+
+
+@register(
+    "pmi_top_pairs",
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM d
+    ), tok AS (
+        SELECT DISTINCT doc_id, UNNEST(toks) AS term FROM d
+    ), vocab AS (
+        SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+        ORDER BY df DESC, term LIMIT 200
+    ), vt AS (
+        SELECT tok.doc_id, tok.term, vocab.df
+        FROM tok JOIN vocab USING (term)
+    ), co AS (
+        SELECT a.term AS t1, b.term AS t2,
+               MIN(a.df) AS df1, MIN(b.df) AS df2,
+               COUNT(*) AS co_df
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING COUNT(*) >= 5
+    )
+    SELECT t1, t2, CAST(co_df AS BIGINT) AS co_df,
+           ROUND(LN(CAST(co_df AS DOUBLE) * (SELECT n_docs FROM n)
+                    / (CAST(df1 AS DOUBLE) * df2)), 6) AS pmi
+    FROM co
+    ORDER BY pmi DESC, t1, t2
+    LIMIT 40
+    """,
+)
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level PMI term pairs over the 200-term head
+    vocabulary — PMI(a,b) = ln(P(a,b) / P(a)P(b)) with document
+    co-occurrence probabilities, the association statistic behind
+    SGNS/word2vec's implicit PMI factorization (Levy & Goldberg 2014).
+
+    Scale shape: the vocabulary cap is the quadratic-blowup guard —
+    per-doc pairs are (tokens∩vocab)², not tokens². The vocab (200
+    rows) broadcasts into the token stream, so the only data-sized
+    shuffles are the tokenize groupBys and the doc_id-keyed pair join;
+    pair aggregation output is ≤ |vocab|² rows regardless of corpus
+    size. Document frequencies ride along with MIN (they are constant
+    per term), avoiding two extra join-backs; top-40 is TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).distinct()
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(200)
+    )
+    vt = tok.join(F.broadcast(vocab), "term")
+    a = vt.select("doc_id", F.col("term").alias("t1"), F.col("df").alias("_df1"))
+    b = vt.select(
+        F.col("doc_id").alias("_doc"),
+        F.col("term").alias("t2"),
+        F.col("df").alias("_df2"),
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("_doc")) & (F.col("t1") < F.col("t2")),
+        )
+        .groupBy("t1", "t2")
+        .agg(
+            F.min("_df1").alias("df1"),
+            F.min("_df2").alias("df2"),
+            F.count(F.lit(1)).alias("co_df"),
+        )
+        .where(F.col("co_df") >= 5)
+    )
+    return (
+        co.crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            F.col("co_df").cast("long").alias("co_df"),
+            F.round(
+                F.log(
+                    F.col("co_df").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(40)
+    )
+
+
+@register(
+    "duplicated_span_fraction",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+        FROM d WHERE len(toks) >= 8
+    ), sdf AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN sdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           ROUND(SUM(CASE WHEN sdf.df >= 2 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS dup_frac
+    FROM sh JOIN sdf USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    8-token shingles that occur in at least one OTHER document (or
+    repeat via an exact duplicate) — the detection statistic of
+    exact-substring dedup (Lee et al. 2022 use 50-token spans over a
+    suffix array; at Spark scale the equivalent join is
+    shingle-hash → groupBy, no global suffix sort needed).
+
+    Scale shape: shingling is a per-row codegen expression (transform +
+    slice + array_join — no Python); each doc emits ~len(toks) distinct
+    shingles, so the exchange is corpus-token-sized with map-side
+    combine on the shingle key; the per-doc rollup reuses the doc_id
+    key. Long shingles make the shingle-frequency key space near-unique
+    — skew cannot concentrate (only true duplicated text collides, and
+    that is exactly the signal).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    ).where(F.size("toks") >= 8)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 7),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, 8), " "),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.when(F.col("df") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+            F.round(
+                F.sum(dup.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            "dup_frac",
+        )
+    )
+
+
+def _semdedup_oracle(
+    kc: int = 16, seed: int = 42, train_iters: int = 3,
+    threshold: float = 0.35,
+) -> str:
+    """Replay of semantic_dedup_stats: the IVFIndex Lloyd loop unrolled
+    (identical CTE chain to queries._ivf_oracle — seeded pick via the
+    xxhash64 replay, assign with higher-id tie-break, per-(cluster,dim)
+    mean, empty-cluster carry, re-normalize), then a final assignment
+    against the trained centroids and the within-cluster exact-cosine
+    pair scan."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    h_chain = to_signed64(hash_int_sql(str(seed), hash_long_sql("vec_id", "42")))
+    cos = "(dot / (GREATEST(SQRT(n1), 1e-300) * GREATEST(SQRT(n2), 1e-300)))"
+    parts = [
+        f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ), init_sel AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+        FROM (SELECT vec_id, {h_chain} AS h FROM embeddings)
+        ORDER BY h, vec_id LIMIT {kc}
+    ), craw AS (
+        SELECT s.cid, e.i AS pos, e.v AS val
+        FROM init_sel s JOIN ex e ON e.vec_id = s.vec_id
+    ), c0 AS MATERIALIZED (
+        SELECT cid, pos, val / GREATEST(nrm, 1e-12) AS val
+        FROM craw JOIN (
+            SELECT cid, SQRT(SUM(val * val)) AS nrm FROM craw GROUP BY cid
+        ) USING (cid)
+    )"""
+    ]
+    for t in range(1, train_iters + 1):
+        parts.append(
+            f""", s{t} AS (
+        SELECT e.vec_id, c.cid, SUM(e.v * c.val) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(c.val * c.val) AS n2
+        FROM ex e JOIN c{t - 1} c ON c.pos = e.i
+        GROUP BY e.vec_id, c.cid
+    ), a{t} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {cos} DESC, cid DESC) AS rn
+            FROM s{t}
+        ) WHERE rn = 1
+    ), m{t} AS (
+        SELECT a.cid, e.i AS pos, AVG(e.v) AS m
+        FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.i
+    ), u{t} AS (
+        SELECT c.cid, c.pos, COALESCE(m.m, c.val) AS x
+        FROM c{t - 1} c LEFT JOIN m{t} m ON m.cid = c.cid AND m.pos = c.pos
+    ), c{t} AS MATERIALIZED (
+        SELECT cid, pos, x / GREATEST(nrm, 1e-12) AS val
+        FROM u{t} JOIN (
+            SELECT cid, SQRT(SUM(x * x)) AS nrm FROM u{t} GROUP BY cid
+        ) USING (cid)
+    )"""
+        )
+    cT = f"c{train_iters}"
+    parts.append(
+        f""", sfin AS (
+        SELECT e.vec_id, c.cid, SUM(e.v * c.val) AS dot,
+               SUM(e.v * e.v) AS n1, SUM(c.val * c.val) AS n2
+        FROM ex e JOIN {cT} c ON c.pos = e.i
+        GROUP BY e.vec_id, c.cid
+    ), afin AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {cos} DESC, cid DESC) AS rn
+            FROM sfin
+        ) WHERE rn = 1
+    ), pr AS (
+        SELECT a1.cid AS cid, a1.vec_id AS id_a, a2.vec_id AS id_b
+        FROM afin a1 JOIN afin a2
+          ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+    ), pd AS (
+        SELECT pr.cid, SUM(ea.v * eb.v) AS dot,
+               SUM(ea.v * ea.v) AS n1, SUM(eb.v * eb.v) AS n2
+        FROM pr
+        JOIN ex ea ON ea.vec_id = pr.id_a
+        JOIN ex eb ON eb.vec_id = pr.id_b AND eb.i = ea.i
+        GROUP BY pr.cid, pr.id_a, pr.id_b
+    ), stats AS (
+        SELECT cid,
+               SUM(CASE WHEN {cos} >= {threshold} THEN 1 ELSE 0 END)
+                   AS n_dup_pairs,
+               MAX({cos}) AS mx
+        FROM pd GROUP BY cid
+    ), sizes AS (SELECT cid, COUNT(*) AS sz FROM afin GROUP BY cid)
+    SELECT CAST(sizes.cid AS INT) AS cid,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COALESCE(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           ROUND(COALESCE(mx, -1.0), 6) AS max_cos
+    FROM sizes LEFT JOIN stats USING (cid)
+    ORDER BY cid
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "semantic_dedup_stats",
+    _semdedup_oracle(kc=16, seed=42, train_iters=3, threshold=0.35),
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: k-means-cluster the
+    embedding space (reusing IVFIndex's distributed Lloyd training),
+    then search for near-duplicate pairs ONLY within clusters — per
+    cluster: size, pairs with cosine ≥ τ, and the max intra-cluster
+    cosine. Keeping one representative of each ≥τ pair is then the same
+    keep-lowest-id rule as near_dedup.
+
+    Scale shape: clustering turns the global O(n²) pair scan into
+    Σ O(n_c²) — with balanced clusters an n/k reduction, the entire
+    point of SemDeDup. Assignment is a codegen argmax over broadcast
+    centroid literals (no shuffle); the pair join shuffles once on
+    centroid_id; cosine is a HOF dot product, JVM-side end to end. The
+    oracle replays seeding, 3 Lloyd iterations, assignment, and the
+    pair scan in unrolled SQL.
+    """
+    from federated_gcn_spark.functions.scalar import cosine_similarity
+    from federated_gcn_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    index = IVFIndex(emb, k=16, seed=42, train_iters=3)
+    assigned = index.assign(emb).select("centroid_id", "vec_id", "embedding")
+    a = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("_cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("_cid")) & (F.col("id_a") < F.col("id_b"))
+    ).select("cid", cosine_similarity(F.col("va"), F.col("vb")).alias("cos"))
+    stats = pairs.groupBy("cid").agg(
+        F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0)).alias("n_dup_pairs"),
+        F.max("cos").alias("mx"),
+    )
+    sizes = assigned.groupBy(F.col("centroid_id").alias("cid")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.join(stats, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.round(F.coalesce("mx", F.lit(-1.0)), 6).alias("max_cos"),
+        )
+        .orderBy("cid")
+    )
