@@ -296,6 +296,76 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    r"""Replay of operators/bpe.learn_bpe: the word-frequency table, the
+    double-space symbol encoding, and ``n_merges`` unrolled iterations
+    of (pair count → lexicographic-tiebreak argmax → one-pass greedy
+    REPLACE merge). REPLACE's left-to-right non-overlapping scan has
+    identical semantics in Spark and DuckDB, and the double-space
+    delimiting makes one pass equal the greedy BPE merge (see the
+    operator docstring), so the merge tables match exactly."""
+    parts = [
+        r"""
+    WITH w AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+            FROM documents WHERE TRIM(text) <> ''
+        ) WHERE word <> '' GROUP BY word
+    ), s0 AS MATERIALIZED (
+        SELECT freq,
+               '  ' || array_to_string(string_split(word, ''), '  ')
+                    || '  </w>  ' AS s
+        FROM w
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""", p{t} AS (
+        SELECT toks[i] AS l, toks[i + 1] AS r, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(TRIM(s), '  ') AS toks FROM s{t - 1}),
+             UNNEST(range(1, len(toks))) AS u(i)
+        GROUP BY 1, 2
+    ), b{t} AS MATERIALIZED (
+        SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
+    ), s{t} AS MATERIALIZED (
+        SELECT freq,
+               REPLACE(s,
+                       ' ' || (SELECT l FROM b{t}) || '  '
+                           || (SELECT r FROM b{t}) || ' ',
+                       ' ' || (SELECT l FROM b{t})
+                           || (SELECT r FROM b{t}) || ' ') AS s
+        FROM s{t - 1}
+    )"""
+        )
+    selects = [
+        f"""SELECT {t} AS rank, l AS lhs, r AS rhs, l || r AS merged,
+               CAST(cnt AS BIGINT) AS cnt FROM b{t}"""
+        for t in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank")
+    return "".join(parts)
+
+
+@register("bpe_learned_merges", _bpe_oracle(n_merges=8))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-merge training (operators/bpe.py): the
+    first 8 learned merges over the document corpus with their pair
+    counts. Corpus scale enters only through the word-frequency
+    aggregate; each iteration is O(|vocab|) with a 1-row driver
+    collect. Oracle replays all 8 iterations in unrolled SQL."""
+    from federated_gcn_spark.operators.bpe import learn_bpe_df
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    out = learn_bpe_df(docs, text_col="text", n_merges=8)
+    return out.select(
+        F.col("rank").alias("rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "cnt",
+    )
+
+
 def _semdedup_oracle(
     kc: int = 16, seed: int = 42, train_iters: int = 3,
     threshold: float = 0.35,
