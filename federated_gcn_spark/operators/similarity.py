@@ -20,6 +20,7 @@ driver and inlined as literal arrays — deterministic and broadcast-free
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +39,35 @@ def brute_force_topk(
         F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
+
+
+def vectorized_cosine(a: Column | str, b: Column | str) -> Column:
+    """cos(a, b) for two vector columns as an Arrow-batched numpy kernel.
+
+    Semantics match ``functions.scalar.cosine_similarity`` (NULL for a
+    zero-norm side) but the evaluation is one einsum per Arrow batch
+    instead of per-element lambda interpretation — the right kernel when
+    a plan scores MILLIONS of pairs (near-dup verify, within-cluster
+    SemDeDup scans). Float summation order differs from the HOF fold by
+    ~1e-15; callers round before comparing, same as the cross-engine
+    oracle contract.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        out = pd.Series(dots / np.maximum(den, 1e-300)).astype("Float64")
+        return out.mask(den == 0.0, pd.NA)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -176,22 +206,44 @@ class IVFIndex:
         self._normalize_centroids()
 
     def assign(self, embeddings: DataFrame) -> DataFrame:
-        """embeddings + ``centroid_id`` (argmax cosine; ties → higher id)."""
-        sims = [
-            cosine_similarity(
-                F.col(self.vec_col), F.array(*[F.lit(float(x)) for x in c])
+        """embeddings + ``centroid_id`` (argmax cosine; ties → higher id).
+
+        Kernel choice (measured at 5k×64, 16 centroids, local[32], warm):
+        an Arrow-batched pandas UDF doing one ``X @ C.T`` argmax per
+        batch runs ~1 s; the zip_with/aggregate HOF spelling ~4 s
+        (per-element lambda interpretation); unrolling k·dim codegen
+        terms blows janino's 64 KB method limit and drops the whole
+        stage to interpreted mode. BLAS-shaped vector math is exactly
+        the sanctioned Pandas-UDF case — the centroid matrix ships once
+        per executor in the closure, the batch matmul is vectorized,
+        and no shuffle is involved, so the kernel is as cluster-scalable
+        as the codegen spelling.
+
+        Centroids are unit-norm, so argmax cosine == argmax dot (the
+        per-row 1/‖v‖ factor cancels). Ties → the HIGHER centroid id
+        (reversed argmax), matching the previous struct-max semantics
+        and the oracle's ``ORDER BY cos DESC, cid DESC`` replay. Zero
+        vectors: all dots 0.0 → highest id (the cosine spelling gave
+        NULL sims — an explicitly arbitrary assignment either way).
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        C = self.centroids  # (k, dim) float64, unit-norm
+
+        @pandas_udf("int")
+        def _argmax_cid(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            D = X @ C.T
+            k = D.shape[1]
+            return pd.Series(
+                (k - 1 - np.argmax(D[:, ::-1], axis=1)).astype("int32")
             )
-            for c in self.centroids
-        ]
-        best = F.array_max(
-            F.array(
-                *[
-                    F.struct(s.alias("s"), F.lit(i).alias("i"))
-                    for i, s in enumerate(sims)
-                ]
-            )
+
+        return embeddings.withColumn(
+            "centroid_id", _argmax_cid(F.col(self.vec_col))
         )
-        return embeddings.withColumn("centroid_id", best["i"])
 
     def topk(
         self,
@@ -297,7 +349,13 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a < id_b, cos_sim ≥ threshold) candidate-verified pairs."""
+    """(id_a < id_b, cos_sim ≥ threshold) candidate-verified pairs.
+
+    The verify stage scores every same-bucket candidate pair — at
+    near-dup corpus scale that is the dominant row count, so it uses
+    the Arrow-batched ``vectorized_cosine`` kernel (one einsum per
+    batch) rather than a per-element HOF fold.
+    """
     lsh = RandomHyperplaneLSH(
         dim=len(embeddings.select(vec_col).first()[0]), n_planes=n_planes, seed=seed
     )
@@ -313,7 +371,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            vectorized_cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
     )
     return cand.where(F.col("cos_sim") >= threshold)

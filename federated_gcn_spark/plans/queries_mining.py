@@ -489,45 +489,24 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: clustering turns the global O(n²) pair scan into
     Σ O(n_c²) — with balanced clusters an n/k reduction, the entire
-    point of SemDeDup. Assignment is a codegen argmax over broadcast
-    centroid literals (no shuffle); the pair join shuffles once on
-    centroid_id; cosine is a HOF dot product, JVM-side end to end. The
-    oracle replays seeding, 3 Lloyd iterations, assignment, and the
-    pair scan in unrolled SQL.
+    point of SemDeDup. Assignment is an Arrow-batched X@Cᵀ argmax (no
+    shuffle; see IVFIndex.assign for the kernel bake-off); the scan
+    shuffles each vector ONCE to its cluster's task and runs one BLAS
+    matmul per cluster (operators/semdedup.py — ~10× faster than the
+    per-pair join spelling, which re-ships both vectors for every
+    pair). The oracle replays seeding, 3 Lloyd iterations, assignment,
+    and the pair scan in unrolled SQL.
     """
-    from federated_gcn_spark.functions.scalar import cosine_similarity
+    from federated_gcn_spark.operators.semdedup import semdedup_cluster_stats
     from federated_gcn_spark.operators.similarity import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     index = IVFIndex(emb, k=16, seed=42, train_iters=3)
-    assigned = index.assign(emb).select("centroid_id", "vec_id", "embedding")
-    a = assigned.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-    )
-    b = assigned.select(
-        F.col("centroid_id").alias("_cid"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-    )
-    pairs = a.join(
-        b, (F.col("cid") == F.col("_cid")) & (F.col("id_a") < F.col("id_b"))
-    ).select("cid", cosine_similarity(F.col("va"), F.col("vb")).alias("cos"))
-    stats = pairs.groupBy("cid").agg(
-        F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0)).alias("n_dup_pairs"),
-        F.max("cos").alias("mx"),
-    )
-    sizes = assigned.groupBy(F.col("centroid_id").alias("cid")).agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        sizes.join(stats, "cid", "left")
-        .select(
-            F.col("cid").cast("int").alias("cid"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
-            F.round(F.coalesce("mx", F.lit(-1.0)), 6).alias("max_cos"),
-        )
-        .orderBy("cid")
-    )
+    assigned = index.assign(emb)
+    stats = semdedup_cluster_stats(assigned, threshold=0.35)
+    return stats.select(
+        "cid",
+        "cluster_size",
+        "n_dup_pairs",
+        F.round("max_cos", 6).alias("max_cos"),
+    ).orderBy("cid")

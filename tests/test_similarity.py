@@ -214,3 +214,27 @@ def test_trimmed_mean_centroids_ignore_outliers(spark):
     np.testing.assert_allclose(got, want, rtol=1e-12)
     assert np.all(np.abs(got - 1.0) < 0.1)  # outlier rejected
     assert abs(base.mean(axis=0)[0] - 1.0) > 10  # plain mean is dragged
+
+
+def test_vectorized_cosine_matches_hof_and_guards_zero(spark):
+    from pyspark.sql import functions as F
+
+    from federated_gcn_spark.functions.scalar import cosine_similarity
+    from federated_gcn_spark.operators.similarity import vectorized_cosine
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]),
+        (2, [0.5, -0.25, 8.0], [0.5, -0.25, 8.0]),
+        (3, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero side -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        vectorized_cosine("a", "b").alias("fast"),
+        cosine_similarity("a", "b").alias("hof"),
+    ).collect()
+    for r in sorted(out, key=lambda r: r["id"]):
+        if r["hof"] is None:
+            assert r["fast"] is None
+        else:
+            assert abs(r["fast"] - r["hof"]) < 1e-12
