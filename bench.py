@@ -63,6 +63,15 @@ HEADLINE = [
     "linear_fit",
     "monthly_revenue",
     "local_clustering",
+    # round-3 additions: decision-support shapes + mining operators
+    "customer_order_distribution",
+    "returned_item_report",
+    "waiting_suppliers",
+    "link_prediction_scores",
+    "pmi_top_pairs",
+    "duplicated_span_fraction",
+    "semantic_dedup_stats",
+    "bpe_learned_merges",
 ]
 
 
