@@ -1,0 +1,66 @@
+"""Incremental aggregate maintenance: merge-of-split == full recompute."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.operators.incremental import agg_state, merge_states
+
+SPECS = {
+    "cnt": ("count", "v"),
+    "s": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    df = spark.range(0, 3000).select(
+        F.pmod(F.col("id"), F.lit(37)).alias("k"),
+        (F.xxhash64("id") % 1000).cast("double").alias("v"),
+    )
+    return [
+        df.where(F.pmod(F.xxhash64("id", F.lit(9)), F.lit(3)) == i)
+        for i in range(3)
+    ], df
+
+
+def _as_map(state_df):
+    return {
+        r["k"]: (r["cnt"], round(r["s"], 6), r["lo"], r["hi"])
+        for r in state_df.collect()
+    }
+
+
+def test_merge_of_split_equals_full_aggregate(spark, batches):
+    parts, full = batches
+    merged = agg_state(parts[0], ["k"], SPECS)
+    for p in parts[1:]:
+        merged = merge_states(merged, agg_state(p, ["k"], SPECS), ["k"], SPECS)
+    assert _as_map(merged) == _as_map(agg_state(full, ["k"], SPECS))
+
+
+def test_merge_is_order_insensitive(spark, batches):
+    parts, _ = batches
+    states = [agg_state(p, ["k"], SPECS) for p in parts]
+    a = merge_states(merge_states(states[0], states[1], ["k"], SPECS),
+                     states[2], ["k"], SPECS)
+    b = merge_states(merge_states(states[2], states[0], ["k"], SPECS),
+                     states[1], ["k"], SPECS)
+    assert _as_map(a) == _as_map(b)
+
+
+def test_merge_handles_keys_on_one_side_only(spark):
+    left = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k int, v double")
+    right = spark.createDataFrame([(2, 5.0), (9, 7.0)], "k int, v double")
+    merged = _as_map(
+        merge_states(
+            agg_state(left, ["k"], SPECS),
+            agg_state(right, ["k"], SPECS),
+            ["k"],
+            SPECS,
+        )
+    )
+    assert merged[1] == (1, 2.0, 2.0, 2.0)  # left-only key survives
+    assert merged[9] == (1, 7.0, 7.0, 7.0)  # right-only key survives
+    assert merged[2] == (2, 8.0, 3.0, 5.0)  # merged key combines
