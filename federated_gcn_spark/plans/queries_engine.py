@@ -124,6 +124,92 @@ def bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle(depth: int = 3, width: int = 16, topk: int = 20) -> str:
+    r"""Replay of the Count-Min build + probe: tokenize, exact term
+    counts, the depth×width counter grid via the xxhash64 replay
+    (hash_string once per term, then one hash_int chain per grid row —
+    the same composition Spark's xxhash64(term, lit(d)) computes), and
+    the min-over-rows estimates for the exact top-k terms."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_string_sql,
+        to_signed64,
+    )
+
+    def pos(d: int) -> str:
+        h = to_signed64(hash_int_sql(str(d), "hs"))
+        return f"((({h}) % {width} + {width}) % {width})"
+
+    posns = ", ".join(pos(d) for d in range(depth))
+    ds = ", ".join(str(d) for d in range(depth))
+    est = ", ".join(
+        f"""COALESCE((SELECT c FROM counters
+             WHERE counters.d = {d} AND counters.col = {pos(d)}), 0)"""
+        for d in range(depth)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), tc AS MATERIALIZED (
+        SELECT term, COUNT(*) AS cnt,
+               {hash_string_sql('term', '42')} AS hs
+        FROM tok WHERE term <> '' GROUP BY term
+    ), cells AS (
+        SELECT cnt, UNNEST([{ds}]) AS d, UNNEST([{posns}]) AS col FROM tc
+    ), counters AS MATERIALIZED (
+        SELECT d, col, SUM(cnt) AS c FROM cells GROUP BY d, col
+    ), top AS (
+        SELECT term, cnt, hs FROM tc ORDER BY cnt DESC, term LIMIT {topk}
+    )
+    SELECT term, CAST(cnt AS BIGINT) AS exact_cnt,
+           CAST(LEAST({est}) AS BIGINT) AS cms_est,
+           CAST(LEAST({est}) - cnt AS BIGINT) AS overcount
+    FROM top
+    ORDER BY exact_cnt DESC, term
+    """
+
+
+@register("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the exact top-20 corpus
+    terms, with the measured overcount per term (operators/cms.py).
+
+    Scale shape: the sketch is depth·width cells no matter the
+    vocabulary — the frequency pass a 100 TB corpus keeps when exact
+    counts do not fit; cells merge by addition (same state algebra as
+    incremental_agg_refresh). The exact counts here exist only to
+    verify the estimates — and the oracle replays every hash, so the
+    sketch's overestimates are hash-checked, not just bounded.
+    """
+    from federated_gcn_spark.operators.cms import cms_counters, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    tc = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = cms_counters(tc, "term", "cnt", depth=3, width=16)
+    top = tc.orderBy(F.col("cnt").desc(), "term").limit(20)
+    est = cms_estimate(top.select("term"), counters, "term", depth=3, width=16)
+    return (
+        top.join(est, "term")
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "term")
+    )
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     terms = []
     for b in range(bits):
