@@ -66,6 +66,34 @@ def _sample_negatives(rng, target: int, n: int, pos: set) -> tuple[list, list]:
     return neg_u, neg_v
 
 
+def _canonical_group(
+    nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sort a cogroup's inputs so kernels see a canonical row order.
+
+    applyInPandas delivers a group's rows in whatever order the shuffle
+    read produced them — a function of the upstream plan shape and
+    runtime scheduling, NOT of the data. Everything downstream of the
+    id→index map (feature-matrix layout, gradient summation order, the
+    rng-draw↔row correspondence in negative sampling) depends on that
+    order, so without a canonical sort "bit-identical" only holds while
+    the two plans being compared happen to shuffle identically — wave
+    scheduling, checkpoint/resume, or an AQE re-plan can silently break
+    it. Sorting here (groups are small by design — one FL client) makes
+    the kernels layout-independent, the same doctrine as the xxhash64
+    pseudo-rand in graph/sampling.py.
+    """
+    nodes_pdf = nodes_pdf.sort_values(
+        "id", kind="mergesort", ignore_index=True
+    )
+    ecols = [c for c in ("role", "src", "dst") if c in edges_pdf.columns]
+    if ecols:
+        edges_pdf = edges_pdf.sort_values(
+            ecols, kind="mergesort", ignore_index=True
+        )
+    return nodes_pdf, edges_pdf
+
+
 def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
                    variant: str = "supervised", optimizer: str = "adam",
                    dropout: float = 0.1, batch_size: int | None = None):
@@ -86,6 +114,7 @@ def _make_train_fn(weights_bc, layer_sizes, lr, epochs, seed, feature_dim,
 
     def train(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         (partition_id,) = key
+        nodes_pdf, edges_pdf = _canonical_group(nodes_pdf, edges_pdf)
         ids = nodes_pdf["id"].to_numpy()
         idx = {v: i for i, v in enumerate(ids)}
         if "role" in edges_pdf.columns:
@@ -477,6 +506,7 @@ def distributed_nograd(
 
     def train_and_embed(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame):
         (partition_id,) = key
+        nodes_pdf, edges_pdf = _canonical_group(nodes_pdf, edges_pdf)
         ids = nodes_pdf["id"].to_numpy()
         idx = {v: i for i, v in enumerate(ids)}
         x = np.stack(nodes_pdf["features"].to_numpy()).astype("float64")
@@ -536,6 +566,7 @@ def gen_embeddings(
 
     def embed(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         (partition_id,) = key
+        nodes_pdf, edges_pdf = _canonical_group(nodes_pdf, edges_pdf)
         ids = nodes_pdf["id"].to_numpy()
         idx = {v: i for i, v in enumerate(ids)}
         x = np.stack(nodes_pdf["features"].to_numpy()).astype("float64")

@@ -102,7 +102,17 @@ class GraphSAGELinkModel:
         return [w.copy() for w in self.weights]
 
     def set_weights(self, weights: list[np.ndarray]) -> None:
-        self.weights = [np.asarray(w, dtype="float64").reshape(old.shape)
+        # np.array (NOT np.asarray): asarray is a no-copy view when the
+        # dtype already matches, and fit()'s in-place `w -= ...` updates
+        # would then mutate the CALLER's arrays. Inside applyInPandas the
+        # caller is the worker-cached broadcast value, so with
+        # spark.python.worker.reuse the next kernel call in the same
+        # worker would start from poisoned global weights — which
+        # partitions share a worker is a scheduling accident, making
+        # training layout-dependent (caught by
+        # test_scheduled_waves_bit_identical_to_unscheduled flaking when
+        # an unrelated pandas-UDF job reshuffled the worker pool).
+        self.weights = [np.array(w, dtype="float64").reshape(old.shape)
                         for w, old in zip(weights, self.weights)]
 
     # -- forward / backward -------------------------------------------------
@@ -268,7 +278,9 @@ class LinearModel:
         return [w.copy() for w in self.weights]
 
     def set_weights(self, weights):
-        self.weights = [np.asarray(w, dtype="float64").reshape(o.shape)
+        # np.array, not asarray: same aliasing hazard as
+        # GraphSAGELinkModel.set_weights (fit mutates in place).
+        self.weights = [np.array(w, dtype="float64").reshape(o.shape)
                         for w, o in zip(weights, self.weights)]
 
     def fit(self, x, y, epochs: int = 1):

@@ -364,3 +364,35 @@ def test_federated_fit_resume_bit_identical(spark, fl_result):
     assert h2[0]["round"] == 1
     for a, b in zip(w_resumed, w_straight):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_set_weights_does_not_alias_caller_arrays():
+    """fit()'s in-place updates must never write through to the arrays
+    passed into set_weights — inside applyInPandas those are the
+    worker-cached BROADCAST value, and with spark.python.worker.reuse a
+    mutation leaks poisoned global weights into whichever kernel call
+    lands on the same worker next (a scheduling accident)."""
+    import numpy as np
+
+    from federated_gcn_spark.ml.kernels import GraphSAGELinkModel, LinearModel
+
+    model = GraphSAGELinkModel(4, (3, 3), seed=7)
+    shared = model.get_weights()
+    snapshot = [w.copy() for w in shared]
+    m2 = GraphSAGELinkModel(4, (3, 3), seed=7)
+    m2.set_weights(shared)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 4))
+    src = np.array([0, 1, 2]); dst = np.array([1, 2, 3])
+    m2.fit(x, src, dst, src, dst, np.ones(3), epochs=2)
+    for a, b in zip(shared, snapshot):
+        np.testing.assert_array_equal(a, b)
+
+    lin = LinearModel(3, seed=7)
+    shared = lin.get_weights()
+    snapshot = [w.copy() for w in shared]
+    l2 = LinearModel(3, seed=7)
+    l2.set_weights(shared)
+    l2.fit(rng.normal(size=(8, 3)), rng.normal(size=8), epochs=2)
+    for a, b in zip(shared, snapshot):
+        np.testing.assert_array_equal(a, b)

@@ -64,3 +64,25 @@ def test_merge_handles_keys_on_one_side_only(spark):
     assert merged[1] == (1, 2.0, 2.0, 2.0)  # left-only key survives
     assert merged[9] == (1, 7.0, 7.0, 7.0)  # right-only key survives
     assert merged[2] == (2, 8.0, 3.0, 5.0)  # merged key combines
+
+
+def test_streaming_agg_state_equals_batch_rollup(spark, tmp_path):
+    """Micro-batched state folding converges to the one-shot rollup."""
+    from federated_gcn_spark.streaming.aggstate import streaming_agg_state
+
+    df = spark.range(0, 2000).select(
+        F.pmod(F.col("id"), F.lit(23)).alias("k"),
+        (F.xxhash64("id") % 500).cast("double").alias("v"),
+    )
+    src = str(tmp_path / "agg_in")
+    df.repartition(4).write.parquet(src)  # 4 files -> real multi-batch fold
+    state = str(tmp_path / "agg_state")
+
+    q = streaming_agg_state(
+        spark, src, state, ["k"], SPECS, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = _as_map(spark.read.parquet(state))
+    want = _as_map(agg_state(df, ["k"], SPECS))
+    assert got == want

@@ -27,6 +27,11 @@ ROSTER = [
     "tfidf_top_terms", "decontam_report",
     # named scale-validation targets (VERDICT r02 §next-round-3)
     "near_dedup_corpus", "edge_split_stats", "pricing_summary", "dedup_exact",
+    # round-3 additions: the expensive new operators
+    "link_prediction_scores", "duplicated_span_fraction", "pmi_top_pairs",
+    "semantic_dedup_stats", "bpe_learned_merges", "waiting_suppliers",
+    "customer_order_distribution", "bloom_prejoin_stats",
+    "incremental_agg_refresh", "cms_heavy_hitters",
 ]
 
 SF_DIRS = {
