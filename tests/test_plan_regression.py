@@ -29,6 +29,22 @@ PLAN_BUDGET = {
     "two_hop_paths": (2, 0),
     "tfidf_top_terms": (10, 0),
     "decontam_report": (5, 0),
+    # round-3 additions (measured under the same fixture)
+    "customer_order_distribution": (4, 0),
+    "supplier_revenue_share": (5, 0),
+    "large_volume_customers": (4, 0),
+    "waiting_suppliers": (5, 0),
+    "urgent_averse_rich": (5, 0),
+    "returned_item_report": (4, 0),
+    "promo_revenue_share": (3, 0),
+    "link_prediction_scores": (13, 0),
+    "pmi_top_pairs": (17, 0),
+    "duplicated_span_fraction": (5, 0),
+    "semantic_dedup_stats": (3, 0),
+    "bloom_prejoin_stats": (12, 0),
+    "zorder_curve_sample": (1, 0),
+    "incremental_agg_refresh": (2, 1),
+    "cms_heavy_hitters": (9, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
