@@ -86,3 +86,44 @@ def test_streaming_agg_state_equals_batch_rollup(spark, tmp_path):
     got = _as_map(spark.read.parquet(state))
     want = _as_map(agg_state(df, ["k"], SPECS))
     assert got == want
+
+
+def test_streaming_heavy_hitters_equals_one_shot_sketch(spark, tmp_path):
+    """Micro-batched CMS folding == one-shot sketch over all data, and
+    estimates upper-bound exact counts."""
+    from federated_gcn_spark.operators.cms import cms_counters, cms_estimate
+    from federated_gcn_spark.streaming.heavyhitters import (
+        streaming_heavy_hitters,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(50))).cast("string").alias("term")
+    )
+    src = str(tmp_path / "terms_in")
+    df.repartition(4).write.parquet(src)
+    state = str(tmp_path / "cms_state")
+
+    q = streaming_heavy_hitters(
+        spark, src, state, "term", depth=3, width=32, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["d"], r["col"]): r["c"]
+        for r in spark.read.parquet(state).collect()
+    }
+    exact = df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    single = {
+        (r["d"], r["col"]): r["c"]
+        for r in cms_counters(exact, "term", "cnt", depth=3, width=32).collect()
+    }
+    assert streamed == single
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(
+            exact.select("term"), spark.read.parquet(state), "term",
+            depth=3, width=32,
+        ).collect()
+    }
+    for r in exact.collect():
+        assert est[r["term"]] >= r["cnt"]  # CMS never undercounts

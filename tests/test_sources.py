@@ -182,3 +182,21 @@ def test_curate_corpus_sampling_is_doc_level(spark):
 
     per_doc = Counter(r["doc_id"] for r in rows)
     assert all(c == 4 for c in per_doc.values())
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source roundtrip; the read plan shows pushed filters and
+    pruned columns, same as parquet."""
+    from federated_gcn_spark.sources.orc import read_orc, write_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, bloom_filter_cols=["doc_id"])
+    back = read_orc(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    q = back.where(back.doc_id == 7).select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
