@@ -306,3 +306,73 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price", 2).alias("total_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "merge_upsert_segments",
+    """
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               0.0 AS c_acctbal, 'COLLECTIONS' AS c_mktsegment
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL
+        SELECT s_suppkey + 10000000, s_name, s_nationkey,
+               s_acctbal, 'SUPPLIER'
+        FROM supplier
+    ), merged AS (
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def merge_upsert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (operators/upsert.py) through the gate: negative-
+    balance customers are UPDATED into a COLLECTIONS segment, suppliers
+    are INSERTED as new customer rows, everyone else carries over —
+    then the per-segment rollup of the merged snapshot.
+
+    Scale shape: the merge is ONE anti join on the key (update side
+    AQE-broadcastable when it is a trickle) plus a union — never a
+    full-outer materialization; the oracle spells the same semantics
+    with NOT IN + UNION ALL.
+    """
+    from federated_gcn_spark.operators.upsert import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    upd = (
+        customer.where(F.col("c_acctbal") < 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("COLLECTIONS").alias("c_mktsegment"),
+        )
+        .unionByName(
+            supplier.select(
+                (F.col("s_suppkey") + 10_000_000).alias("c_custkey"),
+                F.col("s_name").alias("c_name"),
+                F.col("s_nationkey").alias("c_nationkey"),
+                F.col("s_acctbal").alias("c_acctbal"),
+                F.lit("SUPPLIER").alias("c_mktsegment"),
+            )
+        )
+    )
+    merged = merge_upsert(customer, upd, ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

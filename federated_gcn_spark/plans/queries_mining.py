@@ -346,6 +346,29 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     return "".join(parts)
 
 
+def _bpe_corpus_oracle(n_merges: int = 8) -> str:
+    """Same unrolled training chain as ``_bpe_oracle``, but the final
+    select applies the learned table corpus-wide: token counts of the
+    fully-segmented corpus (segmentation IS the final s{T} state — BPE
+    training's invariant that the working state equals applying the
+    merge table from scratch, which tests/test_bpe.py pins on the
+    operator side via segment_words round-trips)."""
+    chain = _bpe_oracle(n_merges)
+    chain = chain[: chain.rindex("\nSELECT 1 AS rank")]
+    return (
+        chain
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(freq) AS BIGINT) AS total_words,
+           CAST(SUM(freq * len(string_split(TRIM(s), '  '))) AS BIGINT)
+               AS total_subwords,
+           ROUND(SUM(freq * len(string_split(TRIM(s), '  ')))
+                 / CAST(SUM(freq) AS DOUBLE), 6) AS fertility
+    FROM s{n_merges}
+    """
+    )
+
+
 @register("bpe_learned_merges", _bpe_oracle(n_merges=8))
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer-merge training (operators/bpe.py): the
@@ -363,6 +386,38 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("rhs"),
         "merged",
         "cnt",
+    )
+
+
+@register("bpe_corpus_tokenization", _bpe_corpus_oracle(n_merges=8))
+def bpe_corpus_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide application of the learned BPE table: distinct
+    words, running words, total subword tokens after 8 merges, and the
+    fertility ratio (subwords per word — the statistic that prices a
+    tokenizer against a corpus). Segmentation runs on the DISTINCT-word
+    table and weights by frequency, so applying the tokenizer costs
+    O(|vocab|) regardless of corpus size; the oracle replays training
+    AND segmentation in one unrolled chain."""
+    from federated_gcn_spark.operators.bpe import (
+        _words,
+        learn_bpe,
+        segment_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    merges = learn_bpe(docs, text_col="text", n_merges=8)
+    seg = segment_words(_words(docs, "text"), merges)
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.col("freq") * F.size("subtokens"))
+        .cast("long")
+        .alias("total_subwords"),
+        F.round(
+            F.sum(F.col("freq") * F.size("subtokens"))
+            / F.sum("freq").cast("double"),
+            6,
+        ).alias("fertility"),
     )
 
 

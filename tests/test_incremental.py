@@ -127,3 +127,20 @@ def test_streaming_heavy_hitters_equals_one_shot_sketch(spark, tmp_path):
     }
     for r in exact.collect():
         assert est[r["term"]] >= r["cnt"]  # CMS never undercounts
+
+
+def test_upsert_parquet_swaps_snapshot_and_applies_deletes(spark, tmp_path):
+    from federated_gcn_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    deletes = spark.createDataFrame([(3,), (4,)], "k long")
+    upsert_parquet(spark, path, updates, ["k"], deletes=deletes)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # 1 carried, 2 updated, 3 deleted, 4 deleted-before-insert
+    assert got == {(1, "a"), (2, "B")}
+    import os
+    assert not [d for d in os.listdir(tmp_path) if "__" in d]  # no debris
