@@ -618,3 +618,65 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+    """
+
+
+@register("grouping_sets_lineitem", _GROUPING_SETS_SQL)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door (catalog.run_sql): the
+    same SQL text runs on both engines — the third member of the
+    rollup/cube family, with an explicit set list instead of the
+    implied hierarchies. Spark expands the sets in ONE pass over the
+    scan (partial aggregates per set, a single exchange), not one scan
+    per set."""
+    from federated_gcn_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+@register(
+    "price_histogram",
+    """
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 11)
+                   AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS BIGINT) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (fixed 50k buckets, top
+    bucket open-ended) — the profiling primitive behind range
+    partitioning choices and skew diagnosis. One partial-final
+    aggregate over a 1-column scan; bucket count is fixed, so the
+    exchange carries ≤ 12 rows per task no matter the SF."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(11)
+    ).alias("bucket")
+    return (
+        orders.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("long").alias("lo"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
