@@ -565,3 +565,121 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_pairs",
         F.round("max_cos", 6).alias("max_cos"),
     ).orderBy("cid")
+
+
+def _quality_clf_oracle(lr: float = 0.5, iterations: int = 10) -> str:
+    r"""Replay of the model-based quality filter: surface features per
+    document, standardization stats, the unrolled full-batch GD of
+    operators/logistic.logistic_fit (same chain as queries.
+    _logistic_oracle), and finally APPLYING the model — per-language
+    kept/total counts and mean score at the 0.5 threshold."""
+    k = 3
+    parts = [
+        r"""
+    WITH fx AS MATERIALIZED (
+        SELECT lang,
+               CAST(n_chars AS DOUBLE) AS f0,
+               CAST(len(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                    AS DOUBLE) AS f1,
+               CAST(n_chars AS DOUBLE)
+                   / len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS f2,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents WHERE TRIM(text) <> ''
+    ), st AS (
+        SELECT AVG(f0) AS m0, STDDEV_POP(f0) AS s0,
+               AVG(f1) AS m1, STDDEV_POP(f1) AS s1,
+               AVG(f2) AS m2, STDDEV_POP(f2) AS s2
+        FROM fx
+    ), staged AS MATERIALIZED (
+        SELECT lang, y,
+               (f0 - st.m0) / GREATEST(st.s0, 1e-12) AS x0,
+               (f1 - st.m1) / GREATEST(st.s1, 1e-12) AS x1,
+               (f2 - st.m2) / GREATEST(st.s2, 1e-12) AS x2
+        FROM fx, st
+    ), it0 AS (
+        SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+               0.0::DOUBLE AS b
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        z = "w.b" + "".join(f" + w.w{i} * x{i}" for i in range(k))
+        resid = f"(1.0 / (1.0 + EXP(-({z}))) - y)"
+        grads = ", ".join(f"AVG({resid} * x{i}) AS g{i}" for i in range(k))
+        upd = ", ".join(f"w.w{i} - {lr} * g.g{i} AS w{i}" for i in range(k))
+        parts.append(
+            f""", grad{t} AS MATERIALIZED (
+        SELECT {grads}, AVG({resid}) AS gb
+        FROM staged, it{t - 1} w
+    ), it{t} AS MATERIALIZED (
+        SELECT {upd}, w.b - {lr} * g.gb AS b FROM it{t - 1} w, grad{t} g
+    )"""
+        )
+    z = "w.b" + "".join(f" + w.w{i} * x{i}" for i in range(k))
+    parts.append(
+        f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN 1.0 / (1.0 + EXP(-({z}))) >= 0.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(1.0 / (1.0 + EXP(-({z})))), 6) AS avg_score
+    FROM staged, it{iterations} w
+    GROUP BY lang
+    ORDER BY lang
+    """
+    )
+    return "".join(parts)
+
+
+@register("quality_classifier_filter", _quality_clf_oracle(lr=0.5, iterations=10))
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of a
+    training-data pipeline (the fastText/logistic quality-filter
+    pattern of GPT-3 §A / CCNet): train a logistic model ON the corpus
+    (surface features: length, token count, mean word length; label:
+    the target domain, here lang='en'), then score and threshold every
+    document, reporting per-language keep rates.
+
+    Scale shape: features are codegen expressions fused into the scan;
+    training is operators/logistic.logistic_fit — each GD step ONE
+    map-side-combinable aggregate with weights inlined as literals;
+    scoring is a pure expression over the same feature columns (no
+    second training pass, no Python). The oracle replays features,
+    standardization, all 10 GD steps, AND the threshold application.
+    """
+    from federated_gcn_spark.operators.logistic import logistic_fit
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    feat = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("f0"),
+        toks.cast("double").alias("f1"),
+        (F.col("n_chars").cast("double") / toks).alias("f2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w, b = logistic_fit(feat, ["f0", "f1", "f2"], "y", lr=0.5, iterations=10)
+    stats = feat.agg(
+        *[F.avg(f"f{i}").alias(f"m{i}") for i in range(3)],
+        *[F.stddev_pop(f"f{i}").alias(f"s{i}") for i in range(3)],
+    ).collect()[0]
+    z = F.lit(float(b))
+    for i in range(3):
+        xi = (F.col(f"f{i}") - F.lit(stats[f"m{i}"])) / F.lit(
+            max(stats[f"s{i}"], 1e-12)
+        )
+        z = z + F.lit(float(w[i])) * xi
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        feat.select("lang", score.alias("score"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
