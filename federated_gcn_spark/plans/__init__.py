@@ -18,6 +18,7 @@ CORRECTNESS_r{N}.json file.
 """
 
 from federated_gcn_spark.plans import queries_analytics  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_decision  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_engine  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_mining  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE

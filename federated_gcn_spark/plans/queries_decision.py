@@ -1,0 +1,416 @@
+"""Decision-support shapes, part 2 (TPC-H Q2/Q4/Q8/Q9/Q15/Q20 analogues).
+
+Completes the classic TPC-H query-shape sweep (Q1/Q3/Q5/Q6/Q7/Q10-Q14/
+Q16-Q19/Q21/Q22 live in queries.py / queries_analytics.py /
+queries_mining.py).  The testdata has no ``partsupp`` table and no
+commit/receipt dates, so the shapes are adapted while keeping the
+operator pattern that makes each query interesting:
+
+- Q2  min-cost-supplier-per-part: correlated MIN subquery decorrelated
+  into an aggregate + equality join-back, with a deterministic tie-break;
+- Q4  order-priority check: EXISTS rewritten to a left-semi join with a
+  non-equi lateness predicate evaluated inside the join;
+- Q8  market share: conditional-aggregate ratio over a two-dimension
+  (customer-region x supplier-nation) star;
+- Q9  product-type profit: profit expression over a name-filtered part
+  dimension, grouped by nation x year;
+- Q15 top supplier: scalar-MAX subquery against a reused aggregate
+  (the "view" of the original, expressed as a shared DataFrame);
+- Q20 nested IN-subqueries rewritten to HAVING + semi-join chain.
+
+Cross-engine determinism follows the catalog rules (queries.py module
+docstring); every potentially-tied selection carries an explicit key
+tie-break.  Reference parity: these widen the relational surface beyond
+the reference's own queries (its engine has no SQL layer at all —
+BASELINE.md), exercising the same join/agg operators SURVEY.md §2 lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.plans.queries import register
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey AS b_partkey, MIN(unit_cost) AS min_cost
+        FROM ps GROUP BY l_partkey
+    ),
+    chosen AS (
+        SELECT ps.l_partkey, MIN(ps.l_suppkey) AS l_suppkey, MIN(ps.unit_cost) AS unit_cost
+        FROM ps JOIN best
+          ON ps.l_partkey = best.b_partkey AND ps.unit_cost = best.min_cost
+        GROUP BY ps.l_partkey
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS partkey, p_brand AS brand,
+           s_name AS supplier, n_name AS nation,
+           ROUND(unit_cost, 4) AS unit_cost
+    FROM chosen
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size <= 10 AND r_name = 'ASIA'
+    ORDER BY unit_cost, partkey
+    LIMIT 50
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the cheapest supplier in a
+    region — the correlated-MIN pattern, decorrelated.
+
+    With no partsupp table, (part, supplier) unit cost is derived from
+    lineitem as MIN(extendedprice/quantity); the per-part global MIN is
+    joined back on equality (both sides compute the identical IEEE
+    division, so the FP equality is exact), and ties on cost break to
+    the smallest suppkey so the selection is a pure function of the data.
+
+    Scale shape: lineitem aggregates once on (partkey, suppkey) —
+    partial-final, one shuffle; the per-part MIN reuses that reduced
+    table (|part|x|supp-per-part| rows, orders of magnitude below the
+    fact); part/supplier/nation/region are broadcast dims.  TakeOrdered
+    for the top-50 presentation — no global sort of the fact.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    chosen = (
+        ps.join(
+            best,
+            (ps.l_partkey == best.b_partkey) & (ps.unit_cost == best.min_cost),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.min("unit_cost").alias("unit_cost"))
+    )
+    return (
+        chosen.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("p_partkey").cast("long").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("unit_cost", "partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of quarter orders with at least
+    one late shipment — correlated EXISTS rewritten as a left-semi join.
+
+    Lateness here is "shipped more than 60 days after the order date"
+    (the testdata has no commit/receipt dates).  The non-equi part of
+    the predicate rides inside the semi join, so each order matches at
+    most once no matter how many late lines it has — no post-join dedup.
+
+    Scale shape: the quarter filter is pushed into the orders scan; the
+    semi join shuffles on orderkey (the natural co-key — bucketing both
+    facts by orderkey removes even that, `catalog.write_bucketed`);
+    lineitem carries only (orderkey, shipdate) through the exchange.
+    The final groupBy has ~5 groups — map-side partials make it free.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "market_share",
+    """
+    WITH all_volumes AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM all_volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7 suppliers' share of the EUROPE customer
+    market, by order year — the conditional-aggregate-ratio pattern
+    over a star with dimensions on BOTH fact foreign keys.
+
+    Scale shape: one lineitem⋈orders shuffle on orderkey is the only
+    data-sized exchange; customer joins on the already-reduced
+    order side, and nation/region/supplier/nation2 all broadcast.  The
+    numerator is a CASE inside the same aggregate as the denominator —
+    one pass, no self-join, no second scan.  Ratio rounded to 6 places
+    (both engines sum doubles; the ratio is O(1) error-amplified).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    cust_nation = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "c_custkey"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    vols = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vols.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 0) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'gear' parts by supplier nation x order
+    year.  With no ps_supplycost, cost is modeled as 60% of the part's
+    retail price times quantity — preserving the original's
+    revenue-minus-join-derived-cost expression shape.
+
+    Scale shape: the p_name filter broadcasts a shrunken part dim and
+    prunes lineitem rows at the (broadcast) join before the single
+    orderkey shuffle against orders; supplier/nation broadcast.  The
+    profit expression folds into the partial aggregate — the exchange
+    carries (nation, year, partial sums), not rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                0,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "top_supplier_quarter",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name AS supplier,
+           ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY suppkey
+    """,
+)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the create-view-then-scalar-MAX pattern, expressed as one shared
+    DataFrame used for both the MAX and the filter.
+
+    The equality against MAX compares values computed within the same
+    engine, so FP summation order cannot split the comparison across
+    engines; a cross-engine tie would require two suppliers within
+    ~1e-9 relative revenue, which ROUND(2) output would still render
+    identically row-for-row.
+
+    Scale shape: the shipdate window is pushed into the scan; one
+    partial-final aggregate to |suppliers| rows; the MAX is computed
+    from that reduced table and carried back as a broadcast 1-row join.
+    supplier is a broadcast dim.  Nothing data-sized is scanned twice.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "promo_part_suppliers",
+    """
+    SELECT s_name AS supplier, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 100
+      )
+    ORDER BY supplier
+    """,
+)
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation set who moved a material
+    volume of 'red' parts in 1996 — the nested IN-subquery chain,
+    rewritten inside-out as semi-join → HAVING → semi-join.
+
+    Scale shape: the innermost part filter broadcasts as a semi join
+    that prunes lineitem BEFORE its one shuffle (groupBy suppkey with
+    partial sums); the HAVING survivors (≤ |suppliers| rows) broadcast
+    back against the nation-filtered supplier dim — the outer IN costs
+    nothing.  No subquery is re-evaluated per outer row anywhere.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("red"))
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    movers = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("supplier")
+    )
