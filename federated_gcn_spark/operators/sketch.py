@@ -85,3 +85,101 @@ def quantile_report(
         )
         .select(group_col, F.col("z.prob").alias("prob"), F.col("z.value").alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-replayable sketches: the estimates above use Apache DataSketches,
+# whose serialized form is library-specific.  The two below are built from
+# first principles on F.xxhash64 with ONLY order-fixed integer arithmetic
+# (plus one final double division), so a DuckDB oracle replays them
+# bit-for-bit — the full distributed sketch construction is value-checked,
+# not just bounded by error tests.
+# ---------------------------------------------------------------------------
+
+
+def hll_replay(
+    df: DataFrame, key_col: str, group_col: str, p: int = 7, cap: int = 55
+) -> DataFrame:
+    """From-scratch HyperLogLog per group, integer-exact cross-engine.
+
+    Flajolet et al.'s estimator with m = 2**p registers: bucket = low p
+    bits of the unsigned xxhash64, rho = leading-zero count of the
+    remaining ``64-p`` bits + 1.  Register max is the mergeable state.
+    The harmonic sum is kept in INTEGER space — SUM(2**(cap - M[j])) as
+    BIGINT (cap=55 keeps m * 2**cap < 2**63) — so no FP summation-order
+    divergence is possible; the single double division at the end is
+    IEEE-identical on any engine.  rho is computed branch-free as
+    ``(64-p+1) - popcount-style bit-length`` via 64-p integer
+    comparisons (no log2 — libm rounding differs across engines).
+
+    No small-range (linear-counting) correction: the raw estimator keeps
+    the expression replayable; accuracy bounds for production use are
+    pinned on the DataSketches path (test_sketch.py).
+
+    Scale shape: one partial-final aggregate to (group x m) register
+    rows — map-side combine reduces each task to <= m rows per group
+    before the only shuffle — then an m-row-per-group rollup.  The
+    register table is the persistable, mergeable sketch state.
+    """
+    m = 1 << p
+    wbits = 64 - p
+    h = F.xxhash64(F.col(key_col))
+    w = F.shiftrightunsigned(h, p)
+    bitlen = None
+    for k in range(wbits):
+        c = (w >= F.lit(1 << k)).cast("int")
+        bitlen = c if bitlen is None else bitlen + c
+    rho = F.lit(wbits + 1) - bitlen
+
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - least(mr, {cap}))")
+        ).alias("filled_sum"),
+        F.max("mr").cast("long").alias("max_reg"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << cap)
+    sum_int = F.col("filled_sum") + (F.lit(m) - F.col("present")) * F.lit(1 << cap)
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("present").cast("long").alias("nonzero_regs"),
+        "max_reg",
+        F.round(F.lit(c_num) / sum_int.cast("double"), 2).alias("est_distinct"),
+    )
+
+
+def kmv_kth(df: DataFrame, key_col: str, k: int = 32) -> DataFrame:
+    """K-Minimum-Values distinct-count estimate, integer-exact.
+
+    Keep the k smallest distinct signed xxhash64 values; with the hash
+    uniform on [-2**63, 2**63), est = (k-1) * 2**64 / (h_(k) + 2**63).
+    Every step before the final division is integer (distinct + ordered
+    limit + max), and the division's operands are built with a fixed op
+    order, so the oracle replays it exactly.
+
+    Scale shape: distinct shuffles once on the hash; the k-smallest is
+    ``TakeOrderedAndProject`` (per-partition heads, driver merge of
+    k x partitions values) — never a global sort.  The k-value set is
+    the mergeable state: union two sets, keep the k smallest.
+    """
+    dh = df.select(F.xxhash64(F.col(key_col)).alias("h")).distinct()
+    sm = dh.orderBy("h").limit(k)
+    num = float((k - 1) * (1 << 64))
+    shift = float(1 << 63)
+    return sm.agg(
+        F.count(F.lit(1)).cast("long").alias("k_actual"),
+        F.max("h").alias("kth_hash"),
+        F.round(
+            F.lit(num) / (F.max("h").cast("double") + F.lit(shift)), 2
+        ).alias("est_distinct"),
+    )

@@ -376,3 +376,90 @@ def merge_upsert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _hll_replay_oracle(p: int = 7, cap: int = 55) -> str:
+    """DuckDB replay of operators/sketch.hll_replay over events.user_id.
+
+    Identical integer pipeline: unsigned xxhash64 -> low-p-bit bucket
+    (u % m) / high bits (u // m) -> branch-free bit-length via 64-p
+    comparisons -> per-bucket MAX(rho) -> INTEGER harmonic sum -> one
+    double division with the same inlined constant literal.
+    """
+    from federated_gcn_spark.plans.xxh64_sql import xxhash64_sql
+
+    m = 1 << p
+    wbits = 64 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << cap)
+    u = xxhash64_sql(("user_id", "long"))
+    bitlen = " + ".join(f"(w >= {1 << k})::INT" for k in range(wbits))
+    return f"""
+    WITH h AS (
+        SELECT event_type, ({u}) AS u FROM events
+    ), b AS (
+        SELECT event_type, (u % {m})::BIGINT AS bucket, (u // {m}) AS w FROM h
+    ), regs AS (
+        SELECT event_type, bucket, MAX({wbits + 1} - ({bitlen})) AS mr
+        FROM b GROUP BY event_type, bucket
+    ), per AS (
+        SELECT event_type,
+               COUNT(*) AS present,
+               SUM(CAST(POWER(2, {cap} - LEAST(mr, {cap})) AS BIGINT)) AS filled_sum,
+               MAX(mr) AS max_reg
+        FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(present AS BIGINT) AS nonzero_regs,
+           CAST(max_reg AS BIGINT) AS max_reg,
+           ROUND({c_num!r} / CAST(filled_sum + ({m} - present) * {1 << cap} AS DOUBLE), 2)
+               AS est_distinct
+    FROM per
+    ORDER BY event_type
+    """
+
+
+@register("hll_replay_cardinality", _hll_replay_oracle())
+def hll_replay_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-replayable HyperLogLog (operators/sketch.py:hll_replay):
+    per-event-type register state + raw estimate, value-checked against
+    a DuckDB replay of the identical integer pipeline — the distributed
+    sketch CONSTRUCTION is the thing under test, complementing the
+    DataSketches path whose serialized estimates are library-specific
+    (sketch_cardinalities, rows-only)."""
+    from federated_gcn_spark.operators.sketch import hll_replay
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_replay(events, "user_id", "event_type").orderBy("event_type")
+
+
+def _kmv_oracle(k: int = 32) -> str:
+    from federated_gcn_spark.plans.xxh64_sql import to_signed64, xxhash64_sql
+
+    h = to_signed64(xxhash64_sql(("user_id", "long")))
+    num = float((k - 1) * (1 << 64))
+    shift = float(1 << 63)
+    return f"""
+    WITH dh AS (
+        SELECT DISTINCT ({h}) AS h FROM events
+    ), sm AS (
+        SELECT h FROM dh ORDER BY h LIMIT {k}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_actual,
+           MAX(h) AS kth_hash,
+           ROUND({num!r} / (CAST(MAX(h) AS DOUBLE) + {shift!r}), 2) AS est_distinct
+    FROM sm
+    """
+
+
+@register("kmv_distinct", _kmv_oracle())
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-user estimate
+    (operators/sketch.py:kmv_kth), the second hash-replayable sketch:
+    integer order statistics end-to-end, one double division at the
+    emit.  The k-smallest selection is TakeOrdered (no global sort);
+    the oracle replays the same signed-hash order statistics."""
+    from federated_gcn_spark.operators.sketch import kmv_kth
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_kth(events, "user_id", k=32)

@@ -154,3 +154,42 @@ def test_hll_state_fold_is_idempotent_under_batch_replay(spark, tmp_path):
         for r in read_distinct_counts(spark, state, "event_type").collect()
     }
     assert once == twice
+
+
+def test_hll_replay_accuracy_and_register_bounds(spark):
+    from federated_gcn_spark.operators.sketch import hll_replay
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 5000).alias("k"), F.lit("g").alias("g")
+    )
+    row = hll_replay(df, "k", "g", p=7).collect()[0]
+    # raw-regime estimate (5000 >> 2.5*128): within 3 RSE of exact
+    rse = 1.04 / (128 ** 0.5)
+    assert abs(row["est_distinct"] - 5000) / 5000 < 3 * rse
+    assert 1 <= row["max_reg"] <= 58
+    assert 1 <= row["nonzero_regs"] <= 128
+
+
+def test_hll_replay_is_layout_independent(spark):
+    from federated_gcn_spark.operators.sketch import hll_replay
+
+    df = spark.range(3000).select(
+        (F.col("id") % 700).alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    a = {r["g"]: r for r in hll_replay(df, "k", "g").collect()}
+    b = {r["g"]: r for r in hll_replay(df.repartition(17, "k"), "k", "g").collect()}
+    assert set(a) == set(b)
+    for g in a:
+        assert a[g]["est_distinct"] == b[g]["est_distinct"]
+        assert a[g]["max_reg"] == b[g]["max_reg"]
+
+
+def test_kmv_estimate_tracks_exact(spark):
+    from federated_gcn_spark.operators.sketch import kmv_kth
+
+    df = spark.range(50000).select((F.col("id") % 2000).alias("k"))
+    row = kmv_kth(df, "k", k=256).collect()[0]
+    assert row["k_actual"] == 256
+    rse = 1.0 / (256 - 2) ** 0.5
+    assert abs(row["est_distinct"] - 2000) / 2000 < 4 * rse
