@@ -110,3 +110,74 @@ def effective_diameter(
         if n >= target:
             return hop
     return rows[-1][0]
+
+
+def register_anf(
+    graph: Graph, max_hops: int = 4, p: int = 7
+) -> DataFrame:
+    """HyperANF supersteps over INTEGER xxhash64 registers — the
+    hash-replayable twin of :func:`neighborhood_function`.
+
+    Same Boldi-Rosa-Vigna iteration, but the per-vertex sketch is the
+    explicit register table (vertex, bucket, max-rho) built exactly like
+    operators/sketch.hll_replay: bucket = low p bits of the unsigned
+    hash, rho = bit-position of the remaining 64-p bits, branch-free
+    integer comparisons only.  Each superstep max-merges every vertex's
+    registers with its in-neighbors' — one equi-join + one partial-final
+    max aggregate per hop, the PageRank shuffle shape, lineage cut per
+    hop.  Returns the per-hop register-table summary
+
+        (hop, nodes, filled_regs, reg_sum, max_reg)
+
+    — all exact BIGINTs, so a DuckDB oracle replays the full iterative
+    sketch evolution bit-for-bit (the estimate-emission arithmetic is
+    separately value-checked by ``hll_replay_cardinality``, and the
+    estimates' accuracy by test_anf.py; summing per-vertex double
+    estimates is deliberately NOT in this query — that sum is
+    FP-order-dependent and belongs to the rows-only sketch path).
+
+    State is O(n * 2**p) rows max — the 100 TB-viable footprint.
+    """
+    spark = graph.vertices.sparkSession
+    m = 1 << p
+    wbits = 64 - p
+    edges = graph.symmetrized_edges().select(SRC, DST).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    h = F.xxhash64(F.col(ID))
+    w = F.shiftrightunsigned(h, p)
+    bitlen = None
+    for k in range(wbits):
+        c = (w >= F.lit(1 << k)).cast("int")
+        bitlen = c if bitlen is None else bitlen + c
+    state = graph.vertices.select(
+        ID,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        (F.lit(wbits + 1) - bitlen).alias("mr"),
+    )
+    state = iteration_barrier(state)
+
+    def summary(df: DataFrame, hop: int):
+        r = df.agg(
+            F.countDistinct(ID).alias("nodes"),
+            F.count(F.lit(1)).alias("filled"),
+            F.sum("mr").alias("reg_sum"),
+            F.max("mr").alias("max_reg"),
+        ).collect()[0]
+        return (hop, r["nodes"], r["filled"], int(r["reg_sum"]), r["max_reg"])
+
+    rows = [summary(state, 0)]
+    for hop in range(1, max_hops + 1):
+        msgs = edges.join(state.withColumnRenamed(ID, SRC), SRC).select(
+            F.col(DST).alias(ID), "bucket", "mr"
+        )
+        state = iteration_barrier(
+            msgs.unionByName(state).groupBy(ID, "bucket").agg(
+                F.max("mr").alias("mr")
+            )
+        )
+        rows.append(summary(state, hop))
+    return spark.createDataFrame(
+        rows,
+        "hop int, nodes bigint, filled_regs bigint, reg_sum bigint, max_reg int",
+    )

@@ -683,3 +683,64 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _register_anf_oracle(p: int = 7, max_hops: int = 4) -> str:
+    """Unrolled-superstep replay of graph/anf.register_anf: same hash,
+    same bucket/rho integer pipeline (see _hll machinery in
+    queries_engine), same max-merge per hop, summarized per hop with
+    exact integer aggregates."""
+    from federated_gcn_spark.plans.xxh64_sql import xxhash64_sql
+
+    m = 1 << p
+    wbits = 64 - p
+    u = xxhash64_sql(("id", "long"))
+    bitlen = " + ".join(f"(w >= {1 << k})::INT" for k in range(wbits))
+    sql = f"""
+    WITH ed AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), sym AS (
+        SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ), v AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), hw AS (
+        SELECT id, (u % {m})::BIGINT AS bucket, (u // {m}) AS w
+        FROM (SELECT id, ({u}) AS u FROM v)
+    ), s0 AS (
+        SELECT id, bucket, ({wbits + 1} - ({bitlen})) AS mr FROM hw
+    )"""
+    for i in range(1, max_hops + 1):
+        sql += f""", s{i} AS (
+        SELECT id, bucket, MAX(mr) AS mr FROM (
+            SELECT sym.dst AS id, s.bucket, s.mr
+            FROM sym JOIN s{i - 1} s ON s.id = sym.src
+            UNION ALL SELECT id, bucket, mr FROM s{i - 1}
+        ) GROUP BY id, bucket
+    )"""
+    sels = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS INT) AS hop,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS nodes,
+               CAST(COUNT(*) AS BIGINT) AS filled_regs,
+               CAST(SUM(mr) AS BIGINT) AS reg_sum,
+               CAST(MAX(mr) AS INT) AS max_reg FROM s{i}"""
+        for i in range(max_hops + 1)
+    )
+    return sql + "\n    " + sels + "\n    ORDER BY hop"
+
+
+@register("anf_register_supersteps", _register_anf_oracle())
+def anf_register_supersteps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-register HyperANF (graph/anf.py:register_anf): the
+    iterative sketch max-merge — the genuinely hard distributed part of
+    HyperANF — hash-checked against a DuckDB unrolled-superstep replay.
+    Together with hll_replay_cardinality (register -> estimate
+    arithmetic) and test_anf.py (estimate accuracy), this closes the
+    oracle gap that kept hyperanf_reachable_pairs rows-only: every
+    deterministic stage of the sketch path now has a value check."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.anf import register_anf
+    from federated_gcn_spark.plans.queries import _edges_mod50
+
+    edges = _edges_mod50(spark, sf_dir)
+    return register_anf(Graph.from_edges(edges), max_hops=4)

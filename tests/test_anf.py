@@ -76,3 +76,22 @@ def test_effective_diameter_small_world_vs_chain(spark):
     d_hub = effective_diameter(neighborhood_function(g_hub, max_hops=8))
     assert d_hub <= 2
     assert d_chain > d_hub  # the chain saturates much later
+
+
+def test_register_anf_saturates_at_diameter(spark):
+    from federated_gcn_spark.graph.anf import register_anf
+
+    # path 0-1-2-3: diameter 3, so registers stop changing after hop 3
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    rows = {r["hop"]: r for r in register_anf(Graph.from_edges(df), max_hops=4).collect()}
+    assert rows[0]["nodes"] == 4
+    # monotone growth of the register table until saturation
+    assert rows[1]["reg_sum"] >= rows[0]["reg_sum"]
+    assert rows[3]["reg_sum"] == rows[4]["reg_sum"]
+    assert rows[3]["filled_regs"] == rows[4]["filled_regs"]
+    # saturated: every vertex holds the same (full-set) sketch, so
+    # filled_regs = nodes * distinct buckets of the 4 hashes
+    per_vertex = rows[4]["filled_regs"] / rows[4]["nodes"]
+    assert per_vertex == rows[4]["filled_regs"] // rows[4]["nodes"]
