@@ -744,3 +744,36 @@ def anf_register_supersteps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _edges_mod50(spark, sf_dir)
     return register_anf(Graph.from_edges(edges), max_hops=4)
+
+
+@register(
+    "covariance_matrix",
+    """
+    WITH idx AS (SELECT UNNEST(range(1, 65)) AS k)
+    SELECT CAST(a.k - 1 AS BIGINT) AS i, CAST(b.k - 1 AS BIGINT) AS j,
+           ROUND(COVAR_POP(e.embedding[a.k]::DOUBLE, e.embedding[b.k]::DOUBLE), 4)
+               AS cov
+    FROM embeddings e CROSS JOIN idx a CROSS JOIN idx b
+    GROUP BY a.k, b.k
+    ORDER BY i, j
+    """,
+)
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of PCA (operators/pca.py:gram_moments) —
+    per-partition numpy Gram partials element-wise-summed via the
+    posexplode exchange — value-checked: the full 64x64 population
+    covariance matrix vs DuckDB's COVAR_POP, ROUND(4) absorbing the
+    summation-order/stable-vs-naive FP delta (<= ~1e-12 on 500 rows).
+    This closes the oracle gap on pca_variance's pipeline: the eig on
+    the driver (not SQL-expressible) stays pinned against full numpy
+    PCA in test_pca.py, but everything distributed is now hash-checked."""
+    from federated_gcn_spark.operators.pca import gram_moments
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    n, mean, cov = gram_moments(emb, "embedding")
+    rows = [
+        (i, j, round(float(cov[i, j]), 4))
+        for i in range(cov.shape[0])
+        for j in range(cov.shape[1])
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double")
