@@ -1,0 +1,250 @@
+"""Distributed matrix factorization (ALS) over an implicit-rating table.
+
+Koren/Hu-style alternating least squares, the standard collaborative
+filter at data-warehouse scale (Spark MLlib ships one on RDDs; this is
+the DataFrame-native re-expression, self-contained like the rest of the
+catalog).  Ratings here are implicit: r(u, i) = total quantity customer
+u ordered of part i.
+
+Scale design — factors move, ratings don't:
+
+- The normal-equation accumulation is the expensive part: for each user
+  ``A_u = sum_i v_i v_i^T + lam*I`` and ``b_u = sum_i r_ui v_i``.  It is
+  expressed as a ratings⋈item-factor equi-join followed by a
+  posexplode + partial-final SUM per (user, cell) — all JVM codegen; the
+  exchange carries k*(k+1) doubles per user, never the vectors.
+- The k x k solves are embarrassingly tiny; they run on Arrow batches in
+  ``mapInPandas`` with ONE batched ``np.linalg.solve`` per batch
+  (stacked [B, k, k] tensors), not per-row Python.
+- Each half-iteration is the same two-shuffle shape with user/item roles
+  swapped; lineage is cut per iteration (localCheckpoint) exactly like
+  the other iterative operators (components, pagerank, Borůvka).
+- Factor init is hash-derived ((pmod(xxhash64(id, dim), 2001) - 1000) /
+  2000): layout-independent, seedable, and — for the rank-1 twin —
+  replayable in a SQL oracle.
+
+``als_rank1`` is the closed-form special case (k = 1: the solve is a
+scalar division), expressible entirely in fixed-order arithmetic; its
+factors are ROUND()ed each half-iteration so an engine-independent
+oracle re-derives them exactly (the rounding RESYNCS both engines every
+iteration — accumulated FP summation-order error ~1e-12 is crushed
+against the 5e-5 rounding boundary).  test_als.py pins the rank-k path
+against a dense numpy ALS on the same init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_factor(id_col, d: int, seed: int = 42) -> F.Column:
+    """Deterministic pseudo-random init in [-0.5, 0.5]: a pure function
+    of (id, dimension), identical on any layout and replayable in SQL."""
+    h = F.xxhash64(F.col(id_col) if isinstance(id_col, str) else id_col, F.lit(d))
+    return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(2000.0)
+
+
+def _init_factors(ids: DataFrame, id_col: str, rank: int) -> DataFrame:
+    return ids.select(
+        id_col,
+        F.array(*[hash_factor(id_col, d) for d in range(rank)]).alias("vec"),
+    )
+
+
+def _solve_half(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_for: str,
+    fixed_key: str,
+    rank: int,
+    lam: float,
+) -> DataFrame:
+    """One ALS half-step: given `fixed` factors keyed by fixed_key,
+    return new factors for `solve_for`."""
+    k = rank
+    joined = ratings.join(fixed, fixed_key).select(
+        solve_for,
+        "rating",
+        F.col("vec").alias("fv"),
+    )
+    # cells 0..k-1: b entries (rating * v_d); cells k..k+k*k-1: A entries
+    # (v_a * v_b) — flattened row-major.  One posexplode, one partial-
+    # final SUM per (key, cell): the A/b accumulation never leaves JVM.
+    cells = F.concat(
+        F.transform(F.col("fv"), lambda v: v * F.col("rating")),
+        F.flatten(
+            F.transform(
+                F.col("fv"),
+                lambda va: F.transform(F.col("fv"), lambda vb: va * vb),
+            )
+        ),
+    )
+    summed = (
+        joined.select(solve_for, F.posexplode(cells))
+        .groupBy(solve_for, "pos")
+        .agg(F.sum("col").alias("s"))
+        .groupBy(solve_for)
+        .agg(F.map_from_arrays(F.collect_list("pos"), F.collect_list("s")).alias("m"))
+        .select(
+            solve_for,
+            F.array(*[F.col("m").getItem(i) for i in range(k + k * k)]).alias("ab"),
+        )
+    )
+
+    def batch_solve(batches):
+        for pdf in batches:
+            ab = np.stack(pdf["ab"].to_numpy()).astype(np.float64)
+            b = ab[:, :k]
+            A = ab[:, k:].reshape(-1, k, k) + lam * np.eye(k)[None, :, :]
+            sol = np.linalg.solve(A, b)  # one batched LAPACK call
+            yield pd.DataFrame({solve_for: pdf[solve_for], "vec": list(map(list, sol))})
+
+    return summed.mapInPandas(
+        batch_solve, schema=f"{solve_for} long, vec array<double>"
+    )
+
+
+def als_fit(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    rank: int = 8,
+    iterations: int = 5,
+    lam: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Alternating least squares; returns (user_factors, item_factors)
+    as (key, vec array<double>) DataFrames."""
+    r = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    )
+    items = r.select("item").distinct()
+    item_f = _init_factors(items, "item", rank).localCheckpoint(eager=True)
+    user_f = None
+    for _ in range(iterations):
+        user_f = _solve_half(r, item_f, "user", "item", rank, lam).localCheckpoint(
+            eager=True
+        )
+        item_f = _solve_half(r, user_f, "item", "user", rank, lam).localCheckpoint(
+            eager=True
+        )
+    return user_f, item_f
+
+
+def als_rmse(
+    ratings: DataFrame, user_f: DataFrame, item_f: DataFrame
+) -> float:
+    """Training RMSE of the factorization (codegen dot product)."""
+    pred = (
+        ratings.join(user_f.withColumnRenamed("vec", "uv"), "user")
+        .join(item_f.withColumnRenamed("vec", "iv"), "item")
+        .select(
+            (
+                F.col("rating")
+                - F.aggregate(
+                    F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("err")
+        )
+    )
+    return float(
+        pred.agg(F.sqrt(F.avg(F.col("err") * F.col("err")))).collect()[0][0]
+    )
+
+
+def als_rank1(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    iterations: int = 3,
+    lam: float = 0.1,
+    round_to: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-1 ALS — the hash-replayable twin.
+
+    The per-key solve is closed-form scalar division
+    ``u = sum(r*v) / (lam + sum(v*v))``; factors are rounded to
+    ``round_to`` decimals after every half-iteration, which both keeps
+    the whole recursion SQL-expressible AND resynchronizes any
+    engine-specific FP summation-order drift at each step.  Same
+    two-shuffle-per-half-iteration shape as the rank-k path.
+    """
+    r = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    )
+    item_f = r.select("item").distinct().select(
+        "item", F.round(hash_factor("item", 0), round_to).alias("v")
+    ).localCheckpoint(eager=True)
+    user_f = None
+    for _ in range(iterations):
+        user_f = (
+            r.join(item_f, "item")
+            .groupBy("user")
+            .agg(
+                F.round(
+                    F.sum(F.col("rating") * F.col("v"))
+                    / (F.lit(lam) + F.sum(F.col("v") * F.col("v"))),
+                    round_to,
+                ).alias("u")
+            )
+            .localCheckpoint(eager=True)
+        )
+        item_f = (
+            r.join(user_f, "user")
+            .groupBy("item")
+            .agg(
+                F.round(
+                    F.sum(F.col("rating") * F.col("u"))
+                    / (F.lit(lam) + F.sum(F.col("u") * F.col("u"))),
+                    round_to,
+                ).alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return user_f, item_f
+
+
+def recommend_topk(
+    user_f: DataFrame, item_f: DataFrame, k: int = 5, n_users: int = 10
+) -> DataFrame:
+    """Top-k items per user by factor dot product, for the n_users
+    smallest user ids — the serving-side join.
+
+    Scale shape: item factors broadcast (k doubles per item — MBs for
+    millions of items); the per-user top-k is a window over the
+    broadcast-joined product, partitioned by user.  For full-corpus
+    serving you'd ANN-index the item factors instead
+    (operators/similarity.py) — this is the exact small-candidate path.
+    """
+    users = user_f.select("user", F.col("vec").alias("uv")).orderBy("user").limit(
+        n_users
+    )
+    items = item_f.select("item", F.col("vec").alias("iv"))
+    scored = users.crossJoin(F.broadcast(items)).select(
+        "user",
+        "item",
+        F.aggregate(
+            F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -777,3 +777,104 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(cov.shape[1])
     ]
     return spark.createDataFrame(rows, "i long, j long, cov double")
+
+
+def _als_rank1_oracle(iterations: int = 3, lam: float = 0.1, rd: int = 4) -> str:
+    """Unrolled replay of operators/als.als_rank1 on the custkey x
+    partkey implicit-rating matrix.  The per-half-iteration ROUND is the
+    cross-engine resync point (see als.py docstring); the init replays
+    hash_factor via the xxh64 SQL generator."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    h = to_signed64(hash_int_sql("0", hash_long_sql("i", "42")))
+    init = f"ROUND(((({h}) % 2001 + 2001) % 2001 - 1000) / 2000.0, {rd})"
+    sql = f"""
+    WITH r AS (
+        SELECT o_custkey AS u, l_partkey AS i, SUM(l_quantity) AS rt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ), v0 AS (
+        SELECT i, {init} AS v FROM (SELECT DISTINCT i FROM r)
+    )"""
+    prev_v = "v0"
+    for it in range(1, iterations + 1):
+        sql += f""", u{it} AS (
+        SELECT u, ROUND(SUM(rt * v) / ({lam} + SUM(v * v)), {rd}) AS uf
+        FROM r JOIN {prev_v} USING (i) GROUP BY u
+    ), v{it} AS (
+        SELECT i, ROUND(SUM(rt * uf) / ({lam} + SUM(uf * uf)), {rd}) AS v
+        FROM r JOIN u{it} USING (u) GROUP BY i
+    )"""
+        prev_v = f"v{it}"
+    n = iterations
+    return sql + f"""
+    SELECT * FROM (
+        SELECT 'user' AS kind, CAST(u AS BIGINT) AS id, uf AS factor
+        FROM u{n} ORDER BY u LIMIT 25
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'item' AS kind, CAST(i AS BIGINT) AS id, v AS factor
+        FROM v{n} ORDER BY i LIMIT 25
+    )
+    ORDER BY kind, id
+    """
+
+
+@register("als_rank1_factors", _als_rank1_oracle())
+def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS (operators/als.py:als_rank1) on the implicit
+    customer x part quantity matrix, 3 alternating closed-form
+    half-steps — the hash-replayable twin of the rank-k path, checked
+    factor-for-factor against a DuckDB unrolled recursion.  Exercises
+    the full alternating join/agg iteration shape of the factorizer."""
+    from federated_gcn_spark.operators.als import als_rank1
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+    )
+    uf, itf = als_rank1(ratings, iterations=3)
+    users = (
+        uf.orderBy("user").limit(25)
+        .select(F.lit("user").alias("kind"), F.col("user").alias("id"), F.col("u").alias("factor"))
+    )
+    items = (
+        itf.orderBy("item").limit(25)
+        .select(F.lit("item").alias("kind"), F.col("item").alias("id"), F.col("v").alias("factor"))
+    )
+    return users.unionByName(items).orderBy("kind", "id")
+
+
+@register("als_recommendations")  # rows-only: k x k LAPACK solves, not SQL
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-8 ALS (operators/als.py:als_fit — normal-equation partials
+    accumulated in codegen, Arrow-batched LAPACK solves) + top-5
+    recommendations for the 10 lowest custkeys.  The matrix solves are
+    genuinely non-SQL; the alternating iteration machinery is
+    hash-checked by als_rank1_factors, and the solver against dense
+    numpy ALS in test_als.py."""
+    from federated_gcn_spark.operators.als import als_fit, recommend_topk
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+    )
+    uf, itf = als_fit(ratings, rank=8, iterations=2)
+    return recommend_topk(uf, itf, k=5, n_users=10).select(
+        "user", "item", F.round("score", 3).alias("score")
+    )
