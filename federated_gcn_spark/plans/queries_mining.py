@@ -878,3 +878,128 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend_topk(uf, itf, k=5, n_users=10).select(
         "user", "item", F.round("score", 3).alias("score")
     )
+
+
+def _pq_oracle(
+    n_sub: int = 4,
+    n_codes: int = 8,
+    seed: int = 42,
+    train_iters: int = 2,
+    k: int = 10,
+    query_id: int = 3,
+    dim: int = 64,
+) -> str:
+    """Replay of operators/pq.PQIndex end-to-end: per-subspace seeded
+    init, unrolled Lloyd (argmin-L2 assign with lowest-code tie-break,
+    per-(code,dim) mean, empty-code carry), final encode, ADC score for
+    the query vector.  The Spark kernel's ``-2x.c + ||c||^2`` and the
+    oracle's ``sum (x-c)^2`` are equal in exact arithmetic; argmin
+    flips only on sub-1e-12 knife edges (same acceptance as
+    _ivf_oracle), and exact duplicate centroids tie to the lowest code
+    on both sides."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    sd = dim // n_sub
+    parts = [
+        """
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    )"""
+    ]
+    for s in range(n_sub):
+        h = to_signed64(hash_int_sql(str(seed + s), hash_long_sql("vec_id", "42")))
+        lo, hi = s * sd, (s + 1) * sd  # 1-based i in (lo, hi]
+        parts.append(
+            f""", sx{s} AS MATERIALIZED (
+        SELECT vec_id, i - {lo} AS sd, v FROM ex WHERE i > {lo} AND i <= {hi}
+    ), init{s} AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+        FROM (SELECT vec_id, {h} AS h FROM embeddings)
+        ORDER BY h, vec_id LIMIT {n_codes}
+    ), c{s}_0 AS MATERIALIZED (
+        SELECT t.code, x.sd, x.v AS val
+        FROM init{s} t JOIN sx{s} x ON x.vec_id = t.vec_id
+    )"""
+        )
+        for t in range(1, train_iters + 1):
+            parts.append(
+                f""", d{s}_{t} AS (
+        SELECT x.vec_id, c.code, SUM((x.v - c.val) * (x.v - c.val)) AS d
+        FROM sx{s} x JOIN c{s}_{t - 1} c ON c.sd = x.sd
+        GROUP BY x.vec_id, c.code
+    ), a{s}_{t} AS MATERIALIZED (
+        SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, code ASC) AS rn
+            FROM d{s}_{t}
+        ) WHERE rn = 1
+    ), m{s}_{t} AS (
+        SELECT a.code, x.sd, AVG(x.v) AS m
+        FROM a{s}_{t} a JOIN sx{s} x ON x.vec_id = a.vec_id
+        GROUP BY a.code, x.sd
+    ), c{s}_{t} AS MATERIALIZED (
+        SELECT c.code, c.sd, COALESCE(m.m, c.val) AS val
+        FROM c{s}_{t - 1} c
+        LEFT JOIN m{s}_{t} m ON m.code = c.code AND m.sd = c.sd
+    )"""
+            )
+    # final encode per subspace + per-subspace LUT against the query
+    for s in range(n_sub):
+        T = train_iters
+        parts.append(
+            f""", fd{s} AS (
+        SELECT x.vec_id, c.code, SUM((x.v - c.val) * (x.v - c.val)) AS d
+        FROM sx{s} x JOIN c{s}_{T} c ON c.sd = x.sd
+        GROUP BY x.vec_id, c.code
+    ), fa{s} AS (
+        SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, code ASC) AS rn
+            FROM fd{s}
+        ) WHERE rn = 1
+    ), lut{s} AS (
+        SELECT c.code, SUM((c.val - q.v) * (c.val - q.v)) AS ld
+        FROM c{s}_{T} c
+        JOIN sx{s} q ON q.sd = c.sd AND q.vec_id = {query_id}
+        GROUP BY c.code
+    ), sc{s} AS (
+        SELECT f.vec_id, l.ld FROM fa{s} f JOIN lut{s} l ON l.code = f.code
+    )"""
+        )
+    score_union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, ld FROM sc{s}" for s in range(n_sub)
+    )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT vec_id, ROUND(SUM(ld), 6) AS adc_dist
+    FROM ({score_union})
+    GROUP BY vec_id
+    ORDER BY adc_dist, vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@register("pq_adc_topk", _pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 4x8 codebooks
+    trained with 2 distributed Lloyd iterations per subspace, vectors
+    encoded to 4 small codes, then ADC top-10 for vec_id 3's embedding
+    — the compressed-domain search that makes 100 TB vector corpora
+    RAM-resident.  Replayed end-to-end (init, training, encode, LUT
+    scoring) by an unrolled DuckDB oracle."""
+    from federated_gcn_spark.operators.pq import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    idx = PQIndex(emb, n_sub=4, n_codes=8, train_iters=2)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    return idx.adc_topk(idx.encode(emb), q, k=10)
