@@ -72,6 +72,16 @@ HEADLINE = [
     "duplicated_span_fraction",
     "semantic_dedup_stats",
     "bpe_learned_merges",
+    # round-3 second wave: TPC-H sweep completion, replayable sketches,
+    # factorization + compressed-domain ANN
+    "min_cost_supplier",
+    "order_priority_check",
+    "market_share",
+    "hll_replay_cardinality",
+    "anf_register_supersteps",
+    "covariance_matrix",
+    "als_rank1_factors",
+    "pq_adc_topk",
 ]
 
 

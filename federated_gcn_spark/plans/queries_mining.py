@@ -1003,3 +1003,62 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = PQIndex(emb, n_sub=4, n_codes=8, train_iters=2)
     q = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
     return idx.adc_topk(idx.encode(emb), q, k=10)
+
+
+def _sssp_oracle(max_iters: int = 6) -> str:
+    """Unrolled Bellman-Ford replay on the weighted order→supplier
+    graph: integer weights (MIN quantity per edge), so every distance
+    is exact; the source is the smallest vertex id.  Spark's early exit
+    is invisible here — relaxation past convergence is a no-op."""
+    sql = """
+    WITH ed AS (
+        SELECT l_orderkey AS src, l_suppkey + 10000000 AS dst,
+               CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey, l_suppkey
+    ), sym AS (
+        SELECT src, dst, w FROM ed
+        UNION ALL SELECT dst AS src, src AS dst, w FROM ed
+    ), d0 AS (
+        SELECT (SELECT MIN(src) FROM sym) AS id, CAST(0 AS BIGINT) AS dist
+    )"""
+    for t in range(1, max_iters + 1):
+        sql += f""", d{t} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT e.dst AS id, d.dist + e.w AS dist
+            FROM d{t - 1} d JOIN sym e ON e.src = d.id
+            UNION ALL SELECT id, dist FROM d{t - 1}
+        ) GROUP BY id
+    )"""
+    return sql + f"""
+    SELECT CAST(id AS BIGINT) AS id, dist FROM d{max_iters} ORDER BY id
+    """
+
+
+@register("sssp_distances", _sssp_oracle())
+def sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (graph/sssp.py — distributed Bellman-Ford, one
+    relax-join + MIN aggregate per superstep) from the lowest order
+    vertex over the quantity-weighted order→supplier graph, 6
+    supersteps, hash-checked against an unrolled DuckDB replay.  The
+    weighted complement of bfs_distances."""
+    from federated_gcn_spark.graph.sssp import sssp
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ed = (
+        lineitem.where(F.col("l_orderkey") % 50 == 0)
+        .groupBy(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    source = sym.agg(F.min("src")).collect()[0][0]
+    return (
+        sssp(sym, int(source), max_iters=6)
+        .select(F.col("id").cast("long"), "dist")
+        .orderBy("id")
+    )
