@@ -138,7 +138,6 @@ def register_anf(
 
     State is O(n * 2**p) rows max — the 100 TB-viable footprint.
     """
-    spark = graph.vertices.sparkSession
     m = 1 << p
     wbits = 64 - p
     edges = graph.symmetrized_edges().select(SRC, DST).distinct()
@@ -157,16 +156,19 @@ def register_anf(
     )
     state = iteration_barrier(state)
 
-    def summary(df: DataFrame, hop: int):
-        r = df.agg(
-            F.countDistinct(ID).alias("nodes"),
-            F.count(F.lit(1)).alias("filled"),
-            F.sum("mr").alias("reg_sum"),
-            F.max("mr").alias("max_reg"),
-        ).collect()[0]
-        return (hop, r["nodes"], r["filled"], int(r["reg_sum"]), r["max_reg"])
+    def summary(df: DataFrame, hop: int) -> DataFrame:
+        # lazy: derived from the already-checkpointed state, so ONE
+        # final action computes every per-hop summary (no collect-job
+        # per hop — the supersteps themselves stay eager via the
+        # barrier, which is where the real work is).
+        return df.agg(
+            F.countDistinct(ID).cast("long").alias("nodes"),
+            F.count(F.lit(1)).cast("long").alias("filled_regs"),
+            F.sum("mr").cast("long").alias("reg_sum"),
+            F.max("mr").cast("int").alias("max_reg"),
+        ).select(F.lit(hop).cast("int").alias("hop"), "*")
 
-    rows = [summary(state, 0)]
+    out = summary(state, 0)
     for hop in range(1, max_hops + 1):
         msgs = edges.join(state.withColumnRenamed(ID, SRC), SRC).select(
             F.col(DST).alias(ID), "bucket", "mr"
@@ -176,8 +178,5 @@ def register_anf(
                 F.max("mr").alias("mr")
             )
         )
-        rows.append(summary(state, hop))
-    return spark.createDataFrame(
-        rows,
-        "hop int, nodes bigint, filled_regs bigint, reg_sum bigint, max_reg int",
-    )
+        out = out.unionByName(summary(state, hop))
+    return out
