@@ -123,7 +123,7 @@ def als_fit(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
-    )
+    ).localCheckpoint(eager=True)  # joined 2x per iteration — never rebuilt
     items = r.select("item").distinct()
     item_f = _init_factors(items, "item", rank).localCheckpoint(eager=True)
     user_f = None
@@ -182,7 +182,7 @@ def als_rank1(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
-    )
+    ).localCheckpoint(eager=True)  # joined 2x per iteration — never rebuilt
     item_f = r.select("item").distinct().select(
         "item", F.round(hash_factor("item", 0), round_to).alias("v")
     ).localCheckpoint(eager=True)
