@@ -680,3 +680,63 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "scd2_user_states",
+    """
+    WITH t AS (
+        SELECT user_id, event_type,
+               epoch_ns(ts) // 1000000000 AS sec, event_id
+        FROM events WHERE user_id < 10
+    ), l AS (
+        SELECT user_id, event_type, sec, event_id,
+               CASE WHEN LAG(event_type) OVER
+                        (PARTITION BY user_id ORDER BY sec, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM t
+    ), g AS (
+        SELECT user_id, event_type, sec,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM l
+    ), i AS (
+        SELECT user_id, MIN(event_type) AS state, MIN(sec) AS valid_from
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, state,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                AS BIGINT) AS valid_to
+    FROM i
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py): each user's
+    event-type history collapsed to [valid_from, valid_to) state
+    intervals via the gaps-and-islands idiom — LAG transition flags, a
+    running-SUM island number, per-island MIN, LEAD for the closing
+    edge.  Point-in-time lookups against the result are the as-of join
+    (asof_latest_update).  All windows are key-partitioned (scd.py
+    docstring has the scale analysis)."""
+    from federated_gcn_spark.operators.scd import build_scd2
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.where(F.col("user_id") < 10).select(
+        "user_id",
+        "event_type",
+        _event_epoch_sec(events).alias("sec"),
+        "event_id",
+    )
+    return (
+        build_scd2(t, "user_id", "event_type", "sec", "event_id")
+        .select(
+            F.col("user_id").cast("long"),
+            "state",
+            F.col("valid_from").cast("long"),
+            F.col("valid_to").cast("long"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -93,3 +93,41 @@ def test_asof_rejects_column_collision(spark):
     right = spark.createDataFrame([(1, 8, 9.0)], "k long, ts long, val double")
     with pytest.raises(ValueError, match="both sides"):
         asof_join(left, right, ["k"], "ts", "ts", ["val"])
+
+
+def test_build_scd2_hand_example(spark):
+    from federated_gcn_spark.operators.scd import build_scd2
+
+    rows = [
+        # key, state, sec, tiebreak
+        (1, "a", 10, 1),
+        (1, "a", 20, 2),   # same state: same island
+        (1, "b", 30, 3),   # change
+        (1, "a", 40, 4),   # change back: NEW island (not merged with first)
+        (2, "x", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, sec long, tb long")
+    got = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"])
+        for r in build_scd2(df, "k", "st", "sec", "tb").collect()
+    )
+    assert got == [
+        (1, "a", 10, 30),
+        (1, "a", 40, None),
+        (1, "b", 30, 40),
+        (2, "x", 5, None),
+    ]
+
+
+def test_build_scd2_tiebreak_orders_same_second(spark):
+    from federated_gcn_spark.operators.scd import build_scd2
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 2), (1, "b", 10, 1)], "k long, st string, sec long, tb long"
+    )
+    got = sorted(
+        (r["state"], r["valid_from"], r["valid_to"])
+        for r in build_scd2(df, "k", "st", "sec", "tb").collect()
+    )
+    # tb=1 ("b") precedes tb=2 ("a")
+    assert got == [("a", 10, None), ("b", 10, 10)]

@@ -32,6 +32,12 @@ ROSTER = [
     "semantic_dedup_stats", "bpe_learned_merges", "waiting_suppliers",
     "customer_order_distribution", "bloom_prejoin_stats",
     "incremental_agg_refresh", "cms_heavy_hitters",
+    # round-3 second wave: factorization, compressed ANN, replayable
+    # sketches, weighted SSSP, TPC-H sweep completion
+    "als_rank1_factors", "als_recommendations", "pq_adc_topk",
+    "anf_register_supersteps", "hll_replay_cardinality", "kmv_distinct",
+    "sssp_distances", "min_cost_supplier", "market_share",
+    "covariance_matrix",
 ]
 
 SF_DIRS = {
