@@ -196,9 +196,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     market, by order year — the conditional-aggregate-ratio pattern
     over a star with dimensions on BOTH fact foreign keys.
 
-    Scale shape: one lineitem⋈orders shuffle on orderkey is the only
-    data-sized exchange; customer joins on the already-reduced
-    order side, and nation/region/supplier/nation2 all broadcast.  The
+    Scale shape: lineitem⋈orders shuffles on orderkey; the
+    region-filtered customer key set arrives as an UNHINTED left-semi
+    join (AQE broadcasts it when post-filter small, shuffles it when
+    not — a forced hint here would broadcast a raw fact, the round-1
+    flagship lesson, now pinned by test_no_forced_fact_broadcast);
+    nation/region/supplier dims broadcast.  The
     numerator is a CASE inside the same aggregate as the denominator —
     one pass, no self-join, no second scan.  Ratio rounded to 6 places
     (both engines sum doubles; the ratio is O(1) error-amplified).
@@ -222,7 +225,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vols = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),

@@ -45,6 +45,22 @@ PLAN_BUDGET = {
     "zorder_curve_sample": (1, 0),
     "incremental_agg_refresh": (2, 1),
     "cms_heavy_hitters": (9, 0),
+    # round-3 second wave (measured under the same fixture).  The
+    # iterative queries (als*, anf, sssp, covariance) report low static
+    # counts because checkpoint/collect boundaries cut the visible
+    # plan — their per-iteration shuffle shape is pinned by their
+    # oracles + layout-independence tests instead.
+    "min_cost_supplier": (9, 0),
+    "order_priority_check": (3, 0),
+    "market_share": (9, 1),
+    "product_type_profit": (6, 0),
+    "top_supplier_quarter": (6, 0),
+    "promo_part_suppliers": (5, 0),
+    "hll_replay_cardinality": (3, 0),
+    "kmv_distinct": (1, 0),
+    "pq_adc_topk": (1, 0),
+    "scd2_user_states": (2, 0),
+    "anf_register_supersteps": (10, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
