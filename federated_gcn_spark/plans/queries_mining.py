@@ -1062,3 +1062,79 @@ def sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").cast("long"), "dist")
         .orderBy("id")
     )
+
+
+@register(
+    "bigram_nll",
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+        FROM documents WHERE TRIM(text) <> ''
+    ), toks AS (
+        SELECT doc_id, UNNEST(l) AS term FROM d
+    ), v AS (
+        SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vsz FROM toks
+    ), bi AS (
+        SELECT doc_id, l[pos] AS w1, l[pos + 1] AS w2
+        FROM d, UNNEST(range(1, len(l))) AS t(pos)
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY w1
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY w1, w2
+    )
+    SELECT doc_id,
+           ROUND(AVG(-LN((n12 + 0.5) / (n1 + 0.5 * (SELECT vsz FROM v)))), 6)
+               AS bigram_nll,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bi JOIN c1 USING (w1) JOIN c12 USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: per-document mean negative log
+    conditional likelihood -ln P(w2 | w1) under the corpus's own
+    add-0.5-smoothed bigram model — the conditional complement of
+    unigram_nll: a doc of common words in IMPROBABLE order (shuffled
+    text, keyword stuffing) scores high here while unigram_nll sees
+    nothing wrong.
+
+    Scale shape: bigrams are built positionally from the in-row token
+    array (posexplode + element_at — no self-join on position); the
+    context counts c(w1) and pair counts c(w1,w2) are partial-final
+    aggregates of that one exploded stream, joined back on the same
+    keys (exchange reuse on w1); the vocabulary size rides as a
+    broadcast 1-row side."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    d = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")
+    )
+    toks = d.select(F.explode("l").alias("term"))
+    v = toks.agg(F.countDistinct("term").cast("double").alias("vsz"))
+    bi = d.select(
+        "doc_id",
+        "l",
+        F.posexplode(F.expr("slice(l, 1, size(l) - 1)")).alias("pos", "w1"),
+    ).select(
+        "doc_id", "w1", F.expr("element_at(l, pos + 2)").alias("w2")
+    )
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    return (
+        bi.join(c1, "w1")
+        .join(c12, ["w1", "w2"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("n12") + 0.5) / (F.col("n1") + 0.5 * F.col("vsz"))
+                    )
+                ),
+                6,
+            ).alias("bigram_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
