@@ -71,35 +71,36 @@ def _solve_half(
         "rating",
         F.col("vec").alias("fv"),
     )
-    # cells 0..k-1: b entries (rating * v_d); cells k..k+k*k-1: A entries
-    # (v_a * v_b) — flattened row-major.  One posexplode, one partial-
-    # final SUM per (key, cell): the A/b accumulation never leaves JVM.
-    cells = F.concat(
-        F.transform(F.col("fv"), lambda v: v * F.col("rating")),
-        F.flatten(
-            F.transform(
-                F.col("fv"),
-                lambda va: F.transform(F.col("fv"), lambda vb: va * vb),
-            )
-        ),
+    # b entries (rating * v_d) and the UPPER TRIANGLE of A (v_a * v_b,
+    # a <= b — A is symmetric) as k + k(k+1)/2 flat codegen'd SUM
+    # aggregates: one shuffle with map-side partial combine, zero row
+    # expansion.  (A first cut posexplode'd k + k^2 cells per rating row
+    # — 72x row blowup at rank 8 — and went 85x slower at 10x data;
+    # the flat-aggregate spelling is the scale-correct shape.)
+    tri = [(a, b) for a in range(k) for b in range(a, k)]
+    aggs = [
+        F.sum(F.col("fv")[d] * F.col("rating")).alias(f"b_{d}") for d in range(k)
+    ] + [
+        F.sum(F.col("fv")[a] * F.col("fv")[b]).alias(f"t_{a}_{b}") for a, b in tri
+    ]
+    summed = joined.groupBy(solve_for).agg(*aggs).select(
+        solve_for,
+        F.array(
+            *[F.col(f"b_{d}") for d in range(k)],
+            *[F.col(f"t_{a}_{b}") for a, b in tri],
+        ).alias("ab"),
     )
-    summed = (
-        joined.select(solve_for, F.posexplode(cells))
-        .groupBy(solve_for, "pos")
-        .agg(F.sum("col").alias("s"))
-        .groupBy(solve_for)
-        .agg(F.map_from_arrays(F.collect_list("pos"), F.collect_list("s")).alias("m"))
-        .select(
-            solve_for,
-            F.array(*[F.col("m").getItem(i) for i in range(k + k * k)]).alias("ab"),
-        )
-    )
+    tri_rows = np.array([a for a, _ in tri])
+    tri_cols = np.array([b for _, b in tri])
 
     def batch_solve(batches):
         for pdf in batches:
             ab = np.stack(pdf["ab"].to_numpy()).astype(np.float64)
             b = ab[:, :k]
-            A = ab[:, k:].reshape(-1, k, k) + lam * np.eye(k)[None, :, :]
+            A = np.zeros((ab.shape[0], k, k))
+            A[:, tri_rows, tri_cols] = ab[:, k:]
+            A[:, tri_cols, tri_rows] = ab[:, k:]
+            A += lam * np.eye(k)[None, :, :]
             sol = np.linalg.solve(A, b)  # one batched LAPACK call
             yield pd.DataFrame({solve_for: pdf[solve_for], "vec": list(map(list, sol))})
 
