@@ -740,3 +740,37 @@ def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "exact_order_statistics",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+           (SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice
+            LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)) AS median_price,
+           (SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice
+            LIMIT 1 OFFSET (SELECT (99 * n + 99) // 100 - 1 FROM n))
+               AS p99_price
+    """,
+)
+def exact_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median and p99 of l_extendedprice via two-pass histogram
+    selection (operators/stats.py:exact_kth_smallest_value) — the
+    order-statistic answer percentile_approx only approximates, at two
+    scans + one micro-sort instead of a global sort.  The result is an
+    actual data value, so the DuckDB ORDER-BY-OFFSET oracle matches it
+    exactly.  quantity_percentiles remains the one-pass approximate
+    path; this is the exactness anchor for selection machinery."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n = lineitem.count()
+    med = exact_kth_smallest_value(lineitem, "l_extendedprice", (n + 1) // 2)
+    p99 = exact_kth_smallest_value(
+        lineitem, "l_extendedprice", (99 * n + 99) // 100  # ceil, integer-only
+    )
+    return spark.createDataFrame(
+        [(n, float(med), float(p99))],
+        "n_rows long, median_price double, p99_price double",
+    )

@@ -193,3 +193,23 @@ def test_kmv_estimate_tracks_exact(spark):
     assert row["k_actual"] == 256
     rse = 1.0 / (256 - 2) ** 0.5
     assert abs(row["est_distinct"] - 2000) / 2000 < 4 * rse
+
+
+def test_exact_kth_smallest_matches_sorted(spark):
+    import random
+
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-100, 100) for _ in range(5000)] + [42.0] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for k in (1, 17, 2525, len(vals)):
+        assert exact_kth_smallest_value(df, "x", k) == s[k - 1]
+
+
+def test_exact_kth_smallest_constant_column(spark):
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    df = spark.createDataFrame([(3.5,)] * 10, "x double")
+    assert exact_kth_smallest_value(df, "x", 5) == 3.5
