@@ -53,6 +53,14 @@ _PROMOTED = [
     "pivot_status_counts", "bpe_token_estimate", "orders_array_agg",
     "price_stats", "kcore_stats", "neighborhood_function",
     "ppr_top", "robust_centroids", "label_communities", "sequence_packing",
+    # round-3 second wave: the new capability flagships — make sure the
+    # official file records them this round rather than two rounds out
+    "als_rank1_factors", "pq_adc_topk", "sssp_distances",
+    "hll_replay_cardinality", "kmv_distinct", "anf_register_supersteps",
+    "covariance_matrix", "min_cost_supplier", "market_share",
+    "scd2_user_states", "exact_order_statistics", "bigram_nll",
+    "order_priority_check", "product_type_profit", "top_supplier_quarter",
+    "promo_part_suppliers",
 ]
 
 
