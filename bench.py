@@ -82,6 +82,11 @@ HEADLINE = [
     "covariance_matrix",
     "als_rank1_factors",
     "pq_adc_topk",
+    "sssp_distances",
+    "scd2_user_states",
+    "bigram_nll",
+    "exact_order_statistics",
+    "top_supplier_quarter",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Maximal independent set (distributed Luby's algorithm).
+
+The classic symmetry-breaking primitive — MIS drives distributed
+scheduling (which training partitions may run simultaneously without
+sharing a vertex), graph coloring, and correlation-clustering pivots.
+Luby (1986): give every vertex a random priority; in each round, every
+ACTIVE vertex whose priority beats all its active neighbors joins the
+set, and it and its neighbors deactivate.  Expected O(log n) rounds.
+
+Spark shape per round: one semi-join to restrict the edge list to
+active endpoints, one anti-join to find the undominated vertices, one
+more anti-join to deactivate winners' neighborhoods — all equi-joins on
+vertex id with map-side combine, the PageRank shuffle shape; lineage
+cut per round.  Priorities are xxhash64(id) with (hash, id) lexicographic
+tie-break: layout-independent, seedable, and — being a pure function of
+the vertex id — replayable in an unrolled SQL oracle
+(plans/queries_mining._mis_oracle).  Running past convergence is a
+no-op (no active vertices → empty winner set), so a fixed-round unroll
+and the early-exiting loop agree by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def luby_mis(graph: Graph, max_rounds: int = 8, seed: int = 42) -> DataFrame:
+    """(id,) — the members of a maximal independent set of the
+    UNDIRECTED graph (edges are symmetrized)."""
+    edges = graph.symmetrized_edges().select(SRC, DST).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    def pri(col):
+        return F.struct(
+            F.xxhash64(F.col(col), F.lit(seed)).alias("h"),
+            F.col(col).alias("i"),
+        )
+
+    spark = graph.vertices.sparkSession
+    active = iteration_barrier(graph.vertices.select(ID))
+    mis = spark.createDataFrame([], f"{ID} long")
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        act_e = (
+            edges.join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
+            .join(active.withColumnRenamed(ID, DST), DST, "left_semi")
+        )
+        # a vertex is dominated if some ACTIVE neighbor has a higher
+        # (hash, id); winners = active minus dominated
+        dominated = act_e.where(pri(SRC) > pri(DST)).select(
+            F.col(DST).alias(ID)
+        ).distinct()
+        winners = active.join(dominated, ID, "left_anti")
+        winners = iteration_barrier(winners)
+        mis = iteration_barrier(mis.unionByName(winners))
+        # deactivate winners and their whole neighborhoods
+        losers = (
+            edges.join(winners.withColumnRenamed(ID, SRC), SRC, "left_semi")
+            .select(F.col(DST).alias(ID))
+            .distinct()
+        )
+        active = iteration_barrier(
+            active.join(winners, ID, "left_anti").join(losers, ID, "left_anti")
+        )
+    return mis

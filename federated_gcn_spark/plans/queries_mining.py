@@ -1138,3 +1138,70 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def _mis_oracle(rounds: int = 8, seed: int = 42) -> str:
+    """Unrolled replay of graph/mis.luby_mis on the order→supplier
+    graph: same xxhash64(id, seed) priorities, same (hash, id)
+    lexicographic dominance, same deactivate-neighborhood step.  Rounds
+    past convergence produce empty winner sets on both sides."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    h = to_signed64(hash_int_sql(str(seed), hash_long_sql("id", "42")))
+    sql = f"""
+    WITH ed AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), sym AS (
+        SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ), v AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), pr AS MATERIALIZED (
+        SELECT id, ({h}) AS h FROM v
+    ), a0 AS (
+        SELECT id FROM v
+    )"""
+    for t in range(1, rounds + 1):
+        sql += f""", w{t} AS MATERIALIZED (
+        SELECT a.id FROM a{t - 1} a JOIN pr p ON p.id = a.id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sym e
+            JOIN a{t - 1} n ON n.id = e.src
+            JOIN pr pn ON pn.id = e.src
+            WHERE e.dst = a.id AND (pn.h, pn.id) > (p.h, p.id)
+        )
+    ), a{t} AS MATERIALIZED (
+        SELECT a.id FROM a{t - 1} a
+        WHERE NOT EXISTS (SELECT 1 FROM w{t} w WHERE w.id = a.id)
+          AND NOT EXISTS (
+            SELECT 1 FROM sym e JOIN w{t} w ON w.id = e.src
+            WHERE e.dst = a.id
+          )
+    )"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT id FROM w{t}" for t in range(1, rounds + 1)
+    )
+    return sql + f"""
+    SELECT CAST(id AS BIGINT) AS id FROM ({union}) ORDER BY id
+    """
+
+
+@register("mis_members", _mis_oracle())
+def mis_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set via distributed Luby rounds
+    (graph/mis.py) over the order→supplier graph — the symmetry-
+    breaking primitive behind conflict-free scheduling of training
+    partitions.  Hash priorities make every round a pure function of
+    the data; the DuckDB oracle replays all 8 unrolled rounds."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.mis import luby_mis
+    from federated_gcn_spark.plans.queries import _edges_mod50
+
+    edges = _edges_mod50(spark, sf_dir)
+    return luby_mis(Graph.from_edges(edges), max_rounds=8).select(
+        F.col("id").cast("long")
+    ).orderBy("id")

@@ -98,3 +98,34 @@ def test_personalized_pagerank_matches_numpy(spark, toy_graph):
     # proximity semantics: seeds outrank the average non-seed
     non_seed = [got[v] for v in ids if v not in seeds]
     assert min(got[s] for s in seeds) > sum(non_seed) / len(non_seed)
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.mis import luby_mis
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3), (10, 11), (11, 12), (20, 20)]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+    mis = {r["id"] for r in luby_mis(g).collect()}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independence: no two members adjacent (self-loop vertex allowed)
+    for v in mis:
+        assert not (adj[v] & (mis - {v})), f"{v} has a neighbor in the set"
+    # maximality: every non-member has a member neighbor
+    for v in set(adj) - mis:
+        assert adj[v] & mis, f"{v} could be added"
+
+
+def test_luby_mis_layout_independent(spark):
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.mis import luby_mis
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23)], "src long, dst long"
+    )
+    a = {r["id"] for r in luby_mis(Graph.from_edges(df)).collect()}
+    b = {r["id"] for r in luby_mis(Graph.from_edges(df.repartition(11, "dst"))).collect()}
+    assert a == b
