@@ -156,3 +156,89 @@ def exact_kth_smallest_value(
         .agg(F.max(value_col))
         .collect()[0][0]
     )
+
+
+def exact_group_median(
+    df: DataFrame, group_col: str, value_col: str, n_buckets: int = 4096
+) -> DataFrame:
+    """Exact per-group median (lower-middle order statistic, k =
+    (n+1)//2) of a double column — same two-pass histogram selection as
+    :func:`exact_kth_smallest_value`, vectorized across groups.
+
+    Pass 1: one partial-final aggregate to (group, bucket) counts plus
+    per-group (min, max, n) — driver receives <= |groups| * n_buckets
+    tiny rows.  The driver walks each group's histogram to its boundary
+    bucket.  Pass 2: ONLY boundary-bucket rows (|df| / n_buckets per
+    group in expectation) survive a broadcast semi join, then a
+    per-group window sort of those few rows picks the exact order
+    statistic.  No global sort, no per-group full sort, group count
+    bounded only by driver memory for the boundary table.
+    """
+    from pyspark.sql import Window
+
+    gstats = {
+        r[group_col]: r
+        for r in df.groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+            F.count(value_col).alias("n"),
+        )
+        .collect()
+    }
+    spark = df.sparkSession
+    width = {
+        g: ((r["mx"] - r["mn"]) / n_buckets or 1.0) for g, r in gstats.items()
+    }
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    gtype = df.schema[group_col].dataType
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, float(gstats[g]["mn"]), width[g]) for g in gstats],
+            StructType([
+                StructField(group_col, gtype),
+                StructField("__mn", DoubleType()),
+                StructField("__w", DoubleType()),
+            ]),
+        )
+    )
+    bucketed = df.join(wdf, group_col).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / F.col("__w")),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    counts = (
+        bucketed.groupBy(group_col, "__b").count().collect()
+    )
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(r[group_col], []).append((r["__b"], r["count"]))
+    boundary_rows = []
+    for g, bs in per_group.items():
+        k = (gstats[g]["n"] + 1) // 2
+        cum = 0
+        for b, c in sorted(bs):
+            if cum + c >= k:
+                boundary_rows.append((g, b, k - cum))
+                break
+            cum += c
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            boundary_rows,
+            StructType([
+                StructField(group_col, gtype),
+                StructField("__b", LongType()),
+                StructField("__k", LongType()),
+            ]),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        bucketed.join(bdf, [group_col, "__b"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == F.col("__k"))
+        .select(group_col, F.col(value_col).alias("median"))
+    )

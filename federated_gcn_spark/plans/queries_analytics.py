@@ -774,3 +774,36 @@ def exact_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, float(med), float(p99))],
         "n_rows long, median_price double, p99_price double",
     )
+
+
+@register(
+    "exact_group_medians",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem
+    ), k AS (
+        SELECT flag, (COUNT(*) + 1) // 2 AS k FROM r GROUP BY flag
+    ), o AS (
+        SELECT flag, x, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn
+        FROM r
+    )
+    SELECT o.flag AS l_returnflag, x AS median
+    FROM o JOIN k USING (flag) WHERE rn = k.k
+    ORDER BY l_returnflag
+    """,
+)
+def exact_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-returnflag median price via the grouped two-pass
+    histogram selection (operators/stats.py:exact_group_median) — the
+    per-group variant of exact_order_statistics: one (group, bucket)
+    histogram pass, driver boundary walk, then a window sort over ONLY
+    the boundary buckets (~1/4096 of each group).  The oracle's
+    ROW_NUMBER spelling sorts every group fully — exactly the plan this
+    operator exists to avoid at scale; the VALUES are identical."""
+    from federated_gcn_spark.operators.stats import exact_group_median
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        exact_group_median(lineitem, "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    )

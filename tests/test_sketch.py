@@ -213,3 +213,24 @@ def test_exact_kth_smallest_constant_column(spark):
 
     df = spark.createDataFrame([(3.5,)] * 10, "x double")
     assert exact_kth_smallest_value(df, "x", 5) == 3.5
+
+
+def test_exact_group_median_matches_sorted(spark):
+    import random
+
+    from federated_gcn_spark.operators.stats import exact_group_median
+
+    rng = random.Random(3)
+    rows = [
+        (g, rng.uniform(0, 10) if g != "c" else 5.0)
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(51, 400))
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r["median"] for r in exact_group_median(df, "g", "x").collect()}
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(x)
+    for g, xs in by_g.items():
+        xs.sort()
+        assert got[g] == xs[(len(xs) + 1) // 2 - 1], g
