@@ -807,3 +807,53 @@ def exact_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_group_median(lineitem, "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")
     )
+
+
+_PRICE_BANDS = [
+    ("nano", 0.0, 500.0),
+    ("small", 500.0, 2000.0),
+    ("mid", 2000.0, 10000.0),
+    ("large", 10000.0, 50000.0),
+    ("jumbo", 50000.0, 1e12),
+]
+
+
+@register(
+    "price_band_revenue",
+    f"""
+    WITH bands(tier, lo, hi) AS (
+        VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _PRICE_BANDS)}
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-table lookup: revenue per price tier via the bucket-aligned
+    banded range join (operators/rangejoin.py) — the interval
+    containment join rewritten as explode-to-buckets + EQUI join +
+    residual filter, so a million-band table joins with a shuffle
+    instead of a nested loop.  The oracle states the same join as a raw
+    BETWEEN (fine for DuckDB's small input; the equi rewrite is the
+    100 TB spelling of the identical relation)."""
+    from federated_gcn_spark.operators.rangejoin import band_range_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_PRICE_BANDS, "tier string, lo double, hi double")
+    joined = band_range_join(
+        lineitem, bands, "l_extendedprice", bucket_width=500.0
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
