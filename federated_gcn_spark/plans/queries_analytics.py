@@ -857,3 +857,57 @@ def price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "ohlc_daily",
+    """
+    WITH t AS (
+        SELECT event_type, epoch_ns(ts) // 1000000000 AS sec, event_id, value
+        FROM events
+    ), r AS (
+        SELECT event_type, sec // 86400 AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, sec // 86400
+                                  ORDER BY sec, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, sec // 86400
+                                  ORDER BY sec DESC, event_id DESC) AS rn_z
+        FROM t
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MIN(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC candles per event type —
+    the first/last-in-group pattern done as MIN_BY/MAX_BY AGGREGATES
+    with a unique (sec, event_id) tiebreak: map-side partial combine,
+    no per-group sort, unlike the window spelling the oracle uses
+    (equivalent values under a total order; the aggregate is the plan
+    that scales — a window sorts every group's full history)."""
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        _event_epoch_sec(events).alias("sec"),
+        "event_id",
+        "value",
+    ).withColumn("day", F.expr("sec div 86400"))
+    order = F.struct(F.col("sec"), F.col("event_id"))
+    return (
+        t.groupBy("event_type", F.col("day").cast("long").alias("day"))
+        .agg(
+            F.round(F.min_by("value", order), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
