@@ -911,3 +911,40 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "part_skyline",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name,
+           ROUND(p_retailprice, 2) AS price, CAST(p_size AS BIGINT) AS size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice >= a.p_retailprice AND b.p_size <= a.p_size
+          AND (b.p_retailprice > a.p_retailprice OR b.p_size < a.p_size)
+    )
+    ORDER BY partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: maximize retail price, minimize size —
+    nobody strictly better on one criterion without being worse on the
+    other.  Runs the two-phase distributed skyline
+    (operators/skyline.py: per-partition Arrow dominance scan, then a
+    broadcast anti-join over the shrunken candidate set); the oracle is
+    the textbook NOT EXISTS spelling over the full table — identical
+    set, quadratic plan DuckDB can afford at this size."""
+    from federated_gcn_spark.operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        skyline(part, [("p_retailprice", "max"), ("p_size", "min")])
+        .select(
+            F.col("p_partkey").cast("long").alias("partkey"),
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("partkey")
+    )
