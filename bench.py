@@ -87,6 +87,12 @@ HEADLINE = [
     "bigram_nll",
     "exact_order_statistics",
     "top_supplier_quarter",
+    # round-3 third wave: exact similarity join, truss peel, postings,
+    # winsorized robust moments
+    "set_similarity_pairs",
+    "ktruss_supersteps",
+    "postings_index",
+    "winsorized_price_stats",
 ]
 
 

@@ -1,0 +1,288 @@
+"""Round-3 third wave: exact similarity join, k-truss, postings, robust stats.
+
+- ``set_similarity_pairs``: EXACT set-similarity self-join (PPJoin-style
+  prefix filtering, operators/ppjoin.py) over 3-token-shingle sets — the
+  zero-false-negative counterpart to the MinHash LSH band join; finds the
+  planted near-duplicate pairs with no recall caveat.
+- ``ktruss_supersteps``: k-truss decomposition peel trace (graph/truss.py)
+  over the part co-purchase graph — the cohesive-subgraph refinement one
+  notch above k-core; the oracle replays every peel round unrolled.
+- ``postings_index``: positional inverted index (term → document postings
+  with in-document positions) — the materialization that backs BM25 /
+  phrase search; posexplode + ordered positional aggregation.
+- ``winsorized_price_stats``: robust moments after winsorizing at the
+  exact p5/p95 order statistics — bounds located by the two-pass
+  histogram selection (operators/stats.exact_kth_smallest_value), never
+  a global sort.
+
+All follow the cross-engine determinism rules in plans.queries.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.functions.text import tokens, word_ngrams
+from federated_gcn_spark.plans.queries import register
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_similarity_pairs",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS elems
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+            FROM documents WHERE TRIM(text) <> ''
+        ) WHERE len(toks) >= 3
+    ), tok AS (
+        SELECT doc_id, UNNEST(elems) AS elem FROM d
+    ), dfc AS (
+        SELECT elem, COUNT(*) AS df FROM tok GROUP BY elem
+    ), ordered AS (
+        SELECT doc_id,
+               array_agg(elem ORDER BY df, elem) AS sorted_elems,
+               COUNT(*) AS sz
+        FROM tok JOIN dfc USING (elem) GROUP BY doc_id
+    ), pref AS (
+        SELECT doc_id, sz,
+               UNNEST(sorted_elems[1:(sz - CAST(CEIL(0.5 * sz) AS INT) + 1)])
+                   AS elem
+        FROM ordered
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.elem = b.elem AND a.doc_id < b.doc_id
+        WHERE LEAST(a.sz, b.sz) >= 0.5 * GREATEST(a.sz, b.sz)
+    ), ver AS (
+        SELECT id_a, id_b,
+               len(list_intersect(x.elems, y.elems)) AS inter,
+               len(x.elems) AS n_a, len(y.elems) AS n_b
+        FROM cand JOIN d x ON id_a = x.doc_id JOIN d y ON id_b = y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+    FROM ver
+    WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+    """,
+)
+def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 document pairs over distinct 3-token
+    shingles via the prefix-filtered set-similarity join
+    (operators/ppjoin.set_similarity_join). Unlike the MinHash band join
+    this misses NOTHING — and still never goes all-pairs: candidates
+    come from an equi-join on each set's globally rarest shingles."""
+    from federated_gcn_spark.operators.ppjoin import set_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    sets = docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.lower(F.col("text")), 3)).alias("elems"),
+    )
+    pairs = set_similarity_join(sets, "doc_id", "elems", threshold=0.5)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), "inter", "n_a", "n_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel trace (unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 5
+_KTRUSS_ROUNDS = 9
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled SQL replay of the fixed-round truss peel: each round
+    re-enumerates triangles (id-ordered 3-way self-join), aggregates
+    per-edge support, and keeps support >= k-2. Reaches the sf0.01
+    fixpoint (8 rounds) with one spare round; extra rounds peel a
+    fixpoint and are the identity, matching ktruss_trace's fill."""
+    parts = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 3 = 0 AND b.l_orderkey % 3 = 0
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""tri{i} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e{p} e1
+        JOIN e{p} e2 ON e2.a = e1.b
+        JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), supp{i} AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS s FROM (
+            SELECT x AS a, y AS b FROM tri{i}
+            UNION ALL SELECT x AS a, z AS b FROM tri{i}
+            UNION ALL SELECT y AS a, z AS b FROM tri{i}
+        ) GROUP BY a, b
+    ), e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{p} e JOIN supp{i} USING (a, b)
+        WHERE s >= {k - 2}
+    )"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS round,"
+        f" CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT) AS n_edges"
+        for i in range(rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register("ktruss_supersteps", _ktruss_oracle(_KTRUSS_K, _KTRUSS_ROUNDS))
+def ktruss_supersteps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss peel trace (round, surviving edges) on the part
+    co-purchase graph (parts sharing an order, 1-in-3 order sample).
+    Per round: degree-oriented triangle enumeration -> per-edge support
+    -> drop support < 3; graph/truss.ktruss_trace."""
+    from federated_gcn_spark.graph.truss import ktruss_trace
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_orderkey") % 3) == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return ktruss_trace(spark, edges, _KTRUSS_K, _KTRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Positional inverted index
+# ---------------------------------------------------------------------------
+
+@register(
+    "postings_index",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), t AS (
+        SELECT doc_id,
+               UNNEST(range(1, len(toks) + 1)) AS pos,
+               UNNEST(toks) AS term
+        FROM d
+    )
+    SELECT term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           array_to_string(array_agg(pos ORDER BY pos), ',') AS positions
+    FROM t GROUP BY term, doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: per (term, document) the term
+    frequency and ordered 1-based in-document positions (the postings
+    materialization behind bm25_search / phrase queries). posexplode is
+    a codegen generate; the postings build is ONE groupBy on
+    (term, doc_id) — map-side combinable, skew bounded because the key
+    includes doc_id (a stop-word's postings spread over its documents,
+    never one reducer). tf >= 3 keeps the declared result bounded."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    t = docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "term"),
+    )
+    return (
+        t.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("pos") + 1))
+            ).alias("positions"),
+        )
+        .where(F.col("tf") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust moments at exact order-statistic bounds
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    lo AS (
+        SELECT x AS lo FROM v ORDER BY x
+        LIMIT 1 OFFSET (SELECT CAST(CEIL(0.05 * n) AS BIGINT) - 1 FROM n)
+    ),
+    hi AS (
+        SELECT x AS hi FROM v ORDER BY x
+        LIMIT 1 OFFSET (SELECT CAST(CEIL(0.95 * n) AS BIGINT) - 1 FROM n)
+    ),
+    w AS (
+        SELECT GREATEST(lo, LEAST(hi, x)) AS wx, x, lo, hi
+        FROM v, lo, hi
+    )
+    SELECT ROUND(MIN(lo), 2) AS lo_bound,
+           ROUND(MIN(hi), 2) AS hi_bound,
+           ROUND(AVG(wx), 4) AS w_mean,
+           ROUND(STDDEV_SAMP(wx), 4) AS w_sd,
+           CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi
+    FROM w
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev of l_extendedprice, clamped at the exact
+    5th/95th-percentile ORDER-STATISTIC values. The bounds come from
+    operators/stats.exact_kth_smallest_value — two scans plus one
+    micro-sort of a single histogram bucket, never a global sort — and
+    the clamped moments are one algebraic aggregate. The bounds are
+    actual data values, so both engines clamp at bit-identical points;
+    only the final avg/stddev carry FP accumulation (rounded)."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n = li.count()
+    k_lo = int(math.ceil(0.05 * n))
+    k_hi = int(math.ceil(0.95 * n))
+    lo = float(exact_kth_smallest_value(li, "x", k_lo))
+    hi = float(exact_kth_smallest_value(li, "x", k_hi))
+    wx = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("x")))
+    return li.agg(
+        F.round(F.lit(lo), 2).alias("lo_bound"),
+        F.round(F.lit(hi), 2).alias("hi_bound"),
+        F.round(F.avg(wx), 4).alias("w_mean"),
+        F.round(F.stddev_samp(wx), 4).alias("w_sd"),
+        F.sum(F.when(F.col("x") < lo, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("x") > hi, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_hi"),
+    )

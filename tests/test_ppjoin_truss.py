@@ -1,0 +1,154 @@
+"""Exact set-similarity join (prefix filter) and k-truss peeling against
+pure-Python references."""
+
+import itertools
+import random
+
+import pytest
+
+from federated_gcn_spark.graph.truss import edge_support, k_truss, ktruss_trace
+from federated_gcn_spark.operators.ppjoin import set_similarity_join
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join
+# ---------------------------------------------------------------------------
+
+def _brute_force_pairs(sets, t):
+    out = {}
+    for (ia, ea), (ib, eb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(ea & eb)
+        union = len(ea | eb)
+        if union and inter / union >= t:
+            out[(ia, ib)] = (inter, len(ea), len(eb))
+    return out
+
+
+def _run_join(spark, sets, t):
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "id long, elems array<string>",
+    )
+    rows = set_similarity_join(df, "id", "elems", threshold=t).collect()
+    return {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"]) for r in rows
+    }
+
+
+def test_ppjoin_hand_example(spark):
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "e"},   # J(1,2) = 3/5 = 0.6
+        3: {"x", "y", "z"},        # disjoint from 1, 2
+        4: {"x", "y", "z"},        # J(3,4) = 1.0
+        5: {"a"},                  # too small for any 0.5 match vs 1/2
+    }
+    got = _run_join(spark, sets, 0.5)
+    assert got == {(1, 2): (3, 4, 4), (3, 4): (3, 3, 3)}
+
+
+def test_ppjoin_exactness_vs_brute_force(spark):
+    """The prefix filter must lose NOTHING: distributed result ==
+    all-pairs brute force on random sets, at two thresholds."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    sets = {
+        i: set(rng.sample(vocab, rng.randint(3, 14))) for i in range(60)
+    }
+    # plant two near-dup pairs
+    sets[100] = set(sets[3])
+    sets[101] = set(sets[5]) | {"w0"}
+    for t in (0.5, 0.8):
+        assert _run_join(spark, sets, t) == _brute_force_pairs(sets, t)
+
+
+def test_ppjoin_threshold_validation(spark):
+    df = spark.createDataFrame([(1, ["a"])], "id long, elems array<string>")
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "id", "elems", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+def _py_ktruss(edges, k):
+    """Reference peel: recompute supports, drop, repeat."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        supp = {
+            (a, b): len(adj[a] & adj[b]) for a, b in es
+        }
+        keep = {e for e in es if supp[e] >= k - 2}
+        if keep == es:
+            return es
+        es = keep
+
+
+def _truss_graph():
+    """A 5-clique, a triangle glued to it by one vertex, a pendant path."""
+    clique = list(itertools.combinations(range(5), 2))
+    return clique + [(4, 10), (4, 11), (10, 11), (11, 20), (20, 21)]
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_k_truss_matches_python_peel(spark, k):
+    edges = _truss_graph()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in k_truss(df, k).collect()}
+    assert got == _py_ktruss(edges, k)
+
+
+def test_k_truss_random_graph_matches_python(spark):
+    rng = random.Random(11)
+    edges = list(
+        {
+            (min(u, v), max(u, v))
+            for u, v in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(140)
+            )
+            if u != v
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in k_truss(df, k).collect()}
+        assert got == _py_ktruss(edges, k)
+
+
+def test_k_truss_result_is_a_truss(spark):
+    """Every surviving edge has support >= k-2 inside the survivor set."""
+    df = spark.createDataFrame(_truss_graph(), "src long, dst long")
+    from pyspark.sql import functions as F
+
+    truss = k_truss(df, 4).localCheckpoint()
+    if truss.count():
+        min_supp = (
+            truss.join(edge_support(truss), ["a", "b"], "left")
+            .agg(F.min(F.coalesce("support", F.lit(0))))
+            .collect()[0][0]
+        )
+        assert min_supp >= 2
+
+
+def test_ktruss_trace_fill_matches_early_exit(spark):
+    """Fixed-round trace tail == early-exit fixpoint, trace nonincreasing."""
+    df = spark.createDataFrame(_truss_graph(), "src long, dst long")
+    rows = sorted(
+        (r["round"], r["n_edges"])
+        for r in ktruss_trace(spark, df, 4, 6).collect()
+    )
+    sizes = [n for _, n in rows]
+    assert len(sizes) == 7
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+    assert sizes[-1] == k_truss(df, 4).count()
+
+
+def test_ktruss_k_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_truss(df, 2)
