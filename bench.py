@@ -93,6 +93,13 @@ HEADLINE = [
     "ktruss_supersteps",
     "postings_index",
     "winsorized_price_stats",
+    "equidepth_price_buckets",
+    "dsir_importance_logweights",
+    "mis_members",
+    "part_skyline",
+    "ohlc_daily",
+    "price_band_revenue",
+    "exact_group_medians",
 ]
 
 

@@ -77,3 +77,58 @@ def repetition_stats(
         frac(F.col("dup_cnt")).alias("dup_gram_frac"),
         "ttr",
     )
+
+
+def dsir_log_weights(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023) from a token
+    table: hash tokens into ``n_buckets`` buckets (Spark xxhash64 —
+    layout-independent and oracle-replayable), fit add-one-smoothed
+    bucket unigram distributions for the target slice
+    (``target_col`` = true) and the raw corpus, and return per-document
+    ``(n_tokens, log_w)`` with log_w = sum_t log(p_tgt/p_raw).
+
+    The bucket tables are n_buckets rows regardless of corpus size and
+    ride as broadcast joins; the only large exchanges are the token
+    explode the caller already paid and the per-document sum."""
+    b = tok.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).alias("__t"),
+        F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = b.where("__t").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    tot = b.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("__t"), 1)).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1)
+                    / (F.col("nr") + n_buckets).cast("double")
+                )
+            ).alias("logratio"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("logratio"), 6).alias("log_w"),
+        )
+    )

@@ -158,6 +158,78 @@ def exact_kth_smallest_value(
     )
 
 
+def exact_quantile_values(
+    df: DataFrame, value_col: str, ks: list[int], n_buckets: int = 65536
+) -> dict:
+    """Several exact order statistics of a double column in ONE shared
+    two-pass selection — the multi-cutpoint form of
+    :func:`exact_kth_smallest_value` (equi-depth histogram boundaries,
+    winsorization bounds, p25/p50/p75 in a single shot).
+
+    Pass 1: one (min, max, count) aggregate + one equi-width-bucket
+    count aggregate, shared by ALL requested ranks; the driver walks the
+    cumulative histogram once to map each k to (boundary bucket,
+    in-bucket offset). Pass 2: ONE job sorts only the union of boundary
+    buckets (each ~|df|/n_buckets rows), a per-bucket window row_number
+    picks every requested offset. Cost is flat in len(ks): two scans +
+    one micro-sort regardless of how many quantiles are asked for,
+    where a naive per-k loop would rescan the column 2·len(ks) times.
+    Returned values are actual data values — exact under duplicate
+    ties, no FP interpolation anywhere.
+    """
+    from pyspark.sql import Window
+
+    ks = sorted(set(int(k) for k in ks))
+    stats = df.agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(value_col).alias("n"),
+    ).collect()[0]
+    mn, mx, n = stats["mn"], stats["mx"], stats["n"]
+    if n == 0 or any(k <= 0 or k > n for k in ks):
+        raise ValueError(f"ks={ks} out of range for n={n}")
+    if mn == mx:
+        return {k: mn for k in ks}
+    width = (mx - mn) / n_buckets
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    )
+    counts = sorted(
+        df.groupBy(bucket.alias("__b")).count().collect(),
+        key=lambda r: r["__b"],
+    )
+    want = {}  # (boundary_bucket, in_bucket_rank) -> k
+    cum = 0
+    it = iter(counts)
+    r = next(it)
+    for k in ks:  # ks ascending: one forward walk over the histogram
+        while cum + r["count"] < k:
+            cum += r["count"]
+            r = next(it)
+        want[(r["__b"], k - cum)] = k
+    boundary_buckets = [b for b, _ in want]
+    w = Window.partitionBy("__b").orderBy("__v")
+    hit = [
+        (F.col("__b") == b) & (F.col("__rn") == rn) for b, rn in want
+    ]
+    pred = hit[0]
+    for h in hit[1:]:
+        pred = pred | h
+    rows = (
+        df.select(F.col(value_col).alias("__v"), bucket.alias("__b"))
+        .where(F.col("__b").isin(boundary_buckets))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(pred)
+        .collect()
+    )
+    got = {want[(r["__b"], r["__rn"])]: r["__v"] for r in rows}
+    missing = [k for k in ks if k not in got]
+    if missing:  # pragma: no cover - defensive
+        raise RuntimeError(f"quantile selection missed ranks {missing}")
+    return got
+
+
 def exact_group_median(
     df: DataFrame, group_col: str, value_col: str, n_buckets: int = 4096
 ) -> DataFrame:

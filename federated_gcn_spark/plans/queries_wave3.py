@@ -286,3 +286,137 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clipped_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram at exact multi-quantile cutpoints
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    {cuts}
+    b AS (
+        SELECT x,
+               CAST(1 {cases} AS INT) AS bucket
+        FROM v
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM b GROUP BY bucket
+""".format(
+    cuts="\n    ".join(
+        f"c{i} AS (SELECT x AS c FROM v ORDER BY x LIMIT 1 OFFSET"
+        f" (SELECT CAST(CEIL({i} * n / 8.0) AS BIGINT) - 1 FROM n)),"
+        for i in range(1, 8)
+    ),
+    cases="".join(
+        f" + (CASE WHEN x > (SELECT c FROM c{i}) THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    ),
+)
+
+
+@register("equidepth_price_buckets", _EQUIDEPTH_ORACLE)
+def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of l_extendedprice with EXACT
+    boundaries. All seven cutpoints come from ONE shared two-pass
+    histogram selection (operators/stats.exact_quantile_values — two
+    scans + one micro-sort total, never a global sort, flat in the
+    number of cutpoints); bucket assignment is then a codegen CASE
+    chain against seven literal data values, so ties at a boundary land
+    deterministically in the same bucket on any engine or layout."""
+    from federated_gcn_spark.operators.stats import exact_quantile_values
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n = li.count()
+    ks = [int(math.ceil(i * n / 8)) for i in range(1, 8)]
+    cuts = exact_quantile_values(li, "x", ks)
+    bucket = F.lit(1)
+    for k in ks:
+        bucket = bucket + F.when(F.col("x") > float(cuts[k]), 1).otherwise(0)
+    return (
+        li.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+def _dsir_oracle(n_buckets: int) -> str:
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_string_sql,
+        pmod_sql,
+    )
+
+    bucket = pmod_sql(hash_string_sql("token", "42"), n_buckets)
+    return rf"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), tok AS (
+        SELECT doc_id, lang, UNNEST(toks) AS token FROM d
+    ), tb AS (
+        SELECT doc_id, lang, {bucket} AS bucket FROM tok
+    ), raw AS (
+        SELECT bucket, COUNT(*) AS cr FROM tb GROUP BY bucket
+    ), tgt AS (
+        SELECT bucket, COUNT(*) AS ct FROM tb WHERE lang = 'en'
+        GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM tb) AS nr,
+               (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS nt
+    ), lr AS (
+        SELECT raw.bucket,
+               LN((COALESCE(ct, 0) + 1) / CAST(nt + {n_buckets} AS DOUBLE))
+             - LN((cr + 1) / CAST(nr + {n_buckets} AS DOUBLE)) AS logratio
+        FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot
+    )
+    SELECT tb.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(logratio), 6) AS log_w
+    FROM tb JOIN lr ON tb.bucket = lr.bucket
+    GROUP BY tb.doc_id
+    """
+
+
+_DSIR_BUCKETS = 1024
+
+
+@register("dsir_importance_logweights", _dsir_oracle(_DSIR_BUCKETS))
+def dsir_importance_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash every token into 1024 buckets, fit add-one-smoothed unigram
+    bucket distributions for the TARGET slice (lang='en') and the RAW
+    corpus, and score each document with sum_t log(p_tgt/p_raw) — the
+    log importance weight that resamples raw data toward the target.
+
+    Scale shape: the bucket tables are n_buckets rows regardless of
+    corpus size — they ride as broadcast joins; the only big exchanges
+    are the tokenize explode and the per-doc sum, both keyed on doc_id.
+    The hash is Spark's xxhash64, replayed bit-exactly by the oracle
+    (plans/xxh64_sql), so bucket assignment is layout- and
+    engine-independent; only the final log-sum carries FP (rounded)."""
+    from federated_gcn_spark.operators.quality import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    return dsir_log_weights(tok, n_buckets=_DSIR_BUCKETS)

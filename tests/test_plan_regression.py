@@ -69,6 +69,8 @@ PLAN_BUDGET = {
     "ktruss_supersteps": (0, 0),
     "postings_index": (2, 0),
     "winsorized_price_stats": (1, 0),
+    "equidepth_price_buckets": (1, 0),
+    "dsir_importance_logweights": (11, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

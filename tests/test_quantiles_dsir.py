@@ -1,0 +1,93 @@
+"""Multi-cutpoint exact selection and DSIR importance weights."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.operators.quality import dsir_log_weights
+from federated_gcn_spark.operators.stats import (
+    exact_kth_smallest_value,
+    exact_quantile_values,
+)
+
+
+def _values_df(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+
+def test_exact_quantile_values_match_sorted_list(spark):
+    rng = random.Random(3)
+    # duplicates on purpose: order statistics must be exact under ties
+    vals = [round(rng.uniform(-50, 50), 1) for _ in range(997)]
+    df = _values_df(spark, vals)
+    s = sorted(vals)
+    ks = [1, 2, 100, 499, 500, 996, 997]
+    got = exact_quantile_values(df, "x", ks, n_buckets=64)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_exact_quantile_values_agree_with_single_k(spark):
+    vals = [float(v) for v in range(200, 0, -1)]
+    df = _values_df(spark, vals)
+    multi = exact_quantile_values(df, "x", [7, 103], n_buckets=16)
+    for k in (7, 103):
+        assert multi[k] == exact_kth_smallest_value(df, "x", k, n_buckets=16)
+
+
+def test_exact_quantile_values_constant_column(spark):
+    df = _values_df(spark, [4.2] * 50)
+    assert exact_quantile_values(df, "x", [1, 25, 50]) == {
+        1: 4.2, 25: 4.2, 50: 4.2
+    }
+
+
+def test_exact_quantile_values_rejects_bad_ranks(spark):
+    df = _values_df(spark, [1.0, 2.0])
+    with pytest.raises(ValueError):
+        exact_quantile_values(df, "x", [0, 1])
+    with pytest.raises(ValueError):
+        exact_quantile_values(df, "x", [3])
+
+
+def test_dsir_weights_prefer_target_like_documents(spark):
+    """Docs made of target-only tokens must outscore docs made of
+    raw-only tokens; mixed docs sit in between."""
+    rows = []
+    for d in range(10):          # target slice: tokens t0..t9
+        rows += [(d, True, f"t{i}") for i in range(10)]
+    for d in range(10, 20):      # raw-only slice: tokens r0..r9
+        rows += [(d, False, f"r{i}") for i in range(10)]
+    rows += [(20, False, t) for t in
+             ["t0", "t1", "t2", "t3", "t4", "r0", "r1", "r2", "r3", "r4"]]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, is_target boolean, token string"
+    )
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(tok, n_buckets=64).collect()
+    }
+    target_scores = [got[d] for d in range(10)]
+    raw_scores = [got[d] for d in range(10, 20)]
+    assert min(target_scores) > got[20] > max(raw_scores)
+    assert all(s > 0 for s in target_scores)
+    assert all(s < 0 for s in raw_scores)
+
+
+def test_dsir_weights_sum_structure(spark):
+    """log_w is additive per token: a doc with a token twice scores
+    exactly twice the bucket's logratio contribution."""
+    tok = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "a"), (3, False, "a"), (3, False, "a")],
+        "doc_id long, is_target boolean, token string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_w"])
+        for r in dsir_log_weights(tok, n_buckets=8).collect()
+    }
+    # all tokens identical -> same bucket; per-token logratio is equal
+    per = got[1][1]
+    assert got[2] == (1, per)
+    assert got[3][0] == 2
+    assert math.isclose(got[3][1], 2 * per, abs_tol=2e-6)
