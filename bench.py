@@ -100,6 +100,8 @@ HEADLINE = [
     "ohlc_daily",
     "price_band_revenue",
     "exact_group_medians",
+    "dup_span_removal",
+    "trending_event_types",
 ]
 
 

@@ -420,3 +420,192 @@ def dsir_importance_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token"),
     )
     return dsir_log_weights(tok, n_buckets=_DSIR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicated-span REMOVAL (the fix half of exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_span_removal",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> ''
+    ), sh AS (
+        SELECT doc_id,
+               UNNEST(range(1, len(toks) - 6)) AS start,
+               UNNEST(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+        FROM d WHERE len(toks) >= 8
+    ), dup AS (
+        SELECT shingle FROM sh
+        GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT DISTINCT sh.doc_id, UNNEST(range(start, start + 8)) AS pos
+        FROM sh JOIN dup USING (shingle)
+    ), tokpos AS (
+        SELECT doc_id,
+               UNNEST(range(1, len(toks) + 1)) AS pos,
+               UNNEST(toks) AS tok
+        FROM d
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov c
+            WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+        )
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               array_to_string(array_agg(tok ORDER BY pos), ' ')
+                   AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the REMOVAL half (Lee et al. 2022 §4.1 —
+    duplicated_span_fraction is the detection half): drop every token
+    covered by an 8-token shingle that occurs in >= 2 distinct
+    documents, and rebuild the cleaned text from the survivors.
+
+    Scale shape: coverage is 8 rows per duplicated-shingle occurrence
+    (bounded, proportional to |duplication| not |corpus|); the kill
+    list meets the token table in a left_anti equi-join on
+    (doc_id, pos); the rebuild is one groupBy(doc_id) whose per-group
+    sort is an in-row array_sort over that document's own tokens."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim("text") != ""
+    )
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=False)
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    sh = base.where(F.size("toks") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(7)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 8)),
+            )
+        ).alias("start0", "shingle"),
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("shingle")
+    )
+    cov = (
+        sh.join(dup, "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start0") + 1, F.col("start0") + 8)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(
+                F.concat_ws(" ", "toks_kept"), F.lit("")
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending event types: trailing-window z-scores
+# ---------------------------------------------------------------------------
+
+@register(
+    "trending_event_types",
+    """
+    WITH e AS (
+        SELECT event_type,
+               (epoch_ns(ts) // 1000000000) // 86400 AS day
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, COUNT(*) AS n
+        FROM e GROUP BY event_type, day
+    ), z AS (
+        SELECT event_type, day, n,
+               COUNT(*) OVER w AS n_trail,
+               AVG(n) OVER w AS mu,
+               STDDEV_SAMP(n) OVER w AS sd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n - mu) / sd, 6) AS zscore
+    FROM z WHERE n_trail = 7 AND sd > 0
+    """,
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume z-scores against the trailing 7
+    OBSERVED days (anomaly/trend detection on event streams). One
+    groupBy to daily counts — the expensive exchange — then a window
+    partitioned by event_type (thousands of frames in parallel, frame
+    depth fixed at 7, never an unpartitioned window)."""
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("sec", _event_epoch_sec(events))
+        .withColumn("day", F.expr("sec div 86400"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.count(F.lit(1)).over(w).alias("n_trail"),
+            F.avg("n").over(w).alias("mu"),
+            F.stddev_samp("n").over(w).alias("sd"),
+        )
+        .where((F.col("n_trail") == 7) & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -71,6 +71,8 @@ PLAN_BUDGET = {
     "winsorized_price_stats": (1, 0),
     "equidepth_price_buckets": (1, 0),
     "dsir_importance_logweights": (11, 0),
+    "dup_span_removal": (7, 0),
+    "trending_event_types": (2, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
