@@ -102,6 +102,7 @@ HEADLINE = [
     "exact_group_medians",
     "dup_span_removal",
     "trending_event_types",
+    "event_transition_matrix",
 ]
 
 

@@ -939,7 +939,11 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return (
-        skyline(part, [("p_retailprice", "max"), ("p_size", "min")])
+        skyline(
+            part,
+            [("p_retailprice", "max"), ("p_size", "min")],
+            key_col="p_partkey",
+        )
         .select(
             F.col("p_partkey").cast("long").alias("partkey"),
             "p_name",

@@ -609,3 +609,66 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence Markov transition matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               (epoch_ns(ts) // 1000000000) AS sec
+        FROM events
+    ), seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+               ) AS to_type
+        FROM e
+    ), pairs AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ), tot AS (
+        SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n,
+           ROUND(p.n / CAST(t.n_from AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline (the sequence-mining statistic behind funnel design and
+    next-event prediction): consecutive event pairs via LEAD inside a
+    user-partitioned window (unique (sec, event_id) tiebreak — the
+    cross-engine determinism rule for window order), then one
+    (from, to) count aggregate; row-normalizing totals are
+    |event_types| rows and ride a broadcast join."""
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "event_id", "event_type",
+        _event_epoch_sec(events).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("prob"),
+    )

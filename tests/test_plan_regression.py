@@ -73,6 +73,7 @@ PLAN_BUDGET = {
     "dsir_importance_logweights": (11, 0),
     "dup_span_removal": (7, 0),
     "trending_event_types": (2, 0),
+    "event_transition_matrix": (6, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

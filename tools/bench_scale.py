@@ -38,6 +38,13 @@ ROSTER = [
     "anf_register_supersteps", "hll_replay_cardinality", "kmv_distinct",
     "sssp_distances", "min_cost_supplier", "market_share",
     "covariance_matrix",
+    # round-3 third wave: exact similarity join, truss peel, span removal,
+    # DSIR weights, exact multi-quantiles, robust/trend stats, skyline, MIS
+    "set_similarity_pairs", "ktruss_supersteps", "postings_index",
+    "winsorized_price_stats", "equidepth_price_buckets",
+    "dsir_importance_logweights", "dup_span_removal",
+    "trending_event_types", "mis_members", "part_skyline", "ohlc_daily",
+    "price_band_revenue", "exact_group_medians",
 ]
 
 SF_DIRS = {
