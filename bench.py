@@ -103,6 +103,8 @@ HEADLINE = [
     "dup_span_removal",
     "trending_event_types",
     "event_transition_matrix",
+    "cohort_retention_matrix",
+    "join_key_skew_report",
 ]
 
 

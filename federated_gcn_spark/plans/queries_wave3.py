@@ -672,3 +672,143 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention_matrix",
+    """
+    WITH e AS (
+        SELECT user_id,
+               (epoch_ns(ts) // 1000000000) // 86400 AS day
+        FROM events
+    ), first_seen AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               (e.day - f.cohort_day) // 7 AS week_offset
+        FROM e JOIN first_seen f USING (user_id)
+    ), cohort_size AS (
+        SELECT cohort_day, COUNT(*) AS n_users
+        FROM first_seen GROUP BY cohort_day
+    )
+    SELECT a.cohort_day AS cohort_day,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           ROUND(COUNT(*) / CAST(s.n_users AS DOUBLE), 6) AS retention
+    FROM activity a JOIN cohort_size s USING (cohort_day)
+    GROUP BY a.cohort_day, a.week_offset, s.n_users
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort analysis: users grouped by first-seen day, one
+    cell per (cohort, week offset) with the share of the cohort still
+    active. Two exchanges — the first-seen groupBy and the distinct
+    per-(user, week) activity — both keyed on user_id so they reuse one
+    partitioning; cohort sizes are |cohorts| rows on a broadcast."""
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", _event_epoch_sec(events).alias("sec")
+    ).withColumn("day", F.expr("sec div 86400"))
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("(day - cohort_day) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_size = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        activity.join(F.broadcast(cohort_size), "cohort_day")
+        .groupBy("cohort_day", "week_offset", "n_users")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.col("n_active") / F.col("n_users").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis report
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_key_skew_report",
+    """
+    WITH k AS (
+        SELECT l_suppkey AS key, COUNT(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n
+        FROM k
+    ), med AS (
+        SELECT n AS median_n FROM k
+        ORDER BY n, key
+        LIMIT 1 OFFSET (SELECT CAST(CEIL(n_keys / 2.0) AS BIGINT) - 1 FROM tot)
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_n AS BIGINT) AS max_rows_per_key,
+           CAST(median_n AS BIGINT) AS median_rows_per_key,
+           ROUND(max_n / CAST(median_n AS DOUBLE), 6) AS skew_ratio,
+           ROUND(max_n / CAST(n_rows AS DOUBLE), 6) AS top_key_share
+    FROM tot, med
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis — the report you run BEFORE deciding
+    between a plain join, AQE skew splitting, and operators/skew.py
+    salting: per-key row counts, the max/median ratio, and the heaviest
+    key's share of all rows. One groupBy to per-key counts, one tiny
+    aggregate; the median key weight comes from the two-pass histogram
+    selection (operators/stats.exact_kth_smallest_value) over the
+    count table — no unpartitioned window even when the key space is
+    millions of rows (the count table of a 100 TB fact is itself a big
+    table)."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    k = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    n_keys = k.count()
+    median_n = int(
+        exact_kth_smallest_value(k, "n", int(math.ceil(n_keys / 2)))
+    )
+    return (
+        tot.withColumn("median_n", F.lit(median_n))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_n").cast("long").alias("max_rows_per_key"),
+            F.col("median_n").cast("long").alias("median_rows_per_key"),
+            F.round(
+                F.col("max_n") / F.col("median_n").cast("double"), 6
+            ).alias("skew_ratio"),
+            F.round(
+                F.col("max_n") / F.col("n_rows").cast("double"), 6
+            ).alias("top_key_share"),
+        )
+    )

@@ -74,6 +74,8 @@ PLAN_BUDGET = {
     "dup_span_removal": (7, 0),
     "trending_event_types": (2, 0),
     "event_transition_matrix": (6, 0),
+    "cohort_retention_matrix": (7, 0),
+    "join_key_skew_report": (1, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
