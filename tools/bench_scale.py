@@ -45,6 +45,8 @@ ROSTER = [
     "dsir_importance_logweights", "dup_span_removal",
     "trending_event_types", "mis_members", "part_skyline", "ohlc_daily",
     "price_band_revenue", "exact_group_medians",
+    "event_transition_matrix", "cohort_retention_matrix",
+    "join_key_skew_report",
 ]
 
 SF_DIRS = {
