@@ -1,0 +1,356 @@
+"""Round-3 fourth wave: corpus-trained classification and feature selection.
+
+- ``naive_bayes_lang``: multinomial Naive Bayes trained on the corpus's
+  own token counts (Laplace-smoothed, class = ``lang``), scored back over
+  the corpus, reported as a confusion matrix.  The classical model-based
+  companion to the heuristic ``lang_id_detect`` — the reference's
+  supervised-classification surface (models/supervised.py trains a
+  classifier over node features) re-expressed as pure relational algebra:
+  train AND inference are one declarative plan, no driver-side model
+  object.
+- ``chi2_top_terms``: chi-squared (one-vs-rest, token-level 2x2
+  contingency) feature selection — the top discriminative terms per
+  language.  The standard vocabulary-pruning step before training any
+  text classifier at scale.
+
+Cross-engine determinism (see plans.queries docstring for the full
+rules): the NB argmax is decided on DECIMAL-summed per-token log
+probabilities — each ``LN`` is rounded to 6 dp and cast to
+DECIMAL(12,6) BEFORE summation, so the per-document class scores are
+exact decimal sums (associative, order-independent) in both engines and
+the argmax cannot flip on float re-association.  chi-squared uses only
++ - * / over doubles (IEEE-deterministic given identical association,
+which both expression texts share) — no transcendental in the ordering
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.functions.text import tokens
+from federated_gcn_spark.plans.queries import register
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    return docs.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+
+
+@register(
+    "naive_bayes_lang",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), ct AS (
+        SELECT term,
+               COUNT(*) FILTER (lang = 'de') AS c_de,
+               COUNT(*) FILTER (lang = 'en') AS c_en,
+               COUNT(*) FILTER (lang = 'es') AS c_es,
+               COUNT(*) FILTER (lang = 'fr') AS c_fr,
+               COUNT(*) FILTER (lang = 'zh') AS c_zh
+        FROM toks GROUP BY term
+    ), tots AS (
+        SELECT SUM(c_de) AS t_de, SUM(c_en) AS t_en, SUM(c_es) AS t_es,
+               SUM(c_fr) AS t_fr, SUM(c_zh) AS t_zh,
+               COUNT(*) AS v
+        FROM ct
+    ), lp AS (
+        SELECT term,
+               CAST(ROUND(LN((c_de + 1) / CAST(t_de + v AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lp_de,
+               CAST(ROUND(LN((c_en + 1) / CAST(t_en + v AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lp_en,
+               CAST(ROUND(LN((c_es + 1) / CAST(t_es + v AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lp_es,
+               CAST(ROUND(LN((c_fr + 1) / CAST(t_fr + v AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lp_fr,
+               CAST(ROUND(LN((c_zh + 1) / CAST(t_zh + v AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lp_zh
+        FROM ct, tots
+    ), pri AS (
+        SELECT
+            CAST(ROUND(LN((COUNT(*) FILTER (lang = 'de'))
+                          / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS p_de,
+            CAST(ROUND(LN((COUNT(*) FILTER (lang = 'en'))
+                          / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS p_en,
+            CAST(ROUND(LN((COUNT(*) FILTER (lang = 'es'))
+                          / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS p_es,
+            CAST(ROUND(LN((COUNT(*) FILTER (lang = 'fr'))
+                          / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS p_fr,
+            CAST(ROUND(LN((COUNT(*) FILTER (lang = 'zh'))
+                          / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS p_zh
+        FROM documents WHERE TRIM(text) <> ''
+    ), dscore AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang,
+               SUM(lp_de) AS s_de, SUM(lp_en) AS s_en, SUM(lp_es) AS s_es,
+               SUM(lp_fr) AS s_fr, SUM(lp_zh) AS s_zh
+        FROM toks JOIN lp USING (term)
+        GROUP BY doc_id
+    ), long AS (
+        SELECT doc_id, lang,
+               UNNEST(['de', 'en', 'es', 'fr', 'zh']) AS pred_lang,
+               UNNEST([s_de + p_de, s_en + p_en, s_es + p_es,
+                       s_fr + p_fr, s_zh + p_zh]) AS score
+        FROM dscore, pri
+    ), pred AS (
+        SELECT doc_id, lang, pred_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, pred_lang
+               ) AS rn
+        FROM long
+    )
+    SELECT lang AS lang_actual, pred_lang AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY lang, pred_lang
+    """,
+)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes over ``documents``: Laplace-smoothed
+    per-class token log-likelihoods + log priors, argmax over the five
+    ``lang`` classes, reported as an (actual, predicted) confusion
+    matrix.  Train and inference in ONE declarative plan.
+
+    100 TB shape: the class-conditional count matrix is built by a
+    single pivot aggregation (one shuffle, output = vocabulary x 5 —
+    tiny relative to the corpus); class totals / vocabulary size / log
+    priors each reduce to a single broadcast row.  Scoring re-joins the
+    token stream to the vocabulary on ``term`` (equi-join; AQE
+    broadcasts the vocab side when it fits, falls back to a shuffle
+    join when the vocabulary is huge) and aggregates per document —
+    Spark reuses the tokenize exchange for both the training and the
+    scoring subtree.  The argmax window runs over exactly 5 rows per
+    document, partition-local after the per-doc aggregation.
+
+    Determinism: per-token log-probs are rounded to 6 dp and cast to
+    DECIMAL(12,6) BEFORE the per-document sum, so class scores are
+    exact (associativity-independent) in both engines; ties break on
+    class name.  Reference parity: the supervised classification
+    surface of models/supervised.py:100-130, re-expressed relationally.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+
+    ct = toks.groupBy("term").pivot("lang", _LANGS).count()
+    ct = ct.select(
+        "term",
+        *[F.coalesce(F.col(lang), F.lit(0)).alias(f"c_{lang}") for lang in _LANGS],
+    )
+
+    tots = ct.agg(
+        *[F.sum(f"c_{lang}").alias(f"t_{lang}") for lang in _LANGS],
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    lp = ct.crossJoin(F.broadcast(tots)).select(
+        "term",
+        *[
+            F.round(
+                F.log(
+                    (F.col(f"c_{lang}") + F.lit(1))
+                    / (F.col(f"t_{lang}") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias(f"lp_{lang}")
+            for lang in _LANGS
+        ],
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    pri = docs.agg(
+        *[
+            F.round(
+                F.log(
+                    F.count_if(F.col("lang") == lang)
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias(f"p_{lang}")
+            for lang in _LANGS
+        ]
+    )
+
+    dscore = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            *[F.sum(f"lp_{lang}").alias(f"s_{lang}") for lang in _LANGS],
+        )
+        .crossJoin(F.broadcast(pri))
+    )
+
+    stack_args = ", ".join(
+        f"'{lang}', s_{lang} + p_{lang}" for lang in _LANGS
+    )
+    long = dscore.select(
+        "doc_id",
+        "lang",
+        F.expr(f"stack({len(_LANGS)}, {stack_args}) AS (pred_lang, score)"),
+    )
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("pred_lang")
+    )
+    pred = long.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    return pred.groupBy(
+        F.col("lang").alias("lang_actual"),
+        F.col("pred_lang").alias("lang_pred"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "chi2_top_terms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), ct AS (
+        SELECT term,
+               COUNT(*) FILTER (lang = 'de') AS c_de,
+               COUNT(*) FILTER (lang = 'en') AS c_en,
+               COUNT(*) FILTER (lang = 'es') AS c_es,
+               COUNT(*) FILTER (lang = 'fr') AS c_fr,
+               COUNT(*) FILTER (lang = 'zh') AS c_zh,
+               COUNT(*) AS tf
+        FROM toks GROUP BY term
+    ), tots AS (
+        SELECT SUM(c_de) AS t_de, SUM(c_en) AS t_en, SUM(c_es) AS t_es,
+               SUM(c_fr) AS t_fr, SUM(c_zh) AS t_zh,
+               SUM(tf) AS n
+        FROM ct
+    ), long AS (
+        SELECT term, tf,
+               UNNEST(['de', 'en', 'es', 'fr', 'zh']) AS lang,
+               UNNEST([c_de, c_en, c_es, c_fr, c_zh]) AS a,
+               UNNEST([t_de, t_en, t_es, t_fr, t_zh]) AS t_k,
+               n
+        FROM ct, tots
+        WHERE tf >= 5
+    ), scored AS (
+        SELECT lang, term, a,
+               CAST(n AS DOUBLE)
+                   * (CAST(a AS DOUBLE) * CAST(n - t_k - tf + a AS DOUBLE)
+                      - CAST(tf - a AS DOUBLE) * CAST(t_k - a AS DOUBLE))
+                   * (CAST(a AS DOUBLE) * CAST(n - t_k - tf + a AS DOUBLE)
+                      - CAST(tf - a AS DOUBLE) * CAST(t_k - a AS DOUBLE))
+                   / (CAST(tf AS DOUBLE) * CAST(n - tf AS DOUBLE)
+                      * CAST(t_k AS DOUBLE) * CAST(n - t_k AS DOUBLE))
+                   AS chi2
+        FROM long
+    ), ranked AS (
+        SELECT lang, term, a, chi2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY chi2 DESC, term
+               ) AS rn
+        FROM scored
+    )
+    SELECT lang, term,
+           ROUND(chi2, 4) AS chi2,
+           CAST(a AS BIGINT) AS tf_in_class
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def chi2_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: for each language, the 10 most
+    discriminative terms by the one-vs-rest token-level 2x2 contingency
+    chi-squared statistic (min corpus frequency 5).  The standard
+    vocabulary-pruning / keyword-extraction step before training a text
+    classifier over a 100 TB corpus.
+
+    100 TB shape: one pivot aggregation produces the vocabulary x 5
+    count matrix (the only corpus-sized shuffle — everything after runs
+    on vocabulary-sized data); corpus totals ride as a broadcast single
+    row; the per-class top-10 window partitions on ``lang`` (5
+    partitions, each vocabulary-sized — bounded, and shrinkable further
+    with a per-partition pre-top-k if vocabulary ever rivals corpus
+    size).
+
+    Determinism: chi-squared uses only + - * / over doubles from exact
+    integer counts with identical association in both engines (IEEE
+    multiplication/division is bit-deterministic; no transcendental in
+    the ordering path), so the ranking cannot diverge; ties break on
+    term.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+
+    ct = toks.groupBy("term").pivot("lang", _LANGS).count()
+    ct = ct.select(
+        "term",
+        *[F.coalesce(F.col(lang), F.lit(0)).alias(f"c_{lang}") for lang in _LANGS],
+    ).withColumn(
+        "tf", sum(F.col(f"c_{lang}") for lang in _LANGS)
+    )
+
+    tots = ct.agg(
+        *[F.sum(f"c_{lang}").alias(f"t_{lang}") for lang in _LANGS],
+        F.sum("tf").alias("n"),
+    )
+
+    stack_args = ", ".join(
+        f"'{lang}', c_{lang}, t_{lang}" for lang in _LANGS
+    )
+    long = (
+        ct.where(F.col("tf") >= 5)
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "term",
+            "tf",
+            "n",
+            F.expr(f"stack({len(_LANGS)}, {stack_args}) AS (lang, a, t_k)"),
+        )
+    )
+
+    a = F.col("a").cast("double")
+    d = (F.col("n") - F.col("t_k") - F.col("tf") + F.col("a")).cast("double")
+    b = (F.col("tf") - F.col("a")).cast("double")
+    c = (F.col("t_k") - F.col("a")).cast("double")
+    det = a * d - b * c
+    chi2 = (
+        F.col("n").cast("double")
+        * det
+        * det
+        / (
+            F.col("tf").cast("double")
+            * (F.col("n") - F.col("tf")).cast("double")
+            * F.col("t_k").cast("double")
+            * (F.col("n") - F.col("t_k")).cast("double")
+        )
+    )
+    scored = long.select("lang", "term", "a", chi2.alias("chi2"))
+
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "lang",
+            "term",
+            F.round("chi2", 4).alias("chi2"),
+            F.col("a").cast("bigint").alias("tf_in_class"),
+        )
+    )

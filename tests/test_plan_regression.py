@@ -76,6 +76,9 @@ PLAN_BUDGET = {
     "event_transition_matrix": (6, 0),
     "cohort_retention_matrix": (7, 0),
     "join_key_skew_report": (1, 0),
+    # round-3 fourth wave (measured under the same fixture)
+    "naive_bayes_lang": (15, 0),
+    "chi2_top_terms": (10, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -1,0 +1,143 @@
+"""Naive Bayes language classifier and chi-squared term selection vs
+pure-Python references (a third implementation, independent of both the
+Spark plan and the DuckDB oracle), plus layout invariance of the
+decimal-summed argmax."""
+
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+import pytest
+
+from federated_gcn_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _docs():
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    return [
+        (d["doc_id"], d["lang"], re.split(r"\s+", d["text"].strip().lower()))
+        for d in tbl
+        if d["text"].strip()
+    ]
+
+
+def _round6(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _python_nb_confusion():
+    docs = _docs()
+    ct = {lang: Counter() for lang in LANGS}
+    ndocs = Counter()
+    for _, lang, toks in docs:
+        ct[lang].update(toks)
+        ndocs[lang] += 1
+    vocab = set()
+    for c in ct.values():
+        vocab.update(c)
+    v = len(vocab)
+    tot = {lang: sum(ct[lang].values()) for lang in LANGS}
+    lp = {
+        term: {
+            lang: _round6(math.log((ct[lang][term] + 1) / (tot[lang] + v)))
+            for lang in LANGS
+        }
+        for term in vocab
+    }
+    total_docs = sum(ndocs.values())
+    pri = {lang: _round6(math.log(ndocs[lang] / total_docs)) for lang in LANGS}
+    confusion = Counter()
+    for _, lang, toks in docs:
+        scores = {
+            k: sum((lp[t][k] for t in toks), Decimal(0)) + pri[k] for k in LANGS
+        }
+        pred = max(LANGS, key=lambda k: (scores[k], [-ord(ch) for ch in k]))
+        confusion[(lang, pred)] += 1
+    return dict(confusion)
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    got = {
+        (r["lang_actual"], r["lang_pred"]): r["n_docs"]
+        for r in QUERIES["naive_bayes_lang"](spark, SF_DIR).collect()
+    }
+    assert got == _python_nb_confusion()
+
+
+def test_naive_bayes_layout_invariant(spark):
+    """The decimal-summed argmax must not depend on shuffle layout."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(n):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return sorted(
+                map(tuple, QUERIES["naive_bayes_lang"](spark, SF_DIR).collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    assert run(3) == run(13)
+
+
+def _python_chi2_top():
+    docs = _docs()
+    ct = {lang: Counter() for lang in LANGS}
+    for _, lang, toks in docs:
+        ct[lang].update(toks)
+    tf = Counter()
+    for c in ct.values():
+        tf.update(c)
+    t_k = {lang: sum(ct[lang].values()) for lang in LANGS}
+    n = sum(t_k.values())
+    top = {}
+    for lang in LANGS:
+        scored = []
+        for term, f in tf.items():
+            if f < 5:
+                continue
+            a = float(ct[lang][term])
+            d = float(n - t_k[lang] - f + ct[lang][term])
+            b = float(f - ct[lang][term])
+            c = float(t_k[lang] - ct[lang][term])
+            det = a * d - b * c
+            chi2 = (
+                float(n) * det * det
+                / (float(f) * float(n - f) * float(t_k[lang]) * float(n - t_k[lang]))
+            )
+            scored.append((term, chi2, ct[lang][term]))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top[lang] = [
+            (term, _round_half_up4(chi2), cnt) for term, chi2, cnt in scored[:10]
+        ]
+    return top
+
+
+def _round_half_up4(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_chi2_matches_python_reference(spark):
+    rows = QUERIES["chi2_top_terms"](spark, SF_DIR).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["lang"]].append((r["term"], r["chi2"], r["tf_in_class"]))
+    ref = _python_chi2_top()
+    for lang in LANGS:
+        got_sorted = sorted(got[lang], key=lambda x: (-x[1], x[0]))
+        assert got_sorted == ref[lang], lang
+
+
+def test_chi2_shape(spark):
+    rows = QUERIES["chi2_top_terms"](spark, SF_DIR).collect()
+    per_lang = Counter(r["lang"] for r in rows)
+    assert set(per_lang) == set(LANGS)
+    assert all(v == 10 for v in per_lang.values())
+    assert all(r["chi2"] >= 0 for r in rows)
