@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from federated_gcn_spark.catalog import load_table
 from federated_gcn_spark.functions.text import tokens
-from federated_gcn_spark.plans.queries import register
+from federated_gcn_spark.operators.stats import partitioned_prefix_sum
+from federated_gcn_spark.plans.queries import register, _event_epoch_sec
 
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -353,4 +354,164 @@ def chi2_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("chi2", 4).alias("chi2"),
             F.col("a").cast("bigint").alias("tf_in_class"),
         )
+    )
+
+
+@register(
+    "new_vs_returning_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // 1000000000 // 86400 AS day
+        FROM events
+    ), f AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS first_day
+        FROM ud
+    ), d AS (
+        SELECT day,
+               COUNT(*) FILTER (day = first_day) AS new_users,
+               COUNT(*) AS active_users
+        FROM f GROUP BY day
+    )
+    SELECT day,
+           new_users,
+           active_users - new_users AS returning_users,
+           active_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split plus the cumulative user count —
+    the growth-accounting backbone of product analytics (every "DAU by
+    cohort age" dashboard starts here).
+
+    100 TB shape: ONE shuffle on ``user_id`` serves both the
+    (user, day) distinct and the per-user first-day window (the distinct
+    re-partitions by (user_id, day); the window's user_id requirement is
+    satisfied by the same exchange's co-location, so Catalyst plans a
+    single exchange + sort); the daily rollup then reduces to
+    calendar-bounded rows.  The cumulative count uses the cost-based
+    distributed prefix sum (operators/stats.partitioned_prefix_sum) —
+    never an unpartitioned window over unbounded data, though at
+    calendar cardinality the single-task branch IS the optimal plan.
+    ``ts`` goes through the schema-adaptive epoch helper (nanos-as-long
+    and micros-NTZ parquet both ship in the wild)."""
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    sec = _event_epoch_sec(events)
+    ud = events.select(
+        "user_id", (sec / F.lit(1)).cast("long").alias("__sec")
+    ).select("user_id", F.expr("__sec div 86400").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    f = ud.withColumn("first_day", F.min("day").over(w))
+    d = f.groupBy("day").agg(
+        F.count_if(F.col("day") == F.col("first_day")).alias("new_users"),
+        F.count(F.lit(1)).alias("active_users"),
+    )
+    c = partitioned_prefix_sum(d, "day", "new_users", "__cum_before")
+    return c.select(
+        "day",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        "active_users",
+        (F.col("__cum_before") + F.col("new_users")).alias("cum_users"),
+    )
+
+
+@register(
+    "abc_revenue_classes",
+    """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem
+    ), per_part AS (
+        SELECT l_partkey, CAST(SUM(rev_e4) AS BIGINT) AS rev_e4
+        FROM li GROUP BY l_partkey
+    ), grp AS (
+        SELECT rev_e4,
+               COUNT(*) AS n_parts,
+               rev_e4 * COUNT(*) AS grp_rev
+        FROM per_part GROUP BY rev_e4
+    ), tot AS (
+        SELECT SUM(grp_rev) AS total FROM grp
+    ), ranked AS (
+        SELECT rev_e4, n_parts, grp_rev,
+               SUM(grp_rev) OVER (ORDER BY rev_e4 DESC) - grp_rev
+                   AS cum_before,
+               (SELECT total FROM tot) AS total
+        FROM grp
+    ), classed AS (
+        SELECT CASE WHEN cum_before * 100 < total * 80 THEN 'A'
+                    WHEN cum_before * 100 < total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               n_parts, grp_rev, total
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(grp_rev) AS DOUBLE) / 10000, 2) AS revenue,
+           ROUND(CAST(SUM(grp_rev) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classified A (first 80% of cumulative revenue), B (to 95%), C (tail)
+    — the classic 80/20 assortment analysis.
+
+    100 TB shape: the fact scan reduces to one per-part aggregate (the
+    only corpus-sized shuffle); classification then runs at DISTINCT
+    revenue-value granularity, so the prefix sum's input is
+    dimension-sized, ordered on a unique integer key, and handled by the
+    cost-based distributed prefix sum (range repartition + per-partition
+    offsets above 1M rows, single-task below).
+
+    Determinism: revenue is computed in exact 1e-4-dollar integers
+    (cents x (100 - discount_pct)) so per-part sums, revenue-group
+    formation, ranking, and the cumulative thresholds (compared in
+    integer arithmetic, x100 vs x80/x95 of the total) are bit-identical
+    in both engines — no float enters until the final rounded report.
+    Ties (parts with identical revenue) share one group and one class by
+    construction, so no tiebreak ambiguity exists."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_e4"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("rev_e4"))
+    grp = per_part.groupBy("rev_e4").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.col("rev_e4") * F.count(F.lit(1))).alias("grp_rev"),
+    )
+    tot = grp.agg(F.sum("grp_rev").alias("total"))
+    ranked = partitioned_prefix_sum(
+        grp.withColumn("__neg", -F.col("rev_e4")), "__neg", "grp_rev",
+        "cum_before",
+    ).crossJoin(F.broadcast(tot))
+    cum = F.col("cum_before").cast("decimal(38,0)")
+    total = F.col("total").cast("decimal(38,0)")
+    classed = ranked.select(
+        F.when(cum * 100 < total * 80, F.lit("A"))
+        .when(cum * 100 < total * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "n_parts",
+        "grp_rev",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_parts").alias("n_parts"),
+        F.round(F.sum("grp_rev").cast("double") / 10000, 2).alias("revenue"),
+        F.round(
+            F.sum("grp_rev").cast("double")
+            / F.any_value("total").cast("double"),
+            6,
+        ).alias("revenue_share"),
     )

@@ -76,9 +76,13 @@ PLAN_BUDGET = {
     "event_transition_matrix": (6, 0),
     "cohort_retention_matrix": (7, 0),
     "join_key_skew_report": (1, 0),
-    # round-3 fourth wave (measured under the same fixture)
+    # round-3 fourth wave (measured under the same fixture).  The two
+    # prefix-sum queries localCheckpoint their input, so the visible
+    # plan is the post-checkpoint tail.
     "naive_bayes_lang": (15, 0),
     "chi2_top_terms": (10, 0),
+    "new_vs_returning_users": (4, 0),
+    "abc_revenue_classes": (6, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

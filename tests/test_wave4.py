@@ -141,3 +141,96 @@ def test_chi2_shape(spark):
     assert set(per_lang) == set(LANGS)
     assert all(v == 10 for v in per_lang.values())
     assert all(r["chi2"] >= 0 for r in rows)
+
+
+def _event_user_days():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _python_new_vs_returning():
+    user_days = defaultdict(set)
+    for uid, day in _event_user_days():
+        user_days[uid].add(day)
+    first = {uid: min(days) for uid, days in user_days.items()}
+    daily = defaultdict(lambda: [0, 0])  # day -> [new, active]
+    for uid, days in user_days.items():
+        for day in days:
+            daily[day][1] += 1
+            if day == first[uid]:
+                daily[day][0] += 1
+    out, cum = [], 0
+    for day in sorted(daily):
+        new, active = daily[day]
+        cum += new
+        out.append((day, new, active - new, active, cum))
+    return out
+
+
+def test_new_vs_returning_matches_python_reference(spark):
+    rows = QUERIES["new_vs_returning_users"](spark, SF_DIR).collect()
+    got = sorted(
+        (r["day"], r["new_users"], r["returning_users"], r["active_users"],
+         r["cum_users"])
+        for r in rows
+    )
+    assert got == _python_new_vs_returning()
+
+
+def _python_abc():
+    tbl = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).to_pylist()
+    per_part = Counter()
+    for r in tbl:
+        price_c = int(_round_half_up0(r["l_extendedprice"] * 100))
+        disc_c = int(_round_half_up0(r["l_discount"] * 100))
+        per_part[r["l_partkey"]] += price_c * (100 - disc_c)
+    grp = Counter()
+    for rev in per_part.values():
+        grp[rev] += 1
+    total = sum(rev * n for rev, n in grp.items())
+    out = defaultdict(lambda: [0, 0])
+    cum = 0
+    for rev in sorted(grp, reverse=True):
+        n = grp[rev]
+        cls = "A" if cum * 100 < total * 80 else ("B" if cum * 100 < total * 95 else "C")
+        out[cls][0] += n
+        out[cls][1] += rev * n
+        cum += rev * n
+    return {
+        cls: (n, _round_half_up(rev / 10000, 2), _round_half_up(rev / total, 6))
+        for cls, (n, rev) in out.items()
+    }
+
+
+def _round_half_up0(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def test_abc_matches_python_reference(spark):
+    rows = QUERIES["abc_revenue_classes"](spark, SF_DIR).collect()
+    got = {
+        r["abc_class"]: (r["n_parts"], r["revenue"], r["revenue_share"])
+        for r in rows
+    }
+    assert got == _python_abc()
+
+
+def test_abc_shares_partition_the_parts(spark):
+    rows = QUERIES["abc_revenue_classes"](spark, SF_DIR).collect()
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    tbl = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_partkey"])
+    assert sum(r["n_parts"] for r in rows) == len(set(tbl["l_partkey"].to_pylist()))
