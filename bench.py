@@ -105,6 +105,11 @@ HEADLINE = [
     "event_transition_matrix",
     "cohort_retention_matrix",
     "join_key_skew_report",
+    # round-3 fourth wave: corpus classification + growth accounting
+    "naive_bayes_lang",
+    "chi2_top_terms",
+    "new_vs_returning_users",
+    "abc_revenue_classes",
 ]
 
 

@@ -47,6 +47,8 @@ ROSTER = [
     "price_band_revenue", "exact_group_medians",
     "event_transition_matrix", "cohort_retention_matrix",
     "join_key_skew_report",
+    "naive_bayes_lang", "chi2_top_terms",
+    "new_vs_returning_users", "abc_revenue_classes",
 ]
 
 SF_DIRS = {
