@@ -110,6 +110,7 @@ HEADLINE = [
     "chi2_top_terms",
     "new_vs_returning_users",
     "abc_revenue_classes",
+    "ship_lag_percentiles",
 ]
 
 

@@ -515,3 +515,111 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "ship_lag_percentiles",
+    """
+    WITH lag AS (
+        SELECT o_orderpriority AS priority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), hist AS (
+        SELECT priority, lag_days, COUNT(*) AS c
+        FROM lag GROUP BY priority, lag_days
+    ), cum AS (
+        SELECT priority, lag_days, c,
+               CAST(SUM(c) OVER (
+                   PARTITION BY priority ORDER BY lag_days
+               ) AS BIGINT) AS cum_c,
+               CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM hist
+    )
+    SELECT priority,
+           n AS n_items,
+           MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN lag_days END) AS p50_lag,
+           MIN(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN lag_days END)
+               AS p90_lag,
+           MIN(CASE WHEN cum_c >= (99 * n + 99) // 100 THEN lag_days END)
+               AS p99_lag,
+           ROUND(CAST(SUM(CASE WHEN lag_days < 0 THEN c ELSE 0 END) AS DOUBLE)
+                 / n, 6) AS negative_lag_share
+    FROM cum
+    GROUP BY priority, n
+    """,
+)
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA report: exact p50/p90/p99 of the ship lag (days
+    between order date and line-item ship date) per order priority, plus
+    the share of anomalous negative lags.
+
+    100 TB shape: after the orderkey-co-keyed fact-fact join (the
+    engine's standard bucketing co-key — same shape as the Q12/Q21
+    analogues), everything reduces to a (priority x distinct-lag-days)
+    VALUE-DOMAIN histogram: day lags are bounded integers, so the
+    histogram is a few thousand rows per priority REGARDLESS of corpus
+    size, the cumulative window runs over those tiny partitions, and the
+    exact order statistics fall out of one conditional aggregation — no
+    global sort, no two-pass selection, no driver-side walk.  Quantile
+    ranks use pure integer arithmetic (ceil(q*n) as (q*n + q') div d),
+    so the selected values are bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("lag_days"),
+    )
+    hist = lag.groupBy("priority", "lag_days").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    j = hist.withColumn("cum_c", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    return j.groupBy("priority", "n").agg(
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.expr("(n + 1) div 2"), F.col("lag_days")
+            )
+        ).alias("p50_lag"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.expr("(9 * n + 9) div 10"),
+                F.col("lag_days"),
+            )
+        ).alias("p90_lag"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.expr("(99 * n + 99) div 100"),
+                F.col("lag_days"),
+            )
+        ).alias("p99_lag"),
+        F.round(
+            F.sum(F.when(F.col("lag_days") < 0, F.col("c")).otherwise(0))
+            .cast("double")
+            / F.col("n"),
+            6,
+        ).alias("negative_lag_share"),
+    ).select(
+        "priority",
+        F.col("n").alias("n_items"),
+        "p50_lag",
+        "p90_lag",
+        "p99_lag",
+        "negative_lag_share",
+    )

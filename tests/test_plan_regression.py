@@ -83,6 +83,7 @@ PLAN_BUDGET = {
     "chi2_top_terms": (10, 0),
     "new_vs_returning_users": (4, 0),
     "abc_revenue_classes": (6, 0),
+    "ship_lag_percentiles": (5, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

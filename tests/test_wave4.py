@@ -234,3 +234,47 @@ def test_abc_shares_partition_the_parts(spark):
     assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
     tbl = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_partkey"])
     assert sum(r["n_parts"] for r in rows) == len(set(tbl["l_partkey"].to_pylist()))
+
+
+def _python_ship_lag():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))
+            FROM read_parquet('{SF_DIR}/lineitem.parquet') l
+            JOIN read_parquet('{SF_DIR}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    con.close()
+    by_prio = defaultdict(list)
+    for prio, lag in rows:
+        by_prio[prio].append(lag)
+    out = {}
+    for prio, lags in by_prio.items():
+        lags.sort()
+        n = len(lags)
+
+        def kth(k):
+            return lags[k - 1]
+
+        out[prio] = (
+            n,
+            kth((n + 1) // 2),
+            kth(-(-9 * n // 10)),
+            kth(-(-99 * n // 100)),
+            _round_half_up(sum(1 for x in lags if x < 0) / n, 6),
+        )
+    return out
+
+
+def test_ship_lag_matches_python_reference(spark):
+    rows = QUERIES["ship_lag_percentiles"](spark, SF_DIR).collect()
+    got = {
+        r["priority"]: (r["n_items"], r["p50_lag"], r["p90_lag"], r["p99_lag"],
+                        r["negative_lag_share"])
+        for r in rows
+    }
+    assert got == _python_ship_lag()

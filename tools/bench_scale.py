@@ -49,6 +49,7 @@ ROSTER = [
     "join_key_skew_report",
     "naive_bayes_lang", "chi2_top_terms",
     "new_vs_returning_users", "abc_revenue_classes",
+    "ship_lag_percentiles",
 ]
 
 SF_DIRS = {
