@@ -111,6 +111,7 @@ HEADLINE = [
     "new_vs_returning_users",
     "abc_revenue_classes",
     "ship_lag_percentiles",
+    "burst_detection",
 ]
 
 

@@ -623,3 +623,77 @@ def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_lag",
         "negative_lag_share",
     )
+
+
+@register(
+    "burst_detection",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, value,
+               epoch_ns(ts) // 1000000000 AS sec
+        FROM events
+    ), win AS (
+        SELECT user_id, event_id, sec,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+               ) AS burst_n,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+               ), 6) AS burst_value
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(MAX(burst_n) AS BIGINT) AS peak_burst,
+           CAST(COUNT(*) FILTER (burst_n >= 5) AS BIGINT) AS n_burst_events,
+           ROUND(MAX(burst_value), 6) AS peak_burst_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM win
+    GROUP BY user_id
+    HAVING MAX(burst_n) >= 5
+    """,
+)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-burst detection: for every event, the count and
+    value-sum of that user's events in the trailing 10 minutes (a
+    time-VALUED ``RANGE`` window frame, not a row frame), rolled up to
+    the users whose peak trailing-window count reaches the burst
+    threshold — the velocity-rule primitive of fraud/abuse detection.
+
+    100 TB shape: one ``user_id`` exchange serves both RANGE windows and
+    the final rollup; the frame's state is bounded by the user's event
+    rate x 600 s, independent of corpus size.  The HAVING prunes output
+    to the anomalous tail.  RANGE frames treat equal-timestamp peers
+    identically in both engines (frame bounds are on the ORDER value,
+    not row position), so duplicate timestamps cannot cause divergence;
+    the value sum is rounded per the float rules.  ``ts`` goes through
+    the schema-adaptive epoch helper.
+    """
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        _event_epoch_sec(events).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    win = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("burst_n"),
+        F.round(F.sum("value").over(w), 6).alias("burst_value"),
+    )
+    return (
+        win.groupBy("user_id")
+        .agg(
+            F.max("burst_n").alias("peak_burst"),
+            F.count_if(F.col("burst_n") >= 5).alias("n_burst_events"),
+            F.round(F.max("burst_value"), 6).alias("peak_burst_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("peak_burst") >= 5)
+    )

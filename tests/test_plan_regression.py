@@ -84,6 +84,7 @@ PLAN_BUDGET = {
     "new_vs_returning_users": (4, 0),
     "abc_revenue_classes": (6, 0),
     "ship_lag_percentiles": (5, 0),
+    "burst_detection": (2, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -278,3 +278,51 @@ def test_ship_lag_matches_python_reference(spark):
         for r in rows
     }
     assert got == _python_ship_lag()
+
+
+def _python_burst():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts) // 1000000000, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_user = defaultdict(list)
+    for uid, sec, val in rows:
+        by_user[uid].append((sec, val))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda x: x[0])
+        secs = [s for s, _ in evs]
+        bursts, bvals = [], []
+        for i, (s, _) in enumerate(evs):
+            lo = s - 600
+            in_frame = [(s2, v2) for s2, v2 in evs if lo <= s2 <= s]
+            bursts.append(len(in_frame))
+            bvals.append(_round_half_up(sum(v for _, v in in_frame), 6))
+        peak = max(bursts)
+        if peak >= 5:
+            out[uid] = (
+                peak,
+                sum(1 for b in bursts if b >= 5),
+                _round_half_up(max(bvals), 6),
+                len(evs),
+            )
+    return out
+
+
+def test_burst_detection_matches_python_reference(spark):
+    rows = QUERIES["burst_detection"](spark, SF_DIR).collect()
+    got = {
+        r["user_id"]: (r["peak_burst"], r["n_burst_events"],
+                       r["peak_burst_value"], r["n_events"])
+        for r in rows
+    }
+    ref = _python_burst()
+    assert set(got) == set(ref)
+    for uid in got:
+        g, r = got[uid], ref[uid]
+        assert g[0] == r[0] and g[1] == r[1] and g[3] == r[3], uid
+        assert abs(g[2] - r[2]) < 1e-5, uid

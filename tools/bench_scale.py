@@ -50,6 +50,7 @@ ROSTER = [
     "naive_bayes_lang", "chi2_top_terms",
     "new_vs_returning_users", "abc_revenue_classes",
     "ship_lag_percentiles",
+    "burst_detection",
 ]
 
 SF_DIRS = {
