@@ -112,6 +112,7 @@ HEADLINE = [
     "abc_revenue_classes",
     "ship_lag_percentiles",
     "burst_detection",
+    "corpus_drift_report",
 ]
 
 

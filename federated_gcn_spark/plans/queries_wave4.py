@@ -697,3 +697,124 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("peak_burst") >= 5)
     )
+
+
+@register(
+    "corpus_drift_report",
+    r"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS half,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), ct AS (
+        SELECT term,
+               COUNT(*) FILTER (half = 0) AS c_a,
+               COUNT(*) FILTER (half = 1) AS c_b
+        FROM toks GROUP BY term
+    ), tots AS (
+        SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v FROM ct
+    ), scored AS (
+        SELECT term, c_a, c_b,
+               (c_a + 1) * (n_b + v) - (c_b + 1) * (n_a + v) AS xnum,
+               (c_a + 1) / CAST(n_a + v AS DOUBLE) AS p_a,
+               (c_b + 1) / CAST(n_b + v AS DOUBLE) AS p_b
+        FROM ct, tots
+    ), contrib AS (
+        SELECT term, c_a, c_b, xnum, p_a, p_b,
+               CAST(ROUND(p_a * LN(p_a / p_b), 12) AS DECIMAL(20,12))
+                   AS kl_ab_term,
+               CAST(ROUND(p_b * LN(p_b / p_a), 12) AS DECIMAL(20,12))
+                   AS kl_ba_term
+        FROM scored
+    ), summary AS (
+        SELECT ROUND(CAST(SUM(kl_ab_term) AS DOUBLE), 6) AS kl_ab,
+               ROUND(CAST(SUM(kl_ba_term) AS DOUBLE), 6) AS kl_ba
+        FROM contrib
+    ), ranked AS (
+        SELECT term, c_a, c_b,
+               ROUND(p_a - p_b, 9) AS p_diff,
+               ROUND(CAST(kl_ab_term AS DOUBLE), 9) AS kl_contrib,
+               ROW_NUMBER() OVER (ORDER BY ABS(xnum) DESC, term) AS rn
+        FROM contrib
+    )
+    SELECT term, c_a, c_b, p_diff, kl_contrib, kl_ab, kl_ba
+    FROM ranked, summary
+    WHERE rn <= 10
+    """,
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Laplace-smoothed unigram distributions of
+    two corpus halves (deterministic ``doc_id`` parity split, the stand-in
+    for two ingestion snapshots), their symmetric KL divergences, and the
+    10 most divergent terms — the distribution-shift check a 100 TB
+    training pipeline runs between crawl snapshots before mixing them.
+
+    100 TB shape: one tokenize + one pivot-style aggregation produce the
+    vocabulary-sized count table; everything after runs at vocabulary
+    scale with single-row broadcast totals.  The top-divergence ranking
+    orders on the EXACT cross-multiplied integer numerator of
+    p_a − p_b (same denominator for every term), so no float enters the
+    ordering; the KL sums are per-term contributions rounded to 12 dp
+    and summed as DECIMAL(20,12) — exact, association-independent — then
+    rounded for report.  The top-10 selection is a TakeOrdered (per-
+    partition partial top-k, no global sort), so even a billion-term
+    vocabulary never funnels through one task."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    ct = toks.groupBy("term").agg(
+        F.count_if(F.col("half") == 0).alias("c_a"),
+        F.count_if(F.col("half") == 1).alias("c_b"),
+    )
+    tots = ct.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_a = (F.col("c_a") + 1) / (F.col("n_a") + F.col("v")).cast("double")
+    p_b = (F.col("c_b") + 1) / (F.col("n_b") + F.col("v")).cast("double")
+    scored = ct.crossJoin(F.broadcast(tots)).select(
+        "term",
+        "c_a",
+        "c_b",
+        (
+            (F.col("c_a") + 1) * (F.col("n_b") + F.col("v"))
+            - (F.col("c_b") + 1) * (F.col("n_a") + F.col("v"))
+        ).alias("xnum"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+    )
+    contrib = scored.select(
+        "term",
+        "c_a",
+        "c_b",
+        "xnum",
+        "p_a",
+        "p_b",
+        F.round(F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")), 12)
+        .cast("decimal(20,12)")
+        .alias("kl_ab_term"),
+        F.round(F.col("p_b") * F.log(F.col("p_b") / F.col("p_a")), 12)
+        .cast("decimal(20,12)")
+        .alias("kl_ba_term"),
+    )
+    summary = contrib.agg(
+        F.round(F.sum("kl_ab_term").cast("double"), 6).alias("kl_ab"),
+        F.round(F.sum("kl_ba_term").cast("double"), 6).alias("kl_ba"),
+    )
+    ranked = contrib.orderBy(
+        F.abs(F.col("xnum")).desc(), F.asc("term")
+    ).limit(10)
+    return ranked.crossJoin(F.broadcast(summary)).select(
+        "term",
+        "c_a",
+        "c_b",
+        F.round(F.col("p_a") - F.col("p_b"), 9).alias("p_diff"),
+        F.round(F.col("kl_ab_term").cast("double"), 9).alias("kl_contrib"),
+        "kl_ab",
+        "kl_ba",
+    )

@@ -85,6 +85,7 @@ PLAN_BUDGET = {
     "abc_revenue_classes": (6, 0),
     "ship_lag_percentiles": (5, 0),
     "burst_detection": (2, 0),
+    "corpus_drift_report": (14, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

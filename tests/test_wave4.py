@@ -326,3 +326,50 @@ def test_burst_detection_matches_python_reference(spark):
         g, r = got[uid], ref[uid]
         assert g[0] == r[0] and g[1] == r[1] and g[3] == r[3], uid
         assert abs(g[2] - r[2]) < 1e-5, uid
+
+
+def _python_drift():
+    docs = _docs()
+    ca, cb = Counter(), Counter()
+    for doc_id, _, toks in docs:
+        (ca if doc_id % 2 == 0 else cb).update(toks)
+    vocab = set(ca) | set(cb)
+    v = len(vocab)
+    na, nb = sum(ca.values()), sum(cb.values())
+    rows = []
+    for t in vocab:
+        xnum = (ca[t] + 1) * (nb + v) - (cb[t] + 1) * (na + v)
+        pa = (ca[t] + 1) / (na + v)
+        pb = (cb[t] + 1) / (nb + v)
+        rows.append((t, ca[t], cb[t], xnum, pa, pb))
+    kl_ab = sum(
+        _round_dec(pa * math.log(pa / pb), 12) for _, _, _, _, pa, pb in rows
+    )
+    kl_ba = sum(
+        _round_dec(pb * math.log(pb / pa), 12) for _, _, _, _, pa, pb in rows
+    )
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    top = [
+        (t, a, b, _round_half_up(pa - pb, 9),
+         float(_round_dec(pa * math.log(pa / pb), 12)
+               .quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)))
+        for t, a, b, _, pa, pb in rows[:10]
+    ]
+    return top, _round_half_up(float(kl_ab), 6), _round_half_up(float(kl_ba), 6)
+
+
+def _round_dec(x: float, nd: int) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+
+
+def test_corpus_drift_matches_python_reference(spark):
+    rows = QUERIES["corpus_drift_report"](spark, SF_DIR).collect()
+    top_ref, kl_ab_ref, kl_ba_ref = _python_drift()
+    got = [
+        (r["term"], r["c_a"], r["c_b"], r["p_diff"], r["kl_contrib"])
+        for r in sorted(rows, key=lambda r: (-abs(r["p_diff"]), r["term"]))
+    ]
+    ref_sorted = sorted(top_ref, key=lambda r: (-abs(r[3]), r[0]))
+    assert got == ref_sorted
+    assert rows[0]["kl_ab"] == kl_ab_ref
+    assert rows[0]["kl_ba"] == kl_ba_ref

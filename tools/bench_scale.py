@@ -51,6 +51,7 @@ ROSTER = [
     "new_vs_returning_users", "abc_revenue_classes",
     "ship_lag_percentiles",
     "burst_detection",
+    "corpus_drift_report",
 ]
 
 SF_DIRS = {
