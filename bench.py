@@ -113,6 +113,7 @@ HEADLINE = [
     "ship_lag_percentiles",
     "burst_detection",
     "corpus_drift_report",
+    "psi_price_drift",
 ]
 
 

@@ -818,3 +818,135 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kl_ab",
         "kl_ba",
     )
+
+
+@register(
+    "psi_price_drift",
+    """
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 2 AS half
+        FROM orders
+    ), ha AS (
+        SELECT cents, COUNT(*) AS c FROM o WHERE half = 0 GROUP BY cents
+    ), na AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM ha
+    ), cum AS (
+        SELECT cents,
+               CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cum_c
+        FROM ha
+    ), edges AS (
+        SELECT ["""
+    + ", ".join(
+        f"MIN(CASE WHEN cum_c >= ({i} * n + 9) // 10 THEN cents END)"
+        for i in range(1, 10)
+    )
+    + """] AS es
+        FROM cum, na
+    ), b AS (
+        SELECT half,
+               len(list_filter((SELECT es FROM edges), e -> cents > e))
+                   AS bucket
+        FROM o
+    ), ct AS (
+        SELECT bucket,
+               COUNT(*) FILTER (half = 0) AS c_a,
+               COUNT(*) FILTER (half = 1) AS c_b
+        FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM ct
+    ), sc AS (
+        SELECT bucket, c_a, c_b,
+               (c_a + 1) / CAST(n_a + 10 AS DOUBLE) AS p_a,
+               (c_b + 1) / CAST(n_b + 10 AS DOUBLE) AS p_b
+        FROM ct, tot
+    ), co AS (
+        SELECT bucket, c_a, c_b, p_a, p_b,
+               CAST(ROUND((p_a - p_b) * LN(p_a / p_b), 12)
+                    AS DECIMAL(20,12)) AS term
+        FROM sc
+    )
+    SELECT bucket, c_a, c_b,
+           ROUND(p_a - p_b, 9) AS p_diff,
+           ROUND(CAST(term AS DOUBLE), 9) AS psi_contrib,
+           ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi
+    FROM co
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the order-price distributions
+    of two deterministic corpus halves (``o_orderkey`` parity — the
+    stand-in for a reference vs current scoring window): decile bucket
+    edges fitted on half A's EXACT order statistics, per-bucket
+    populations of both halves, smoothed PSI — the standard model-input
+    drift gate in production ML monitoring.
+
+    100 TB shape: prices reduce to an exact integer-cents value-domain
+    histogram (distinct cents bounded by the price domain, not the row
+    count); the cumulative walk to the nine decile edges goes through
+    the cost-based distributed prefix sum; the nine edges then ride as
+    ONE broadcast array row and bucket assignment is a 9-element HOF
+    scan per row — no per-row join, no sort of the fact.  Determinism:
+    integer cents end-to-end until the final smoothed ratios; PSI sums
+    12-dp-rounded DECIMAL contributions (association-independent);
+    bucket ids are exact HOF counts of edge crossings.  The PSI total is a
+    whole-frame window over the bucket table — bounded at 10 rows by
+    construction, so the unpartitioned frame is safe at any scale."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    ha = orders.where(F.col("half") == 0).groupBy("cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = partitioned_prefix_sum(ha, "cents", "c", "cum_before").withColumn(
+        "cum_c", F.col("cum_before") + F.col("c")
+    )
+    na = ha.agg(F.sum("c").alias("n"))
+    edges = (
+        cum.crossJoin(F.broadcast(na))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= F.expr(f"({i} * n + 9) div 10"),
+                        F.col("cents"),
+                    )
+                ).alias(f"e{i}")
+                for i in range(1, 10)
+            ]
+        )
+        .select(F.array(*[f"e{i}" for i in range(1, 10)]).alias("es"))
+    )
+    b = orders.crossJoin(F.broadcast(edges)).select(
+        "half",
+        F.size(F.filter("es", lambda e: F.col("cents") > e)).alias("bucket"),
+    )
+    ct = b.groupBy("bucket").agg(
+        F.count_if(F.col("half") == 0).alias("c_a"),
+        F.count_if(F.col("half") == 1).alias("c_b"),
+    )
+    tot = ct.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    p_a = (F.col("c_a") + 1) / (F.col("n_a") + 10).cast("double")
+    p_b = (F.col("c_b") + 1) / (F.col("n_b") + 10).cast("double")
+    co = ct.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "c_a",
+        "c_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.round(
+            (p_a - p_b) * F.log(p_a / p_b), 12
+        ).cast("decimal(20,12)").alias("term"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return co.select(
+        "bucket",
+        "c_a",
+        "c_b",
+        F.round(F.col("p_a") - F.col("p_b"), 9).alias("p_diff"),
+        F.round(F.col("term").cast("double"), 9).alias("psi_contrib"),
+        F.round(F.sum("term").over(wall).cast("double"), 6).alias("psi"),
+    )

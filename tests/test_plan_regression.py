@@ -86,6 +86,7 @@ PLAN_BUDGET = {
     "ship_lag_percentiles": (5, 0),
     "burst_detection": (2, 0),
     "corpus_drift_report": (14, 0),
+    "psi_price_drift": (19, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

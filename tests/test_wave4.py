@@ -373,3 +373,44 @@ def test_corpus_drift_matches_python_reference(spark):
     assert got == ref_sorted
     assert rows[0]["kl_ab"] == kl_ab_ref
     assert rows[0]["kl_ba"] == kl_ba_ref
+
+
+def _python_psi():
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    rows = [
+        (int(_round_half_up0(r["o_totalprice"] * 100)), r["o_orderkey"] % 2)
+        for r in tbl
+    ]
+    a = sorted(c for c, h in rows if h == 0)
+    n = len(a)
+    edges = [a[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+    ca, cb = Counter(), Counter()
+    for c, h in rows:
+        bucket = sum(1 for e in edges if c > e)
+        (ca if h == 0 else cb)[bucket] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    out = {}
+    psi = Decimal(0)
+    for bucket in set(ca) | set(cb):
+        pa = (ca[bucket] + 1) / (na + 10)
+        pb = (cb[bucket] + 1) / (nb + 10)
+        term = _round_dec((pa - pb) * math.log(pa / pb), 12)
+        psi += term
+        out[bucket] = (
+            ca[bucket], cb[bucket], _round_half_up(pa - pb, 9),
+            float(term.quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)),
+        )
+    return out, _round_half_up(float(psi), 6)
+
+
+def test_psi_matches_python_reference(spark):
+    rows = QUERIES["psi_price_drift"](spark, SF_DIR).collect()
+    ref, psi_ref = _python_psi()
+    got = {
+        r["bucket"]: (r["c_a"], r["c_b"], r["p_diff"], r["psi_contrib"])
+        for r in rows
+    }
+    assert got == ref
+    assert all(r["psi"] == psi_ref for r in rows)

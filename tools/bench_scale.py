@@ -52,6 +52,7 @@ ROSTER = [
     "ship_lag_percentiles",
     "burst_detection",
     "corpus_drift_report",
+    "psi_price_drift",
 ]
 
 SF_DIRS = {
