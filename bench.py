@@ -114,6 +114,7 @@ HEADLINE = [
     "burst_detection",
     "corpus_drift_report",
     "psi_price_drift",
+    "rolling_distinct_users_hll",
 ]
 
 

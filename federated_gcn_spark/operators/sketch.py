@@ -183,3 +183,77 @@ def kmv_kth(df: DataFrame, key_col: str, k: int = 32) -> DataFrame:
             F.lit(num) / (F.max("h").cast("double") + F.lit(shift)), 2
         ).alias("est_distinct"),
     )
+
+
+def hll_rolling_estimate(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    window_days: int = 7,
+    p: int = 7,
+    cap: int = 55,
+) -> DataFrame:
+    """Sliding-window distinct estimate from mergeable daily HLL state —
+    the pattern that makes "rolling 7-day unique users" tractable at
+    100 TB, where an exact sliding distinct would re-scan the window's
+    raw rows every day.
+
+    Stage 1 builds the per-(day, bucket) register table — the same
+    integer-exact registers as :func:`hll_replay` (xxhash64 bucket/rho,
+    branch-free bit-length) — ONE corpus-sized aggregation whose output
+    is calendar x m rows.  Stage 2 max-merges each day's registers into
+    the ``window_days`` trailing windows it participates in: every
+    register row is expanded to (day+0 .. day+w-1) targets (a
+    calendar-bounded explode, never corpus-sized), targets are
+    restricted to days that exist, and a second max-aggregation yields
+    the merged register state per window end.  The emit is
+    :func:`hll_replay`'s integer harmonic sum — no FP order dependence,
+    one double division.  Register MERGE equals sketch-of-union by the
+    max semilattice, which is the property the whole scheme rests on.
+    """
+    m = 1 << p
+    wbits = 64 - p
+    h = F.xxhash64(F.col(key_col))
+    w = F.shiftrightunsigned(h, p)
+    bitlen = None
+    for k in range(wbits):
+        c = (w >= F.lit(1 << k)).cast("int")
+        bitlen = c if bitlen is None else bitlen + c
+    rho = F.lit(wbits + 1) - bitlen
+
+    daily = (
+        df.select(
+            F.col(day_col).alias("day"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    days = daily.select("day").distinct()
+    expanded = daily.select(
+        "day", "bucket", "mr", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off")
+    ).select((F.col("day") + F.col("off")).alias("wday"), "bucket", "mr")
+    merged = (
+        expanded.join(
+            days.select(F.col("day").alias("wday")), "wday", "left_semi"
+        )
+        .groupBy("wday", "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )
+    per = merged.groupBy("wday").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - least(mr, {cap}))")
+        ).alias("filled_sum"),
+        F.max("mr").cast("long").alias("max_reg"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << cap)
+    sum_int = F.col("filled_sum") + (F.lit(m) - F.col("present")) * F.lit(1 << cap)
+    return per.select(
+        F.col("wday").alias("day"),
+        F.col("present").cast("long").alias("nonzero_regs"),
+        F.col("max_reg"),
+        F.round(F.lit(c_num) / sum_int.cast("double"), 2).alias("est_distinct"),
+    )

@@ -950,3 +950,69 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("term").cast("double"), 9).alias("psi_contrib"),
         F.round(F.sum("term").over(wall).cast("double"), 6).alias("psi"),
     )
+
+
+def _hll_rolling_oracle(p: int = 7, cap: int = 55, window_days: int = 7) -> str:
+    """DuckDB replay of operators/sketch.hll_rolling_estimate over
+    events.user_id by day: identical integer register pipeline, the same
+    0..w-1 day expansion, the same harmonic-sum emit constants."""
+    from federated_gcn_spark.plans.xxh64_sql import xxhash64_sql
+
+    m = 1 << p
+    wbits = 64 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << cap)
+    u = xxhash64_sql(("user_id", "long"))
+    bitlen = " + ".join(f"(w >= {1 << k})::INT" for k in range(wbits))
+    return f"""
+    WITH h AS (
+        SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, ({u}) AS u
+        FROM events
+    ), b AS (
+        SELECT day, (u % {m})::BIGINT AS bucket, (u // {m}) AS w FROM h
+    ), daily AS (
+        SELECT day, bucket, MAX({wbits + 1} - ({bitlen})) AS mr
+        FROM b GROUP BY day, bucket
+    ), expanded AS (
+        SELECT day + off AS wday, bucket, mr
+        FROM daily CROSS JOIN (SELECT UNNEST(range({window_days})) AS off)
+    ), merged AS (
+        SELECT wday, bucket, MAX(mr) AS mr
+        FROM expanded
+        WHERE wday IN (SELECT DISTINCT day FROM daily)
+        GROUP BY wday, bucket
+    ), per AS (
+        SELECT wday,
+               COUNT(*) AS present,
+               SUM(CAST(POWER(2, {cap} - LEAST(mr, {cap})) AS BIGINT))
+                   AS filled_sum,
+               MAX(mr) AS max_reg
+        FROM merged GROUP BY wday
+    )
+    SELECT wday AS day,
+           CAST(present AS BIGINT) AS nonzero_regs,
+           CAST(max_reg AS BIGINT) AS max_reg,
+           ROUND({c_num!r} / CAST(filled_sum + ({m} - present) * {1 << cap}
+                                  AS DOUBLE), 2) AS est_distinct
+    FROM per
+    """
+
+
+@register("rolling_distinct_users_hll", _hll_rolling_oracle())
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates from mergeable daily HLL
+    register state (operators/sketch.py:hll_rolling_estimate) — sliding
+    distinct counts are the textbook case where exact computation cannot
+    scale (every window re-scans raw rows) but mergeable sketch state
+    makes the rollup calendar-sized.  One corpus-sized aggregation
+    builds the daily registers; the window merge is a bounded explode +
+    max-merge over calendar x m rows.  Integer-exact end-to-end
+    (xxhash64 replay, integer harmonic sum), value-checked against a
+    full DuckDB replay."""
+    from federated_gcn_spark.operators.sketch import hll_rolling_estimate
+
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    ev = events.select(
+        "user_id", _event_epoch_sec(events).alias("__sec")
+    ).select("user_id", F.expr("__sec div 86400").alias("day"))
+    return hll_rolling_estimate(ev, "user_id", "day")

@@ -87,6 +87,7 @@ PLAN_BUDGET = {
     "burst_detection": (2, 0),
     "corpus_drift_report": (14, 0),
     "psi_price_drift": (19, 0),
+    "rolling_distinct_users_hll": (8, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -53,6 +53,7 @@ ROSTER = [
     "burst_detection",
     "corpus_drift_report",
     "psi_price_drift",
+    "rolling_distinct_users_hll",
 ]
 
 SF_DIRS = {
