@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_drift_report",
     "psi_price_drift",
     "rolling_distinct_users_hll",
+    "theil_sen_trend",
 ]
 
 

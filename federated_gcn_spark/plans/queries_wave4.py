@@ -1016,3 +1016,93 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", _event_epoch_sec(events).alias("__sec")
     ).select("user_id", F.expr("__sec div 86400").alias("day"))
     return hll_rolling_estimate(ev, "user_id", "day")
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT (b.rev_c - a.rev_c) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), sel AS (
+        SELECT slope
+        FROM (
+            SELECT slope,
+                   ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM pairs
+        ) WHERE rn = (cnt + 1) // 2
+    ), resid AS (
+        SELECT rev_c - (SELECT slope FROM sel) * day AS res FROM daily
+    ), isel AS (
+        SELECT res
+        FROM (
+            SELECT res,
+                   ROW_NUMBER() OVER (ORDER BY res) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM resid
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS BIGINT)
+               AS n_pairs,
+           ROUND((SELECT slope FROM sel) / 100, 6) AS slope_per_day,
+           ROUND((SELECT res FROM isel) / 100, 2) AS intercept
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes (up to 29% outlier breakdown, vs 0% for OLS) and the
+    median-residual intercept — the robust-regression companion to
+    ``linear_fit``/``forecast_revenue``.
+
+    100 TB shape: the fact reduces to ONE calendar-sized daily aggregate
+    (exact integer cents); the pairwise self-join is calendar x calendar
+    — bounded by the date domain, NOT the corpus, so the deliberate
+    cartesian cannot grow with data volume.  Both medians go through
+    operators/stats.exact_kth_smallest_value (two-pass histogram
+    selection — no global sort even over the ~n²/2 pair table).
+
+    Determinism: slopes are IEEE divisions of exact integers (bit-equal
+    in any engine); the selected median is an actual data value, so no
+    FP accumulation exists anywhere; the intercept residuals reuse the
+    selected slope as an exact literal."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    ).localCheckpoint(eager=True)
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("rev_c").alias("rev_c2")
+    )
+    # try_divide, not /: Catalyst pushes the kth-selection's bucket
+    # predicate into the join, where it can evaluate slope on an
+    # equal-day pair BEFORE the day < day2 condition excludes it — under
+    # ANSI mode a plain / then raises DIVIDE_BY_ZERO.  Matched pairs
+    # always have day2 > day, so results are identical.
+    pairs = daily.join(b, F.col("day") < F.col("day2")).select(
+        F.try_divide(
+            F.col("rev_c2") - F.col("rev_c"),
+            (F.col("day2") - F.col("day")).cast("double"),
+        ).alias("slope")
+    )
+    n_days = daily.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    slope = exact_kth_smallest_value(pairs, "slope", (n_pairs + 1) // 2)
+    resid = daily.select(
+        (F.col("rev_c") - F.lit(slope) * F.col("day")).alias("res")
+    )
+    intercept = exact_kth_smallest_value(resid, "res", (n_days + 1) // 2)
+    return spark.createDataFrame(
+        [(n_days, n_pairs, round(slope / 100, 6), round(intercept / 100, 2))],
+        "n_days long, n_pairs long, slope_per_day double, intercept double",
+    )

@@ -442,3 +442,36 @@ def test_hll_rolling_tracks_exact_and_merges_correctly(spark):
     )
     direct_est = hll_replay(direct, "user_id", "g").collect()[0]["est_distinct"]
     assert est[9] == direct_est
+
+
+def _python_theil_sen():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    days = sorted(rows)
+    slopes = sorted(
+        (days[j][1] - days[i][1]) / float(days[j][0] - days[i][0])
+        for i in range(len(days))
+        for j in range(i + 1, len(days))
+    )
+    n_days = len(days)
+    n_pairs = len(slopes)
+    slope = slopes[(n_pairs + 1) // 2 - 1]
+    resid = sorted(r - slope * d for d, r in days)
+    intercept = resid[(n_days + 1) // 2 - 1]
+    return (n_days, n_pairs, _round_half_up(slope / 100, 6),
+            _round_half_up(intercept / 100, 2))
+
+
+def test_theil_sen_matches_python_reference(spark):
+    r = QUERIES["theil_sen_trend"](spark, SF_DIR).collect()[0]
+    assert (r["n_days"], r["n_pairs"], r["slope_per_day"], r["intercept"]) \
+        == _python_theil_sen()

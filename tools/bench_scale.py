@@ -54,6 +54,7 @@ ROSTER = [
     "corpus_drift_report",
     "psi_price_drift",
     "rolling_distinct_users_hll",
+    "theil_sen_trend",
 ]
 
 SF_DIRS = {
