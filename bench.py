@@ -116,6 +116,7 @@ HEADLINE = [
     "psi_price_drift",
     "rolling_distinct_users_hll",
     "theil_sen_trend",
+    "hybrid_search_rrf",
 ]
 
 

@@ -1106,3 +1106,87 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_days, n_pairs, round(slope / 100, 6), round(intercept / 100, 2))],
         "n_days long, n_pairs long, slope_per_day double, intercept double",
     )
+
+
+def _rrf_oracle() -> str:
+    """Reciprocal-rank fusion oracle COMPOSED from the two parent
+    retrieval oracles (bm25_search, similarity_topk) as subqueries —
+    one source of truth for each ranker's semantics."""
+    from federated_gcn_spark.plans.queries import ORACLE
+
+    return f"""
+    WITH b AS (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+        FROM ({ORACLE["bm25_search"]})
+    ), c AS (
+        SELECT vec_id AS doc_id, cos_sim,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rc
+        FROM ({ORACLE["similarity_topk"]})
+    ), fused AS (
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               b.rb AS bm25_rank, c.rc AS cos_rank,
+               COALESCE(1.0 / (60 + b.rb), 0)
+                   + COALESCE(1.0 / (60 + c.rc), 0) AS rrf
+        FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, ROUND(rrf, 9) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("hybrid_search_rrf", _rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (k=60): the BM25
+    keyword ranking and the dense cosine ranking fused as
+    Σ 1/(60+rank) — the standard zero-tuning way production RAG stacks
+    combine sparse and dense retrieval.  Composes the engine's two
+    retrieval primitives verbatim (plans.queries.bm25_search,
+    similarity_topk); the oracle likewise embeds the parents' oracle
+    texts as subqueries, so each ranker has one source of truth.
+
+    100 TB shape: the parents do the heavy lifting (postings-filtered
+    scoring, broadcast query vector, TakeOrdered top-k); fusion then
+    runs on two k-row rank lists — constant-sized work regardless of
+    corpus scale.  Ranks order on the parents' ROUNDED scores with id
+    tiebreaks (the same values their own hash checks pin), so rank
+    assignment cannot diverge; the RRF sum is two fixed-shape IEEE
+    divisions of integers."""
+    from federated_gcn_spark.plans.queries import bm25_search, similarity_topk
+
+    b = bm25_search(spark, sf_dir).withColumn(
+        "rb",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    c = similarity_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id_c"), "cos_sim"
+    )
+    c = c.withColumn(
+        "rc",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id_c"))
+        ),
+    )
+    fused = b.join(
+        c, b["doc_id"] == c["doc_id_c"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("doc_id_c")).alias("doc_id"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+        (
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round("rrf_raw", 9).alias("rrf"),
+        )
+    )

@@ -475,3 +475,37 @@ def test_theil_sen_matches_python_reference(spark):
     r = QUERIES["theil_sen_trend"](spark, SF_DIR).collect()[0]
     assert (r["n_days"], r["n_pairs"], r["slope_per_day"], r["intercept"]) \
         == _python_theil_sen()
+
+
+def test_hybrid_rrf_consistent_with_parents(spark):
+    """Fusion must preserve the parents' rankings: every fused row's
+    ranks agree with independently recomputed parent rank lists, and the
+    RRF score is exactly the reciprocal-rank sum of those ranks."""
+    from federated_gcn_spark.plans.queries import bm25_search, similarity_topk
+
+    b = bm25_search(spark, SF_DIR).collect()
+    c = similarity_topk(spark, SF_DIR).collect()
+    rb = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(b, key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    rc = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(c, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        )
+    }
+    rows = QUERIES["hybrid_search_rrf"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["bm25_rank"] == rb.get(r["doc_id"])
+        assert r["cos_rank"] == rc.get(r["doc_id"])
+        expected = (1 / (60 + rb[r["doc_id"]]) if r["doc_id"] in rb else 0) + (
+            1 / (60 + rc[r["doc_id"]]) if r["doc_id"] in rc else 0
+        )
+        assert abs(r["rrf"] - expected) < 1e-9
+    # fused order is by rrf desc then doc_id
+    vals = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert vals == sorted(vals)

@@ -55,6 +55,7 @@ ROSTER = [
     "psi_price_drift",
     "rolling_distinct_users_hll",
     "theil_sen_trend",
+    "hybrid_search_rrf",
 ]
 
 SF_DIRS = {
