@@ -117,6 +117,8 @@ HEADLINE = [
     "rolling_distinct_users_hll",
     "theil_sen_trend",
     "hybrid_search_rrf",
+    "audience_venn",
+    "degree_assortativity",
 ]
 
 

@@ -1190,3 +1190,134 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 9).alias("rrf"),
         )
     )
+
+
+@register(
+    "audience_venn",
+    """
+    WITH base AS (
+        SELECT c.c_custkey,
+               MAX(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                   AS in_building,
+               MAX(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS in_rich,
+               MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS in_urgent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT in_building, in_rich, in_urgent,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM base
+    GROUP BY in_building, in_rich, in_urgent
+    """,
+)
+def audience_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way audience overlap (Venn regions) in ONE pass: membership
+    bits for three predicates (BUILDING segment, acctbal > 5000, has an
+    urgent order) per customer, then a bitmask rollup — the
+    inclusion-exclusion shape behind every audience-overlap dashboard,
+    computed without 2^k - 1 separate intersect jobs.
+
+    100 TB shape: one custkey-keyed join + aggregate (the MAX-bit trick
+    folds the one-to-many orders side during the partial aggregate, so
+    no distinct or second pass), then an 8-row rollup.  All integer."""
+    customer = load_table(spark, sf_dir, "customer", parallel=True).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_custkey", "o_orderpriority"
+    )
+    base = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            ).alias("in_building"),
+            F.max(
+                F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)
+            ).alias("in_rich"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("in_urgent"),
+        )
+    )
+    return base.groupBy("in_building", "in_rich", "in_urgent").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "degree_assortativity",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), ds AS (
+        SELECT s, COUNT(*) AS deg_s FROM e GROUP BY s
+    ), dp AS (
+        SELECT p, COUNT(*) AS deg_p FROM e GROUP BY p
+    ), j AS (
+        SELECT CAST(deg_s AS DECIMAL(38,0)) AS x,
+               CAST(deg_p AS DECIMAL(38,0)) AS y
+        FROM e JOIN ds USING (s) JOIN dp USING (p)
+    ), m AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy,
+               SUM(x * y) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier-part bipartite graph: the
+    Pearson correlation between the two endpoint degrees across edges —
+    the one-number graph-health statistic that distinguishes hub-to-hub
+    (assortative) from hub-to-leaf (disassortative) wiring, a
+    precondition check for sampling-based GNN training (reference graph
+    health surface, models/unsupervised.py neighborhood statistics).
+
+    100 TB shape: distinct edges, two degree aggregations, a re-join of
+    degrees onto edges (all equi-joins on graph keys), one moment
+    rollup.  Determinism: degrees are exact integers and ALL five
+    moment sums accumulate in DECIMAL(38,0) — exact, order-independent —
+    so the single double expression at the emit is IEEE-identical; no
+    float accumulates anywhere."""
+    e = (
+        load_table(spark, sf_dir, "lineitem", parallel=True)
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
+    dp = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg_p"))
+    j = (
+        e.join(ds, "s")
+        .join(dp, "p")
+        .select(
+            F.col("deg_s").cast("decimal(38,0)").alias("x"),
+            F.col("deg_p").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("assortativity"),
+    )

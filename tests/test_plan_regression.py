@@ -88,6 +88,8 @@ PLAN_BUDGET = {
     "corpus_drift_report": (14, 0),
     "psi_price_drift": (19, 0),
     "rolling_distinct_users_hll": (8, 0),
+    "audience_venn": (5, 0),
+    "degree_assortativity": (11, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

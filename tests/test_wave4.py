@@ -509,3 +509,45 @@ def test_hybrid_rrf_consistent_with_parents(spark):
     # fused order is by rrf desc then doc_id
     vals = [(-r["rrf"], r["doc_id"]) for r in rows]
     assert vals == sorted(vals)
+
+
+def test_audience_venn_partitions_customers(spark):
+    rows = QUERIES["audience_venn"](spark, SF_DIR).collect()
+    tbl = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    assert sum(r["n_customers"] for r in rows) == tbl.num_rows
+    masks = {(r["in_building"], r["in_rich"], r["in_urgent"]) for r in rows}
+    assert len(masks) == len(rows)  # regions are disjoint
+    assert masks <= {(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)}
+
+
+def _python_assortativity():
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"SELECT DISTINCT l_suppkey, l_partkey FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    ds, dp = Counter(), Counter()
+    for s, p in edges:
+        ds[s] += 1
+        dp[p] += 1
+    xs = [(ds[s], dp[p]) for s, p in edges]
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    return n, _round_half_up(r, 6)
+
+
+def test_assortativity_matches_python_reference(spark):
+    row = QUERIES["degree_assortativity"](spark, SF_DIR).collect()[0]
+    n, r = _python_assortativity()
+    assert row["n_edges"] == n
+    assert abs(row["assortativity"] - r) < 1e-6

@@ -56,6 +56,8 @@ ROSTER = [
     "rolling_distinct_users_hll",
     "theil_sen_trend",
     "hybrid_search_rrf",
+    "audience_venn",
+    "degree_assortativity",
 ]
 
 SF_DIRS = {
