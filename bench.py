@@ -119,6 +119,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "audience_venn",
     "degree_assortativity",
+    "gini_customer_spend",
+    "benford_first_digit",
 ]
 
 

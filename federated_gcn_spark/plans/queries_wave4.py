@@ -1321,3 +1321,181 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_edges"),
         F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("assortativity"),
     )
+
+
+@register(
+    "gini_customer_spend",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), grp AS (
+        SELECT cents, COUNT(*) AS c FROM spend GROUP BY cents
+    ), cum AS (
+        SELECT cents, c,
+               CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) - c AS r_before
+        FROM grp
+    ), m AS (
+        SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+                   AS total,
+               SUM(CAST(cents AS DECIMAL(38,0))
+                   * (c * CAST(r_before + 1 AS DECIMAL(38,0))
+                      + CAST(c AS DECIMAL(38,0)) * (c - 1) / 2))
+                   AS weighted_rank_sum
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(total AS DOUBLE) / 100, 2) AS total_spend,
+           ROUND(CAST(2 * weighted_rank_sum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM m
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality statistic
+    behind every revenue-concentration dashboard (and the natural scalar
+    companion to ``abc_revenue_classes``): G = 2·Σ rᵢxᵢ / (n·Σx) −
+    (n+1)/n over ascending-sorted spend.
+
+    100 TB shape: the fact reduces to a per-customer aggregate, then to
+    DISTINCT spend values; the rank-weighted sum needs no per-row rank —
+    within a tie group of size c starting at rank r₀ it closes to
+    x·(c·r₀ + c(c−1)/2), so only the distinct-value cumulative (the same
+    value-domain prefix shape as the ABC query) is ever computed.
+    Determinism: exact integer cents, all moments in DECIMAL(38,0)
+    (c(c−1)/2 is always integral), one double expression at the emit."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    grp = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = partitioned_prefix_sum(grp, "cents", "c", "r_before")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    m = cum.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("cents") * F.col("c")).cast("decimal(38,0)").alias("total"),
+        F.sum(
+            dec("cents")
+            * (
+                F.col("c") * (F.col("r_before") + 1).cast("decimal(38,0)")
+                + dec("c") * (F.col("c") - 1) / 2
+            )
+        ).alias("weighted_rank_sum"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("total").cast("double") / 100, 2).alias("total_spend"),
+        F.round(
+            (2 * F.col("weighted_rank_sum")).cast("double")
+            / (n_d * F.col("total").cast("double"))
+            - (n_d + 1) / n_d,
+            6,
+        ).alias("gini"),
+    )
+
+
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def _benford_oracle() -> str:
+    # CAST each literal: DuckDB types bare decimal literals as DECIMAL,
+    # and the squared difference then overflows DECIMAL(38); Spark uses
+    # IEEE doubles, so the oracle must too.
+    p_case = " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d - 1]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ), obs AS (
+        SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+    ), tot AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs
+    ), sc AS (
+        SELECT digit, observed, n,
+               (CASE digit {p_case} END) * n AS expected
+        FROM obs, tot
+    ), co AS (
+        SELECT digit, observed, expected,
+               CAST(ROUND((observed - expected) * (observed - expected)
+                          / expected, 9) AS DECIMAL(28,9)) AS term
+        FROM sc
+    )
+    SELECT digit,
+           observed,
+           ROUND(expected, 2) AS expected,
+           ROUND(CAST(term AS DOUBLE), 6) AS chi2_contrib,
+           ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2
+    FROM co
+    """
+
+
+@register("benford_first_digit", _benford_oracle())
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed vs
+    expected digit frequencies and the chi-squared conformance statistic
+    — the classic large-ledger anomaly/fraud screen (synthetic uniform
+    prices fail it loudly, which is itself the point of the check).
+
+    100 TB shape: one fact aggregate to at most nine digit rows;
+    everything after is constant-sized, with the chi-squared total as a
+    whole-frame window over <= 9 rows.  Determinism: the leading digit
+    comes from exact integer cents via string arithmetic (no log10 /
+    pow in the digit path); expected counts use inlined double literals
+    identical in both engines; contributions are rounded to 9 dp and
+    summed as DECIMAL."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    p_expr = F.lit(None).cast("double")
+    expected_map = None
+    for d in range(1, 10):
+        cond = F.when(F.col("digit") == d, F.lit(_BENFORD_P[d - 1]))
+        expected_map = cond if expected_map is None else expected_map.when(
+            F.col("digit") == d, F.lit(_BENFORD_P[d - 1])
+        )
+    sc = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        (expected_map * F.col("n")).alias("expected"),
+    )
+    diff = F.col("observed") - F.col("expected")
+    co = sc.select(
+        "digit",
+        "observed",
+        "expected",
+        F.round(diff * diff / F.col("expected"), 9)
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return co.select(
+        "digit",
+        "observed",
+        F.round("expected", 2).alias("expected"),
+        F.round(F.col("term").cast("double"), 6).alias("chi2_contrib"),
+        F.round(F.sum("term").over(wall).cast("double"), 6).alias("chi2"),
+    )

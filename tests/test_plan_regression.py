@@ -90,6 +90,8 @@ PLAN_BUDGET = {
     "rolling_distinct_users_hll": (8, 0),
     "audience_venn": (5, 0),
     "degree_assortativity": (11, 0),
+    "gini_customer_spend": (4, 0),
+    "benford_first_digit": (7, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -551,3 +551,47 @@ def test_assortativity_matches_python_reference(spark):
     n, r = _python_assortativity()
     assert row["n_edges"] == n
     assert abs(row["assortativity"] - r) < 1e-6
+
+
+def _python_gini():
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pylist()
+    spend = Counter()
+    for r in tbl:
+        spend[r["o_custkey"]] += int(_round_half_up0(r["o_totalprice"] * 100))
+    xs = sorted(spend.values())
+    n = len(xs)
+    total = sum(xs)
+    wrs = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2 * wrs / (n * total) - (n + 1) / n
+    return n, _round_half_up(total / 100, 2), _round_half_up(gini, 6)
+
+
+def test_gini_matches_python_reference(spark):
+    r = QUERIES["gini_customer_spend"](spark, SF_DIR).collect()[0]
+    n, total, gini = _python_gini()
+    assert r["n_customers"] == n
+    assert r["total_spend"] == total
+    assert abs(r["gini"] - gini) < 2e-6
+
+
+def test_benford_chi2_and_counts(spark):
+    rows = QUERIES["benford_first_digit"](spark, SF_DIR).collect()
+    tbl = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    cents = [int(_round_half_up0(v * 100)) for v in tbl["o_totalprice"].to_pylist()]
+    obs = Counter(int(str(c)[0]) for c in cents)
+    got = {r["digit"]: r["observed"] for r in rows}
+    assert got == dict(obs)
+    n = len(cents)
+    ps = [0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+          0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+          0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+    chi2 = sum(
+        (obs.get(d, 0) - ps[d - 1] * n) ** 2 / (ps[d - 1] * n)
+        for d in range(1, 10)
+        if d in obs
+    )
+    assert all(abs(r["chi2"] - chi2) < 1e-3 for r in rows)
+    # synthetic uniform prices must FAIL Benford hard (df=8 -> p<<0.001 at 26+)
+    assert rows[0]["chi2"] > 100

@@ -58,6 +58,8 @@ ROSTER = [
     "hybrid_search_rrf",
     "audience_venn",
     "degree_assortativity",
+    "gini_customer_spend",
+    "benford_first_digit",
 ]
 
 SF_DIRS = {
