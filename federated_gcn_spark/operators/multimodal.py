@@ -128,3 +128,54 @@ def audio_chunk_stats(media: DataFrame, chunk_bytes: int = 1024) -> DataFrame:
         F.length(chunk).alias("n_bytes"),
         F.crc32(chunk).alias("chunk_crc"),
     )
+
+
+def resize_images(
+    media: DataFrame, out_h: int, out_w: int
+) -> DataFrame:
+    """Dependency-free image resize (decode → nearest-neighbor sample →
+    re-encode) over ``mapInPandas`` — the last of the four multimodal
+    verbs (decode / feature-extract / resize / frame-sample).
+
+    Only the (media_id, payload) columns cross the Arrow boundary (the
+    skyline transfer-width lesson); rows whose payload is not a valid
+    BMP come back ``resized_ok = false`` with an empty payload rather
+    than failing the batch.  Nearest-neighbor index math is exact
+    integer arithmetic (src = (dst * src_dim) // out_dim), so the output
+    bytes are deterministic on any engine/platform.
+
+    Output: (media_id, payload BINARY, out_h INT, out_w INT,
+    resized_ok BOOLEAN).
+    """
+    from federated_gcn_spark.functions.codecs import decode_bmp, encode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    px = decode_bmp(bytes(payload))
+                    h, w = px.shape[0], px.shape[1]
+                    rows = (np.arange(out_h) * h) // out_h
+                    cols = (np.arange(out_w) * w) // out_w
+                    resized = px[rows][:, cols]
+                    payloads.append(encode_bmp(resized))
+                    oks.append(True)
+                except Exception:
+                    payloads.append(b"")
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "resized_ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id long, payload binary, out_h int, out_w int, "
+        "resized_ok boolean",
+    )

@@ -104,3 +104,31 @@ def test_audio_chunk_stats(spark, media):
     chunks = audio_chunk_stats(media, chunk_bytes=1024).orderBy("chunk_index").collect()
     assert [r["n_bytes"] for r in chunks] == [1024, 1024, 452]  # 2500 bytes
     assert all(r["media_id"] == 4 for r in chunks)
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Downsampling a known gradient must pick exactly the pixels the
+    integer nearest-neighbor map selects, and re-encode losslessly;
+    garbage payloads come back flagged, not failed."""
+    import numpy as np
+
+    from federated_gcn_spark.functions.codecs import decode_bmp, encode_bmp
+    from federated_gcn_spark.operators.multimodal import resize_images
+
+    px = np.zeros((8, 6, 3), dtype=np.uint8)
+    for r in range(8):
+        for c in range(6):
+            px[r, c] = (r * 30, c * 40, (r + c) * 10)
+    good = encode_bmp(px)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a bmp"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 4, 3).collect()}
+    assert rows[2]["resized_ok"] is False and bytes(rows[2]["payload"]) == b""
+    assert rows[1]["resized_ok"] is True
+    out = decode_bmp(bytes(rows[1]["payload"]))
+    assert out.shape == (4, 3, 3)
+    r_idx = (np.arange(4) * 8) // 4
+    c_idx = (np.arange(3) * 6) // 3
+    np.testing.assert_array_equal(out, px[r_idx][:, c_idx])
