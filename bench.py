@@ -121,6 +121,7 @@ HEADLINE = [
     "degree_assortativity",
     "gini_customer_spend",
     "benford_first_digit",
+    "exact_dedup_clusters",
 ]
 
 

@@ -1499,3 +1499,91 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("term").cast("double"), 6).alias("chi2_contrib"),
         F.round(F.sum("term").over(wall).cast("double"), 6).alias("chi2"),
     )
+
+
+_DEDUP_CLUSTER_ROUNDS = 4
+
+
+def _exact_cluster_oracle() -> str:
+    """Unrolled min-label propagation over the exact similarity pairs;
+    embeds the set_similarity_pairs oracle verbatim (one source of
+    truth), MATERIALIZED per the chained-CTE rule."""
+    from federated_gcn_spark.plans.queries import ORACLE
+
+    rounds = []
+    prev = "l0"
+    for k in range(1, _DEDUP_CLUSTER_ROUNDS + 1):
+        rounds.append(
+            f"""l{k} AS MATERIALIZED (
+        SELECT l.node, LEAST(l.label, MIN(nl.label)) AS label
+        FROM {prev} l
+        JOIN e ON e.u = l.node
+        JOIN {prev} nl ON nl.node = e.v
+        GROUP BY l.node, l.label
+    )"""
+        )
+        prev = f"l{k}"
+    rounds_sql = ", ".join(rounds)
+    return f"""
+    WITH p AS MATERIALIZED ({ORACLE["set_similarity_pairs"]}),
+    e AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM p
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS label FROM e
+    ),
+    {rounds_sql}
+    SELECT label AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY label
+    """
+
+
+@register("exact_dedup_clusters", _exact_cluster_oracle())
+def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the exact set-similarity join: the pair
+    list closes into connected components by min-label propagation, and
+    each cluster reports its canonical (minimum) doc_id and size — the
+    step that turns a pair list into an actionable keep/drop list,
+    completing the exact-dedup path the way near_dedup_corpus completes
+    the MinHash path.
+
+    100 TB shape: the component closure runs ONLY over pair members —
+    proportional to |duplicates|, never |corpus| (the same bound as the
+    MinHash cluster resolution).  Fixed {rounds} unrolled rounds with
+    converged-tail fill (propagating a fixpoint is the identity);
+    duplicate clusters are near-cliques, so the label diameter is tiny —
+    convergence at this round count is asserted against a union-find
+    reference in tests.  All arithmetic is integer MIN/LEAST.
+    """.format(rounds=_DEDUP_CLUSTER_ROUNDS)
+    from federated_gcn_spark.functions.text import word_ngrams
+    from federated_gcn_spark.operators.ppjoin import set_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    sets = docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.lower(F.col("text")), 3)).alias("elems"),
+    )
+    pairs = set_similarity_join(sets, "doc_id", "elems", threshold=0.5)
+    e = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_DEDUP_CLUSTER_ROUNDS):
+        nb = (
+            e.join(labels.withColumnRenamed("node", "v2"), e["v"] == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb, labels["node"] == nb["u"])
+            .select("node", F.least(F.col("label"), F.col("nb_min")).alias("label"))
+        )
+    return labels.groupBy(F.col("label").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

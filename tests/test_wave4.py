@@ -681,3 +681,35 @@ def test_streaming_velocity_equals_batch(spark, tmp_path):
         assert s["n_burst_events"] == b["n_burst_events"], uid
         assert s["n_events"] == b["n_events"], uid
         assert abs(s["peak_value"] - b["peak_burst_value"]) < 1e-6, uid
+
+
+def test_exact_dedup_clusters_match_union_find(spark):
+    """Fixed-round label propagation must reach the TRUE components of
+    the pair graph (union-find reference), i.e. the round count with
+    converged-tail fill is sufficient, not just oracle-consistent."""
+    from federated_gcn_spark.plans.queries_wave3 import set_similarity_pairs
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_pairs(spark, SF_DIR).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = Counter(find(x) for x in parent)
+    got = {
+        r["canonical_doc"]: r["n_members"]
+        for r in QUERIES["exact_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert got == dict(ref)

@@ -60,6 +60,7 @@ ROSTER = [
     "degree_assortativity",
     "gini_customer_spend",
     "benford_first_digit",
+    "exact_dedup_clusters",
 ]
 
 SF_DIRS = {
