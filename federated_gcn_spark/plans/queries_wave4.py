@@ -1587,3 +1587,34 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+_SQL_TOP_SPENDERS = """
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_c,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ROUND(spend_c / 100.0, 2) AS spend,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM cust
+    ORDER BY spend_c DESC, o_custkey
+    LIMIT 10
+"""
+
+
+@register("sql_interface_top_spenders", _SQL_TOP_SPENDERS)
+def sql_interface_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second SQL-front-door proof (after sql_interface_orders): ONE SQL
+    text — CTE, exact-integer aggregation, ORDER BY + LIMIT — executed
+    verbatim by both engines via catalog.run_sql.  The text itself is
+    written scale-safe: ranking is ORDER BY + LIMIT (Spark compiles it
+    to TakeOrderedAndProject, per-partition partial top-k), spend
+    accumulates in exact integer cents so the ordering cannot drift
+    cross-engine."""
+    from federated_gcn_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_TOP_SPENDERS)
