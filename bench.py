@@ -122,6 +122,7 @@ HEADLINE = [
     "gini_customer_spend",
     "benford_first_digit",
     "exact_dedup_clusters",
+    "hits_authorities",
 ]
 
 

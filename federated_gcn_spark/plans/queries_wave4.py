@@ -1618,3 +1618,106 @@ def sql_interface_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.catalog import run_sql
 
     return run_sql(spark, sf_dir, _SQL_TOP_SPENDERS)
+
+
+_HITS_ROUNDS = 4
+
+
+def _hits_oracle(rounds: int = _HITS_ROUNDS) -> str:
+    """Unrolled HITS oracle (same edge subset as pagerank_top): each
+    round is auth = Σ hub over in-edges then hub = Σ auth over
+    out-edges, each max-normalized and ROUND(,12)-resynced so per-round
+    FP drift cannot compound.  Multi-referenced CTEs MATERIALIZED."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS hub FROM e
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""", a{t}r AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(h.hub) AS x
+        FROM h{p} h JOIN e ON e.src = h.id GROUP BY e.dst
+    ), a{t} AS MATERIALIZED (
+        SELECT id, ROUND(x / (SELECT MAX(x) FROM a{t}r), 12) AS auth
+        FROM a{t}r
+    ), h{t}r AS MATERIALIZED (
+        SELECT e.src AS id, SUM(a.auth) AS x
+        FROM a{t} a JOIN e ON e.dst = a.id GROUP BY e.src
+    ), h{t} AS MATERIALIZED (
+        SELECT id, ROUND(x / (SELECT MAX(x) FROM h{t}r), 12) AS hub
+        FROM h{t}r
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, ROUND(auth, 9) AS authority
+    FROM a{rounds} ORDER BY auth DESC, id LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@register("hits_authorities", _hits_oracle())
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the order→supplier bipartite graph
+    (same edge subset as ``pagerank_top``): {r} mutual-reinforcement
+    rounds, top-20 authority suppliers — the second classic link-analysis
+    eigenvector method, completing the family (PageRank = single
+    stochastic eigenvector; HITS = dual singular vectors).
+
+    100 TB shape: each half-round is one equi-join + aggregate on graph
+    keys (partial-final, hub-safe); normalization is a single-row MAX
+    broadcast, not a sort.  Determinism: max-normalize (MAX is exactly
+    order-independent, unlike an L2 norm) and ROUND(,12) at every
+    half-round so FP drift cannot compound across rounds; top-20 is
+    TakeOrdered with id tiebreak.
+    """.format(r=_HITS_ROUNDS)
+    e = (
+        load_table(spark, sf_dir, "lineitem", parallel=True)
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = e.select("src").distinct().select(
+        F.col("src").alias("id"), F.lit(1.0).alias("hub")
+    )
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("x"))
+        )
+        amax = ar.agg(F.max("x").alias("mx"))
+        auth = ar.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("id"),
+            F.round(F.col("x") / F.col("mx"), 12).alias("auth"),
+        )
+        hr = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("x"))
+        )
+        hmax = hr.agg(F.max("x").alias("mx"))
+        hub = hr.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("id"),
+            F.round(F.col("x") / F.col("mx"), 12).alias("hub"),
+        )
+        auth = auth.localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=True)
+    return (
+        auth.orderBy(F.desc("auth"), F.asc("id"))
+        .limit(20)
+        .select("id", F.round("auth", 9).alias("authority"))
+    )

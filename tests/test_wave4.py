@@ -713,3 +713,39 @@ def test_exact_dedup_clusters_match_union_find(spark):
         for r in QUERIES["exact_dedup_clusters"](spark, SF_DIR).collect()
     }
     assert got == dict(ref)
+
+
+def test_hits_matches_python_power_iteration(spark):
+    """4 max-normalized rounds must equal a plain python HITS on the
+    same edges, and authority mass must concentrate on high-in-degree
+    suppliers (top authority has the max in-degree)."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT l_orderkey, l_suppkey + 10000000
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            WHERE l_orderkey % 10 = 0"""
+    ).fetchall()
+    con.close()
+    hub = {s: 1.0 for s, _ in edges}
+    auth = {}
+    for _ in range(4):
+        auth = Counter()
+        for s, d in edges:
+            auth[d] += hub[s]
+        mx = max(auth.values())
+        auth = {d: _round_half_up(v / mx, 12) for d, v in auth.items()}
+        hub = Counter()
+        for s, d in edges:
+            hub[s] += auth[d]
+        mx = max(hub.values())
+        hub = {s: _round_half_up(v / mx, 12) for s, v in hub.items()}
+    top = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["id"], r["authority"])
+        for r in QUERIES["hits_authorities"](spark, SF_DIR).collect()
+    ]
+    assert got == [(d, _round_half_up(v, 9)) for d, v in top]
+    indeg = Counter(d for _, d in edges)
+    assert indeg[got[0][0]] == max(indeg.values())

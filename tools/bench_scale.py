@@ -61,6 +61,7 @@ ROSTER = [
     "gini_customer_spend",
     "benford_first_digit",
     "exact_dedup_clusters",
+    "hits_authorities",
 ]
 
 SF_DIRS = {
