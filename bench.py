@@ -123,6 +123,7 @@ HEADLINE = [
     "benford_first_digit",
     "exact_dedup_clusters",
     "hits_authorities",
+    "corpus_health_report",
 ]
 
 

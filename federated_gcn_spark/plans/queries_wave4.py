@@ -1721,3 +1721,94 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", F.round("auth", 9).alias("authority"))
     )
+
+
+def _corpus_health_oracle() -> str:
+    from federated_gcn_spark.functions.text import STOPWORDS
+    from federated_gcn_spark.plans.queries import _in_list
+
+    return rf"""
+    WITH t AS (
+        SELECT source, lang, text, n_chars,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS n,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(list_filter(
+                        string_split_regex(LOWER(TRIM(text)), '\s+'),
+                        x -> x IN ({_in_list(STOPWORDS)}))) END AS sw,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(text) - LENGTH(translate(text, '.,!?;:', ''))
+                              AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    ), q AS (
+        SELECT source, lang, text, n_chars, n,
+               ROUND(0.4 * LEAST(1.0, CAST(n AS DOUBLE) / 64.0)
+                     + 0.3 * (1.0 - punct)
+                     + 0.3 * LEAST(1.0, 4.0 * (CASE WHEN n > 0
+                           THEN CAST(sw AS DOUBLE) / n ELSE 0.0 END)), 6)
+                   AS quality
+        FROM t
+    ), dupc AS (
+        SELECT text, COUNT(*) AS c FROM t GROUP BY text
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (c > 1) AS BIGINT) AS dup_docs,
+           ROUND(CAST(COUNT(*) FILTER (c > 1) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+    FROM q JOIN dupc USING (text)
+    GROUP BY source, lang
+    """
+
+
+@register("corpus_health_report", _corpus_health_oracle())
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard in one pass: per (source, lang) cell —
+    document and token counts, exact-duplicate share (corpus-wide text
+    equality), mean quality score, mean length.  This is the composition
+    report a 100 TB ingestion run produces per snapshot before deciding
+    mixing weights, reusing the catalog's quality heuristic and dedup
+    shape verbatim.
+
+    100 TB shape: one aggregate for corpus-wide duplicate counts (keyed
+    on text — map-side combine collapses repeats before the shuffle),
+    one text-keyed join back, one cell rollup; everything codegen, no
+    UDF.  Per-doc quality is rounded to 6 dp BEFORE averaging (both
+    engines), so cell means sit far from rounding boundaries."""
+    from federated_gcn_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    q = docs.select(
+        "source",
+        "lang",
+        "text",
+        "n_chars",
+        token_count("text").alias("n"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    dupc = docs.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    j = q.join(dupc, "text")
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.count_if(F.col("c") > 1).alias("dup_docs"),
+        F.round(
+            F.count_if(F.col("c") > 1) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_rate"),
+        # decimal-exact sums, ONE identical IEEE division, then round:
+        # AVG of doubles differs in the last ulp across engines and can
+        # round differently at a 6-dp boundary (observed at sf0.001)
+        F.round(
+            F.sum(F.col("quality").cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_chars"),
+    )

@@ -749,3 +749,14 @@ def test_hits_matches_python_power_iteration(spark):
     assert got == [(d, _round_half_up(v, 9)) for d, v in top]
     indeg = Counter(d for _, d in edges)
     assert indeg[got[0][0]] == max(indeg.values())
+
+
+def test_corpus_health_report_invariants(spark):
+    rows = QUERIES["corpus_health_report"](spark, SF_DIR).collect()
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    assert sum(r["n_docs"] for r in rows) == tbl.num_rows
+    for r in rows:
+        assert 0 <= r["dup_rate"] <= 1
+        assert 0 <= r["avg_quality"] <= 1
+        assert r["dup_docs"] <= r["n_docs"]
+        assert r["total_tokens"] >= r["n_docs"]  # every non-empty doc has tokens

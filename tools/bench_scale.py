@@ -62,6 +62,7 @@ ROSTER = [
     "benford_first_digit",
     "exact_dedup_clusters",
     "hits_authorities",
+    "corpus_health_report",
 ]
 
 SF_DIRS = {
