@@ -124,6 +124,7 @@ HEADLINE = [
     "exact_dedup_clusters",
     "hits_authorities",
     "corpus_health_report",
+    "adaboost_stumps",
 ]
 
 

@@ -1812,3 +1812,202 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
         ).alias("avg_chars"),
     )
+
+
+_ADA_ROUNDS = 3
+_ADA_GRID = (
+    [(1, t) for t in (16, 32, 48, 64, 80)]
+    + [(2, t) for t in (100, 200, 300, 400, 500)]
+    + [(3, t) for t in (1, 2, 4, 6, 8)]
+)
+
+
+def _ada_feats_sql() -> str:
+    from federated_gcn_spark.functions.text import STOPWORDS
+    from federated_gcn_spark.plans.queries import _in_list
+
+    return rf"""
+    feats AS MATERIALIZED (
+        SELECT doc_id AS rid,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS f1,
+               n_chars AS f2,
+               LEN(list_filter(
+                   string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_in_list(STOPWORDS)}))) AS f3
+        FROM documents WHERE TRIM(text) <> ''
+    ),
+    cands AS MATERIALIZED (
+        SELECT * FROM (VALUES {", ".join(
+            f"({fid}, {thr}, {pol})"
+            for fid, thr in _ADA_GRID for pol in (1, -1)
+        )}) AS c(fid, thr, pol)
+    )"""
+
+
+def _ada_round_sql(r: int) -> str:
+    p = r - 1
+    return f""", err{r} AS MATERIALIZED (
+        SELECT c.fid, c.thr, c.pol,
+               SUM(CASE WHEN (CASE WHEN (CASE c.fid WHEN 1 THEN f.f1
+                                         WHEN 2 THEN f.f2
+                                         ELSE f.f3 END) <= c.thr
+                              THEN c.pol ELSE -c.pol END) <> f.y
+                        THEN w.w ELSE CAST(0 AS DECIMAL(24,12)) END) AS err
+        FROM feats f JOIN w{p} w ON w.rid = f.rid CROSS JOIN cands c
+        GROUP BY c.fid, c.thr, c.pol
+    ), best{r} AS MATERIALIZED (
+        SELECT fid, thr, pol, err FROM err{r}
+        ORDER BY err, fid, thr, pol LIMIT 1
+    ), a{r} AS MATERIALIZED (
+        SELECT fid, thr, pol,
+               CAST(err AS DOUBLE)
+                   / (SELECT CAST(SUM(w) AS DOUBLE) FROM w{p}) AS e
+        FROM best{r}
+    ), al{r} AS MATERIALIZED (
+        SELECT fid, thr, pol, e,
+               ROUND(0.5 * LN((1 - e) / e), 9) AS alpha,
+               ROUND(EXP(ROUND(0.5 * LN((1 - e) / e), 9)), 9) AS fw,
+               ROUND(EXP(-ROUND(0.5 * LN((1 - e) / e), 9)), 9) AS fc
+        FROM a{r}
+    ), w{r} AS MATERIALIZED (
+        SELECT f.rid,
+               CAST(ROUND(CAST(w.w AS DOUBLE)
+                   * (CASE WHEN (CASE WHEN (CASE (SELECT fid FROM al{r})
+                                             WHEN 1 THEN f.f1
+                                             WHEN 2 THEN f.f2
+                                             ELSE f.f3 END)
+                                      <= (SELECT thr FROM al{r})
+                                 THEN (SELECT pol FROM al{r})
+                                 ELSE -(SELECT pol FROM al{r}) END) <> f.y
+                           THEN (SELECT fw FROM al{r})
+                           ELSE (SELECT fc FROM al{r}) END), 12)
+                    AS DECIMAL(24,12)) AS w
+        FROM feats f JOIN w{p} w ON w.rid = f.rid
+    )"""
+
+
+def _ada_oracle() -> str:
+    parts = ["WITH " + _ada_feats_sql().strip().lstrip(",")]
+    parts.append(
+        """, w0 AS MATERIALIZED (
+        SELECT rid, CAST(1 AS DECIMAL(24,12)) AS w FROM feats
+    )"""
+    )
+    for r in range(1, _ADA_ROUNDS + 1):
+        parts.append(_ada_round_sql(r))
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, fid, thr, pol, ROUND(e, 6) AS err_rate, "
+        f"alpha FROM al{r}"
+        for r in range(1, _ADA_ROUNDS + 1)
+    )
+    parts.append(f" {sel}")
+    return "".join(parts)
+
+
+@register("adaboost_stumps", _ada_oracle())
+def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost with decision stumps, trained fully relationally: each
+    round scores EVERY candidate stump (feature, threshold, polarity)
+    with one aggregation, picks the exact-decimal-weighted-error argmin,
+    and reweights — boosted-ensemble training as a declarative dataflow
+    with no model object and no per-row Python.
+
+    100 TB shape: the candidate grid is a constant (~34x2 rows riding as
+    a broadcast), so each round is ONE corpus scan with map-side partial
+    aggregation keyed by the grid — the crossJoin multiplies partial-agg
+    states, not shuffled rows.  Weights live as a column on the feature
+    table, checkpointed per round.
+
+    Determinism: sample weights are DECIMAL(24,12) end-to-end (exact
+    sums → exact argmin with lexicographic tiebreak); alpha and the
+    reweight factors are computed from ONE identical double division,
+    LN/EXP'd on the same libm, ROUND(,9)-resynced, and every weight
+    update is the identical double expression ROUND(,12)-resynced — the
+    same per-round drift-kill as the HITS iteration."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from federated_gcn_spark.functions.text import STOPWORDS, tokens
+
+    def rh(x: float, nd: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = tokens(F.col("text"))
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    feats = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.size(toks).alias("f1"),
+        F.col("n_chars").alias("f2"),
+        F.size(
+            F.expr(
+                f"filter(transform(split(trim(text), '\\\\s+'), x -> lower(x)),"
+                f" x -> x IN ({sw_list}))"
+            )
+        ).alias("f3"),
+        F.lit(1).cast("decimal(24,12)").alias("w"),
+    ).localCheckpoint(eager=True)
+
+    cands = spark.createDataFrame(
+        [(fid, thr, pol) for fid, thr in _ADA_GRID for pol in (1, -1)],
+        "fid int, thr int, pol int",
+    )
+
+    def xcol(fid_col):
+        return (
+            F.when(fid_col == 1, F.col("f1"))
+            .when(fid_col == 2, F.col("f2"))
+            .otherwise(F.col("f3"))
+        )
+
+    trace = []
+    for r in range(1, _ADA_ROUNDS + 1):
+        j = feats.crossJoin(F.broadcast(cands))
+        pred = F.when(xcol(F.col("fid")) <= F.col("thr"), F.col("pol")).otherwise(
+            -F.col("pol")
+        )
+        errs = (
+            j.groupBy("fid", "thr", "pol")
+            .agg(
+                F.sum(
+                    F.when(pred != F.col("y"), F.col("w")).otherwise(
+                        F.lit(0).cast("decimal(24,12)")
+                    )
+                ).alias("err")
+            )
+        )
+        best = errs.orderBy("err", "fid", "thr", "pol").limit(1).collect()[0]
+        tw = feats.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
+        e = float(best["err"]) / float(tw)
+        alpha = rh(0.5 * math.log((1 - e) / e), 9)
+        fw = rh(math.exp(alpha), 9)
+        fc = rh(math.exp(-alpha), 9)
+        mis = (
+            F.when(
+                xcol(F.lit(best["fid"])) <= best["thr"], F.lit(best["pol"])
+            ).otherwise(F.lit(-best["pol"]))
+            != F.col("y")
+        )
+        feats = feats.withColumn(
+            "w",
+            F.round(
+                F.col("w").cast("double")
+                * F.when(mis, F.lit(fw)).otherwise(F.lit(fc)),
+                12,
+            ).cast("decimal(24,12)"),
+        ).localCheckpoint(eager=True)
+        trace.append(
+            (r, best["fid"], best["thr"], best["pol"], rh(e, 6), alpha)
+        )
+    return spark.createDataFrame(
+        trace,
+        "round int, fid int, thr int, pol int, err_rate double, alpha double",
+    )

@@ -760,3 +760,70 @@ def test_corpus_health_report_invariants(spark):
         assert 0 <= r["avg_quality"] <= 1
         assert r["dup_docs"] <= r["n_docs"]
         assert r["total_tokens"] >= r["n_docs"]  # every non-empty doc has tokens
+
+
+def test_adaboost_matches_python_reference(spark):
+    """Full python AdaBoost replay (exact Fraction-free decimal weights)
+    must reproduce the trace: chosen stumps, error rates, alphas."""
+    from federated_gcn_spark.plans.queries_wave4 import _ADA_GRID, _ADA_ROUNDS
+
+    docs = _docs()
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pylist()
+    chars = {r["doc_id"]: r["n_chars"] for r in tbl}
+    sws = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    rows = []
+    for doc_id, lang, toks in docs:
+        rows.append(
+            (
+                1 if lang == "en" else -1,
+                len(toks),
+                chars[doc_id],
+                sum(1 for t in toks if t in sws),
+            )
+        )
+    w = [Decimal(1) for _ in rows]
+    got_trace = []
+    for rnd in range(1, _ADA_ROUNDS + 1):
+        best = None
+        for fid, thr in _ADA_GRID:
+            for pol in (1, -1):
+                err = sum(
+                    wi
+                    for wi, (y, f1, f2, f3) in zip(w, rows)
+                    if (pol if (f1, f2, f3)[fid - 1] <= thr else -pol) != y
+                )
+                key = (err, fid, thr, pol)
+                if best is None or key < best:
+                    best = key
+        err, fid, thr, pol = best
+        e = float(err) / float(sum(w))
+        alpha = _round_half_up(0.5 * math.log((1 - e) / e), 9)
+        fw = _round_half_up(math.exp(alpha), 9)
+        fc = _round_half_up(math.exp(-alpha), 9)
+        w = [
+            Decimal(
+                repr(
+                    _round_half_up(
+                        float(wi)
+                        * (
+                            fw
+                            if (pol if (f1, f2, f3)[fid - 1] <= thr else -pol)
+                            != y
+                            else fc
+                        ),
+                        12,
+                    )
+                )
+            )
+            for wi, (y, f1, f2, f3) in zip(w, rows)
+        ]
+        got_trace.append((rnd, fid, thr, pol, _round_half_up(e, 6), alpha))
+    spark_trace = [
+        (r["round"], r["fid"], r["thr"], r["pol"], r["err_rate"], r["alpha"])
+        for r in QUERIES["adaboost_stumps"](spark, SF_DIR).collect()
+    ]
+    assert sorted(spark_trace) == got_trace
+    # boosting sanity: every chosen stump beats random on the weighted set
+    assert all(t[4] < 0.5 for t in got_trace)

@@ -63,6 +63,7 @@ ROSTER = [
     "exact_dedup_clusters",
     "hits_authorities",
     "corpus_health_report",
+    "adaboost_stumps",
 ]
 
 SF_DIRS = {
