@@ -91,3 +91,101 @@ def upsert_stats(
             (F.col("n_base") - F.col("n_matched")).alias("n_carried"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: MERGE history + time travel
+# ---------------------------------------------------------------------------
+
+_VERSION_PREFIX = "v="
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Committed snapshot versions (ascending).  A version counts only
+    once its Spark ``_SUCCESS`` marker exists, so a concurrent reader
+    never sees a half-written snapshot as latest."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith(_VERSION_PREFIX):
+            try:
+                v = int(name[len(_VERSION_PREFIX):])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(table_dir, name, "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def _version_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"{_VERSION_PREFIX}{version:05d}")
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int | None = None):
+    """Time-travel read: the table AS OF ``version`` (default: latest).
+
+    Immutable snapshot dirs make this trivially consistent — a reader of
+    v=k is never affected by later merges, the warehouse property that
+    pins training-data reproducibility (read the exact corpus version a
+    model was trained on)."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not available; retained: {versions}"
+        )
+    return spark.read.parquet(_version_path(table_dir, version))
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None = None,
+) -> int:
+    """MERGE INTO the latest snapshot, committing the result as a NEW
+    immutable version (v=00000, v=00001, ...) instead of replacing in
+    place — history is retained for time travel until vacuumed.  Returns
+    the new version number.
+
+    Commit protocol: write to a temp dir, then one atomic rename into
+    the versioned name; the ``_SUCCESS`` marker inside makes the commit
+    visible.  A crash leaves either no new dir or an uncommitted one
+    (no ``_SUCCESS``), never a torn snapshot."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(
+            f"no base snapshot; call create_snapshot() first for {table_dir}"
+        )
+    base = read_snapshot(spark, table_dir, versions[-1])
+    merged = merge_upsert(base, updates, keys, deletes)
+    new_v = versions[-1] + 1
+    tmp = os.path.join(table_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, _version_path(table_dir, new_v))
+    return new_v
+
+
+def create_snapshot(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Initialize a versioned table at v=00000."""
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = os.path.join(table_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, _version_path(table_dir, 0))
+    return 0
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions; returns the
+    removed version numbers.  Callers own the retention policy trade-off
+    (time-travel depth vs storage)."""
+    versions = snapshot_versions(table_dir)
+    doomed = versions[:-keep_last] if keep_last > 0 else versions
+    for v in doomed:
+        shutil.rmtree(_version_path(table_dir, v))
+    return doomed

@@ -144,3 +144,45 @@ def test_upsert_parquet_swaps_snapshot_and_applies_deletes(spark, tmp_path):
     assert got == {(1, "a"), (2, "B")}
     import os
     assert not [d for d in os.listdir(tmp_path) if "__" in d]  # no debris
+
+
+def test_versioned_upsert_time_travel_and_vacuum(spark, tmp_path):
+    """Three versions, each readable AS OF; vacuum drops history and a
+    dropped version read raises."""
+    import pytest as _pytest
+
+    from federated_gcn_spark.operators.upsert import (
+        create_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        upsert_versioned,
+        vacuum_snapshots,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    assert create_snapshot(spark, tdir, base) == 0
+    up1 = spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+    assert upsert_versioned(spark, tdir, up1, ["id"]) == 1
+    dels = spark.createDataFrame([(1,)], "id long")
+    up2 = spark.createDataFrame([(5, "e")], "id long, val string")
+    assert upsert_versioned(spark, tdir, up2, ["id"], deletes=dels) == 2
+    assert snapshot_versions(tdir) == [0, 1, 2]
+
+    def state(v):
+        return sorted(
+            map(tuple, read_snapshot(spark, tdir, v).collect())
+        )
+
+    assert state(0) == [(1, "a"), (2, "b"), (3, "c")]
+    assert state(1) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert state(2) == [(2, "B"), (3, "c"), (4, "d"), (5, "e")]
+    # latest by default
+    assert sorted(map(tuple, read_snapshot(spark, tdir).collect())) == state(2)
+
+    assert vacuum_snapshots(tdir, keep_last=1) == [0, 1]
+    assert snapshot_versions(tdir) == [2]
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, tdir, 0)
