@@ -186,3 +186,29 @@ def test_versioned_upsert_time_travel_and_vacuum(spark, tmp_path):
     assert snapshot_versions(tdir) == [2]
     with _pytest.raises(ValueError):
         read_snapshot(spark, tdir, 0)
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from federated_gcn_spark.operators.upsert import (
+        create_snapshot,
+        snapshot_diff,
+        upsert_versioned,
+    )
+
+    tdir = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    create_snapshot(spark, tdir, base)
+    upsert_versioned(
+        spark,
+        tdir,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string"),
+        ["id"],
+        deletes=spark.createDataFrame([(3,)], "id long"),
+    )
+    diff = {
+        (r["id"], r["change_type"])
+        for r in snapshot_diff(spark, tdir, 0, 1, ["id"]).collect()
+    }
+    assert diff == {(2, "update"), (3, "delete"), (4, "insert")}
