@@ -125,6 +125,8 @@ HEADLINE = [
     "hits_authorities",
     "corpus_health_report",
     "adaboost_stumps",
+    "moving_median_revenue",
+    "mann_kendall_trend",
 ]
 
 

@@ -2011,3 +2011,158 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace,
         "round int, fid int, thr int, pol int, err_rate double, alpha double",
     )
+
+
+@register(
+    "moving_median_revenue",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT d.day, w.rev_c AS member_rev
+        FROM daily d JOIN daily w
+          ON w.day BETWEEN d.day - 6 AND d.day
+    ), med AS (
+        SELECT day,
+               COUNT(*) AS n_days_in_window,
+               (list_sort(array_agg(member_rev)))
+                   [CAST((COUNT(*) + 1) // 2 AS INT)] AS med_c
+        FROM win GROUP BY day
+    )
+    SELECT day,
+           CAST(n_days_in_window AS BIGINT) AS n_days_in_window,
+           ROUND(CAST(med_c AS DOUBLE) / 100, 2) AS median_revenue
+    FROM med
+    """,
+)
+def moving_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day MOVING MEDIAN of daily revenue — the robust
+    smoother dashboards use where a moving average is outlier-dragged.
+    Moving medians have no distributive aggregate; this computes them
+    exactly by joining each day to its bounded trailing window (≤ 7
+    members by construction) and selecting the order statistic from the
+    sorted member array — the window size, not the corpus, bounds every
+    per-day array.
+
+    100 TB shape: the fact reduces to the calendar-sized daily aggregate
+    first; the window join and per-day arrays are calendar x 7.
+    Determinism: exact integer cents end-to-end; the median is an actual
+    data value (lower-middle order statistic)."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = daily.select(
+        F.col("day").alias("wday"), F.col("rev_c").alias("member_rev")
+    )
+    win = daily.join(
+        w,
+        (F.col("wday") >= F.col("day") - 6) & (F.col("wday") <= F.col("day")),
+    )
+    med = win.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_days_in_window"),
+        F.element_at(
+            F.array_sort(F.collect_list("member_rev")),
+            ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("med_c"),
+    )
+    return med.select(
+        "day",
+        "n_days_in_window",
+        F.round(F.col("med_c").cast("double") / 100, 2).alias("median_revenue"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN b.rev_c > a.rev_c THEN 1
+                    WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), s AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n
+        FROM pairs
+    ), ties AS (
+        SELECT COALESCE(CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT), 0)
+                   AS tie_term
+        FROM (SELECT COUNT(*) AS c FROM daily GROUP BY rev_c HAVING COUNT(*) > 1)
+    )
+    SELECT s_stat, n,
+           (n * (n - 1) * (2 * n + 5) - tie_term) AS var18,
+           ROUND((CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END)
+                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / 18), 6) AS z_score
+    FROM s, ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue: S = Σ
+    sign(xⱼ−xᵢ) over ordered day pairs, tie-corrected variance, and the
+    continuity-corrected z-score — the standard nonparametric companion
+    to the Theil-Sen slope (same pair table, pure rank statistic, no
+    distribution assumption).
+
+    100 TB shape: calendar-bounded pair table after one fact aggregate
+    (see theil_sen_trend).  Determinism: S and the variance numerator
+    are exact integer sums; the single z-score division/sqrt is one
+    identical IEEE expression."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    ).localCheckpoint(eager=True)
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("rev_c").alias("rev_c2")
+    )
+    sgn = (
+        F.when(F.col("rev_c2") > F.col("rev_c"), 1)
+        .when(F.col("rev_c2") < F.col("rev_c"), -1)
+        .otherwise(0)
+    )
+    pairs = daily.join(b, F.col("day") < F.col("day2")).select(sgn.alias("sgn"))
+    s = pairs.agg(F.sum("sgn").alias("s_stat"))
+    n_row = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("rev_c")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return j.select(
+        "s_stat",
+        "n",
+        var18.alias("var18"),
+        F.round(s_adj / F.sqrt(var18.cast("double") / 18), 6).alias("z_score"),
+    )

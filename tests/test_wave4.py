@@ -827,3 +827,49 @@ def test_adaboost_matches_python_reference(spark):
     assert sorted(spark_trace) == got_trace
     # boosting sanity: every chosen stump beats random on the weighted set
     assert all(t[4] < 0.5 for t in got_trace)
+
+
+def _daily_rev():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def test_moving_median_matches_python(spark):
+    daily = _daily_rev()
+    got = {
+        r["day"]: (r["n_days_in_window"], r["median_revenue"])
+        for r in QUERIES["moving_median_revenue"](spark, SF_DIR).collect()
+    }
+    for day in daily:
+        members = sorted(
+            daily[d] for d in daily if day - 6 <= d <= day
+        )
+        med = members[(len(members) + 1) // 2 - 1]
+        assert got[day] == (len(members), _round_half_up(med / 100, 2)), day
+
+
+def test_mann_kendall_matches_python(spark):
+    daily = sorted(_daily_rev().items())
+    n = len(daily)
+    s = sum(
+        (1 if daily[j][1] > daily[i][1] else -1 if daily[j][1] < daily[i][1] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_counts = Counter(v for _, v in daily)
+    tie_term = sum(c * (c - 1) * (2 * c + 5) for c in tie_counts.values() if c > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    s_adj = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    z = _round_half_up(s_adj / math.sqrt(var18 / 18), 6)
+    r = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()[0]
+    assert (r["s_stat"], r["n"], r["var18"], r["z_score"]) == (s, n, var18, z)

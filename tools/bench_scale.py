@@ -64,6 +64,8 @@ ROSTER = [
     "hits_authorities",
     "corpus_health_report",
     "adaboost_stumps",
+    "moving_median_revenue",
+    "mann_kendall_trend",
 ]
 
 SF_DIRS = {
