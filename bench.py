@@ -127,6 +127,8 @@ HEADLINE = [
     "adaboost_stumps",
     "moving_median_revenue",
     "mann_kendall_trend",
+    "revenue_autocorrelation",
+    "cusum_changepoint",
 ]
 
 

@@ -2166,3 +2166,166 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.alias("var18"),
         F.round(s_adj / F.sqrt(var18.cast("double") / 18), 6).alias("z_score"),
     )
+
+
+@register(
+    "revenue_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT k.lag, a.rev_c AS x, b.rev_c AS y
+        FROM (SELECT UNNEST(range(1, 8)) AS lag) k
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + k.lag
+    ), m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM m
+    """,
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1-7 — the first
+    diagnostic of any forecasting pipeline (is there weekly structure?).
+
+    100 TB shape: the fact reduces to the calendar-sized daily aggregate
+    once; the 7 lags come from one equi-join per lag against the shifted
+    calendar (day = day + lag — an equi-join, not a window, so it
+    partitions).  Determinism: the assortativity pattern — all five
+    moment sums accumulate in DECIMAL(38,0) from exact integer cents,
+    one IEEE Pearson emit per lag."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    ).localCheckpoint(eager=True)
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("rev_c").alias("y")
+    )
+    lagged = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day2") == F.col("day") + F.col("lag"))
+        .select("lag", F.col("rev_c").alias("x"), "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), pre AS (
+        SELECT day, rev_c,
+               CAST(SUM(rev_c) OVER (ORDER BY day) AS DECIMAL(38,0)) AS prefix,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS DECIMAL(38,0)) AS i,
+               (SELECT CAST(SUM(rev_c) AS DECIMAL(38,0)) FROM daily) AS total,
+               (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) FROM daily) AS n
+        FROM daily
+    ), stat AS (
+        SELECT day, n * prefix - i * total AS cusum_scaled, n, total
+        FROM pre
+    ), best AS (
+        SELECT day, cusum_scaled, n, total
+        FROM stat
+        ORDER BY ABS(cusum_scaled) DESC, day
+        LIMIT 1
+    )
+    SELECT day AS changepoint_day,
+           ROUND(CAST(cusum_scaled AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 100), 2) AS max_cusum,
+           CASE WHEN cusum_scaled > 0 THEN 'above_mean_run'
+                ELSE 'below_mean_run' END AS direction,
+           CAST(n AS BIGINT) AS n_days
+    FROM best
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day where the
+    cumulative deviation from the global mean peaks — the classic
+    level-shift locator for monitoring pipelines.
+
+    Exactness trick: the cusum at position i is prefix_i − i·mean =
+    (n·prefix_i − i·total)/n, so scaling by n keeps the WHOLE statistic
+    in exact DECIMAL integers — the argmax over days (with day tiebreak)
+    involves no float at all; floats appear only in the final reported
+    magnitude.  100 TB shape: one fact aggregate to calendar size, one
+    distributed prefix sum shape (here the calendar fits the counted
+    single-task branch), TakeOrdered argmax."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    cum = partitioned_prefix_sum(daily, "day", "rev_c", "prefix_before")
+    pre = cum.withColumn(
+        "prefix", (F.col("prefix_before") + F.col("rev_c")).cast("decimal(38,0)")
+    )
+    tot = daily.agg(
+        F.sum("rev_c").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    w = Window.orderBy("day")
+    pre = pre.withColumn("i", F.row_number().over(w).cast("decimal(38,0)"))
+    stat = pre.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+        "n",
+        "total",
+    )
+    best = stat.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("day")
+    ).limit(1)
+    return best.select(
+        F.col("day").alias("changepoint_day"),
+        F.round(
+            F.col("cusum_scaled").cast("double")
+            / (F.col("n").cast("double") * 100),
+            2,
+        ).alias("max_cusum"),
+        F.when(F.col("cusum_scaled") > 0, F.lit("above_mean_run"))
+        .otherwise(F.lit("below_mean_run"))
+        .alias("direction"),
+        F.col("n").cast("bigint").alias("n_days"),
+    )

@@ -873,3 +873,43 @@ def test_mann_kendall_matches_python(spark):
     z = _round_half_up(s_adj / math.sqrt(var18 / 18), 6)
     r = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()[0]
     assert (r["s_stat"], r["n"], r["var18"], r["z_score"]) == (s, n, var18, z)
+
+
+def test_autocorrelation_matches_python(spark):
+    daily = _daily_rev()
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in QUERIES["revenue_autocorrelation"](spark, SF_DIR).collect()
+    }
+    for lag in range(1, 8):
+        pairs = [
+            (daily[d], daily[d + lag]) for d in daily if d + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        acf = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert got[lag] == (n, _round_half_up(acf, 6)), lag
+
+
+def test_cusum_matches_python(spark):
+    daily = sorted(_daily_rev().items())
+    n = len(daily)
+    total = sum(v for _, v in daily)
+    best = None
+    prefix = 0
+    for i, (day, v) in enumerate(daily, start=1):
+        prefix += v
+        stat = n * prefix - i * total
+        key = (-abs(stat), day)
+        if best is None or key < best[0]:
+            best = (key, day, stat)
+    _, day, stat = best
+    r = QUERIES["cusum_changepoint"](spark, SF_DIR).collect()[0]
+    assert r["changepoint_day"] == day
+    assert r["n_days"] == n
+    assert r["direction"] == ("above_mean_run" if stat > 0 else "below_mean_run")
+    assert abs(r["max_cusum"] - stat / (n * 100)) < 0.01

@@ -66,6 +66,8 @@ ROSTER = [
     "adaboost_stumps",
     "moving_median_revenue",
     "mann_kendall_trend",
+    "revenue_autocorrelation",
+    "cusum_changepoint",
 ]
 
 SF_DIRS = {
