@@ -129,6 +129,8 @@ HEADLINE = [
     "mann_kendall_trend",
     "revenue_autocorrelation",
     "cusum_changepoint",
+    "weekday_seasonal_profile",
+    "ewma_smoothed_revenue",
 ]
 
 

@@ -2329,3 +2329,136 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direction"),
         F.col("n").cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "weekday_seasonal_profile",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(rev_c) AS DECIMAL(38,0)) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM daily
+    ), wd AS (
+        SELECT day % 7 AS weekday,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev_c) AS DECIMAL(38,0)) AS s
+        FROM daily GROUP BY day % 7
+    )
+    SELECT CAST(weekday AS BIGINT) AS weekday,
+           n_days,
+           ROUND(CAST(s AS DOUBLE) / n_days / 100, 2) AS avg_revenue,
+           ROUND((CAST(s AS DOUBLE) / n_days)
+                 / (CAST(total AS DOUBLE) / n_total), 6) AS seasonal_index
+    FROM wd, tot
+    """,
+)
+def weekday_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal decomposition of daily revenue: per-weekday mean
+    and its ratio to the overall mean (the multiplicative seasonal
+    index) — the first factor every seasonality-aware forecast strips
+    out.  Weekday = epoch-day mod 7 (a pure integer key, timezone-free).
+
+    Determinism: the decimal-sum-then-one-division rule — both means
+    come from DECIMAL(38,0) sums of exact cents divided once, and the
+    index is a ratio of two identical doubles."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    tot = daily.agg(
+        F.sum("rev_c").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    wd = daily.groupBy((F.col("day") % 7).alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev_c").cast("decimal(38,0)").alias("s"),
+    )
+    mean_wd = F.col("s").cast("double") / F.col("n_days")
+    mean_all = F.col("total").cast("double") / F.col("n_total")
+    return wd.crossJoin(F.broadcast(tot)).select(
+        F.col("weekday").cast("bigint").alias("weekday"),
+        "n_days",
+        F.round(mean_wd / 100, 2).alias("avg_revenue"),
+        F.round(mean_wd / mean_all, 6).alias("seasonal_index"),
+    )
+
+
+@register(
+    "ewma_smoothed_revenue",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT d.day, w.day AS wday, w.rev_c
+        FROM daily d JOIN daily w
+          ON w.day BETWEEN d.day - 19 AND d.day
+    ), terms AS (
+        SELECT day,
+               CAST(ROUND(rev_c * POWER(CAST(0.7 AS DOUBLE), day - wday), 6)
+                    AS DECIMAL(28,6)) AS num_term,
+               CAST(ROUND(POWER(CAST(0.7 AS DOUBLE), day - wday), 6)
+                    AS DECIMAL(28,6)) AS den_term
+        FROM win
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(num_term) AS DOUBLE)
+                 / CAST(SUM(den_term) AS DOUBLE) / 100, 2) AS ewma_revenue
+    FROM terms GROUP BY day
+    """,
+)
+def ewma_smoothed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue
+    (decay 0.7/day, normalized weights, 20-day effective window — decay
+    below 1e-3 beyond it): the smoothing primitive behind anomaly
+    baselines and short-range forecasts.
+
+    The recursion s_t = αx_t + (1−α)s_{t-1} is inherently sequential;
+    re-expressed as the normalized decayed sum over a bounded trailing
+    window it becomes ONE calendar-bounded join + aggregate — same
+    shape as the moving median, fully parallel.  Determinism: each
+    decayed term (libm pow of identical doubles) is rounded to 6 dp and
+    summed as DECIMAL(28,6) — exact, order-independent — then one
+    division emits."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = daily.select(
+        F.col("day").alias("wday"), F.col("rev_c").alias("member_rev")
+    )
+    win = daily.join(
+        w,
+        (F.col("wday") >= F.col("day") - 19) & (F.col("wday") <= F.col("day")),
+    )
+    decay = F.pow(F.lit(0.7), F.col("day") - F.col("wday"))
+    terms = win.select(
+        "day",
+        F.round(F.col("member_rev") * decay, 6)
+        .cast("decimal(28,6)")
+        .alias("num_term"),
+        F.round(decay, 6).cast("decimal(28,6)").alias("den_term"),
+    )
+    return terms.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum("num_term").cast("double")
+            / F.sum("den_term").cast("double")
+            / 100,
+            2,
+        ).alias("ewma_revenue"),
+    )

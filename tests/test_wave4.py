@@ -913,3 +913,43 @@ def test_cusum_matches_python(spark):
     assert r["n_days"] == n
     assert r["direction"] == ("above_mean_run" if stat > 0 else "below_mean_run")
     assert abs(r["max_cusum"] - stat / (n * 100)) < 0.01
+
+
+def test_weekday_profile_matches_python(spark):
+    daily = _daily_rev()
+    by_wd = defaultdict(list)
+    for d, v in daily.items():
+        by_wd[d % 7].append(v)
+    total = sum(daily.values())
+    n_total = len(daily)
+    got = {
+        r["weekday"]: (r["n_days"], r["avg_revenue"], r["seasonal_index"])
+        for r in QUERIES["weekday_seasonal_profile"](spark, SF_DIR).collect()
+    }
+    for wd, vals in by_wd.items():
+        mean_wd = sum(vals) / len(vals)
+        assert got[wd] == (
+            len(vals),
+            _round_half_up(mean_wd / 100, 2),
+            _round_half_up(mean_wd / (total / n_total), 6),
+        ), wd
+
+
+def test_ewma_matches_python(spark):
+    daily = _daily_rev()
+    got = {
+        r["day"]: (r["n_members"], r["ewma_revenue"])
+        for r in QUERIES["ewma_smoothed_revenue"](spark, SF_DIR).collect()
+    }
+    for day in daily:
+        num = Decimal(0)
+        den = Decimal(0)
+        cnt = 0
+        for off in range(20):
+            d = day - off
+            if d in daily:
+                cnt += 1
+                num += Decimal(repr(_round_half_up(daily[d] * 0.7 ** off, 6)))
+                den += Decimal(repr(_round_half_up(0.7 ** off, 6)))
+        ewma = _round_half_up(float(num) / float(den) / 100, 2)
+        assert got[day] == (cnt, ewma), day

@@ -68,6 +68,8 @@ ROSTER = [
     "mann_kendall_trend",
     "revenue_autocorrelation",
     "cusum_changepoint",
+    "weekday_seasonal_profile",
+    "ewma_smoothed_revenue",
 ]
 
 SF_DIRS = {
