@@ -131,6 +131,8 @@ HEADLINE = [
     "cusum_changepoint",
     "weekday_seasonal_profile",
     "ewma_smoothed_revenue",
+    "zipf_exponent_fit",
+    "vocab_growth_heaps",
 ]
 
 

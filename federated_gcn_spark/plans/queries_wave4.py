@@ -2462,3 +2462,192 @@ def ewma_smoothed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("ewma_revenue"),
     )
+
+
+@register(
+    "zipf_exponent_fit",
+    """
+    WITH tf AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), c AS (
+        SELECT term, COUNT(*) AS freq FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank, freq
+        FROM c
+    ), pts AS (
+        SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+               CAST(ROUND(LN(CAST(freq AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+        FROM ranked
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT n AS vocab_size,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS log_intercept
+    FROM m
+    """,
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent: OLS slope of ln(frequency) on ln(rank) over
+    the full rank-frequency table — the one-number lexical-distribution
+    fingerprint (natural corpora ≈ −1; the synthetic corpus's flat
+    vocabulary reads near 0, which is itself the diagnostic).  Completes
+    ``zipf_top_terms`` (which lists the head) with the fitted law.
+
+    100 TB shape: one tokenize + one vocabulary aggregate; the ranking
+    is vocabulary-sized.  Determinism: per-point ln values are rounded
+    to 9 dp and all regression moments accumulate as DECIMAL — the two
+    final OLS expressions are identical-double arithmetic."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    tf = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    c = tf.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = c.withColumn("rank", F.row_number().over(w))
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
+    )
+
+
+@register(
+    "vocab_growth_heaps",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE TRIM(text) <> ''
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ), firsts AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_new
+        FROM (SELECT term, MIN(doc_id) AS doc_id FROM toks GROUP BY term)
+        GROUP BY doc_id
+    ), curve AS (
+        SELECT p.doc_id,
+               CAST(SUM(p.n_toks) OVER (ORDER BY p.doc_id) AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc_id)
+                    AS BIGINT) AS cum_vocab
+        FROM per_doc p LEFT JOIN firsts f ON f.doc_id = p.doc_id
+    ), pts AS (
+        SELECT CAST(ROUND(LN(CAST(cum_tokens AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) AS x,
+               CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) AS y
+        FROM curve WHERE cum_vocab > 0
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS heaps_beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS heaps_log_k
+    FROM m
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: how vocabulary grows with corpus size (V ≈ K·nᵝ,
+    natural text β ≈ 0.4-0.6) — the scaling law that predicts tokenizer
+    vocabulary pressure as a 100 TB corpus grows.  The growth curve
+    orders documents by doc_id; each term contributes its FIRST
+    occurrence (MIN(doc_id) per term — one vocabulary aggregate, no
+    sequential scan), new-term counts cumulate with the token counts,
+    and the log-log OLS uses the decimal-moment pattern.
+
+    100 TB shape: two corpus aggregates (per-doc token counts, per-term
+    first doc) then calendar/vocabulary-sized work; cumulative windows
+    run over the document-count axis (bounded by |docs|, and swappable
+    for the distributed prefix sum if documents ever rival row counts)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .withColumn("cum_tokens", F.sum("n_toks").over(w))
+        .withColumn(
+            "cum_vocab", F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w)
+        )
+        .where(F.col("cum_vocab") > 0)
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((sy - slope * sx) / n, 6).alias("heaps_log_k"),
+    )

@@ -953,3 +953,43 @@ def test_ewma_matches_python(spark):
                 den += Decimal(repr(_round_half_up(0.7 ** off, 6)))
         ewma = _round_half_up(float(num) / float(den) / 100, 2)
         assert got[day] == (cnt, ewma), day
+
+
+def _loglog_ols(points):
+    n = len(points)
+    xs = [Decimal(repr(_round_half_up(math.log(x), 9))) for x, _ in points]
+    ys = [Decimal(repr(_round_half_up(math.log(y), 9))) for _, y in points]
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(a * a for a in xs))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return n, _round_half_up(slope, 6), _round_half_up((sy - slope * sx) / n, 6)
+
+
+def test_zipf_fit_matches_python(spark):
+    docs = _docs()
+    tf = Counter()
+    for _, _, toks in docs:
+        tf.update(toks)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [(rank, freq) for rank, (_, freq) in enumerate(ranked, start=1)]
+    n, slope, intercept = _loglog_ols(pts)
+    r = QUERIES["zipf_exponent_fit"](spark, SF_DIR).collect()[0]
+    assert (r["vocab_size"], r["zipf_slope"], r["log_intercept"]) == (
+        n, slope, intercept,
+    )
+
+
+def test_heaps_fit_matches_python(spark):
+    docs = sorted(_docs())
+    seen = set()
+    cum_toks = 0
+    pts = []
+    for _, _, toks in docs:
+        cum_toks += len(toks)
+        seen.update(toks)
+        if seen:
+            pts.append((cum_toks, len(seen)))
+    n, beta, logk = _loglog_ols(pts)
+    r = QUERIES["vocab_growth_heaps"](spark, SF_DIR).collect()[0]
+    assert (r["n_points"], r["heaps_beta"], r["heaps_log_k"]) == (n, beta, logk)

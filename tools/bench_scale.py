@@ -70,6 +70,8 @@ ROSTER = [
     "cusum_changepoint",
     "weekday_seasonal_profile",
     "ewma_smoothed_revenue",
+    "zipf_exponent_fit",
+    "vocab_growth_heaps",
 ]
 
 SF_DIRS = {
