@@ -133,6 +133,7 @@ HEADLINE = [
     "ewma_smoothed_revenue",
     "zipf_exponent_fit",
     "vocab_growth_heaps",
+    "kaplan_meier_churn",
 ]
 
 

@@ -2651,3 +2651,126 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("heaps_beta"),
         F.round((sy - slope * sx) / n, 6).alias("heaps_log_k"),
     )
+
+
+@register(
+    "kaplan_meier_churn",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day
+        FROM events
+    ), span AS (
+        SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+        FROM ev GROUP BY user_id
+    ), mx AS (
+        SELECT MAX(last_day) AS max_day FROM span
+    ), obs AS (
+        SELECT last_day - first_day AS duration,
+               CASE WHEN last_day < (SELECT max_day FROM mx) - 7
+                    THEN 1 ELSE 0 END AS churned
+        FROM span
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM obs
+    ), byd AS (
+        SELECT duration,
+               CAST(COUNT(*) AS BIGINT) AS n_leaving,
+               CAST(SUM(churned) AS BIGINT) AS n_events
+        FROM obs GROUP BY duration
+    ), risk AS (
+        SELECT duration, n_leaving, n_events,
+               (SELECT n_users FROM tot)
+                   - CAST(COALESCE(SUM(n_leaving) OVER (
+                         ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS n_risk
+        FROM byd
+    ), steps AS (
+        SELECT duration, n_risk, n_events,
+               CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE) / n_risk), 12)
+                    AS DECIMAL(24,12)) AS lnf
+        FROM risk WHERE n_events > 0
+    ), surv AS (
+        SELECT duration, n_risk, n_events,
+               CAST(SUM(lnf) OVER (ORDER BY duration) AS DOUBLE) AS cum_ln
+        FROM steps
+    )
+    SELECT duration, n_risk, n_events,
+           ROUND(EXP(cum_ln), 6) AS survival
+    FROM surv
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn-survival curve: users observed from first to
+    last event day, an event = churn (last activity more than 7 days
+    before the observation horizon), later-active users right-censored —
+    the estimator behind every retention curve that must handle
+    censoring honestly (naive retention over-counts users the window
+    simply hasn't observed long enough).
+
+    100 TB shape: ONE user-keyed aggregate reduces the corpus; the KM
+    table lives at distinct-duration granularity (value-domain bounded —
+    durations are day counts), so the risk-set windows and the
+    cumulative product run over tens of rows.  Determinism: risk sets
+    and event counts are exact integers; each step's hazard factor is an
+    identical-double division, its log is rounded to 12 dp, and the
+    survival product is the EXP of an exact decimal log-sum — the
+    moving-product analog of the decimal-sum rule."""
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    ev = events.select(
+        "user_id", _event_epoch_sec(events).alias("__sec")
+    ).select("user_id", F.expr("__sec div 86400").alias("day"))
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    mx = span.agg(F.max("last_day").alias("max_day"))
+    obs = span.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_day") - F.col("first_day")).alias("duration"),
+        F.when(F.col("last_day") < F.col("max_day") - 7, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n_users"))
+    byd = obs.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_prev = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = byd.crossJoin(F.broadcast(tot)).select(
+        "duration",
+        "n_leaving",
+        "n_events",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_events") > 0).select(
+        "duration",
+        "n_risk",
+        "n_events",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk")
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("lnf"),
+    )
+    w_cum = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = steps.withColumn(
+        "cum_ln", F.sum("lnf").over(w_cum).cast("double")
+    )
+    return surv.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        F.round(F.exp(F.col("cum_ln")), 6).alias("survival"),
+    )

@@ -993,3 +993,41 @@ def test_heaps_fit_matches_python(spark):
     n, beta, logk = _loglog_ols(pts)
     r = QUERIES["vocab_growth_heaps"](spark, SF_DIR).collect()[0]
     assert (r["n_points"], r["heaps_beta"], r["heaps_log_k"]) == (n, beta, logk)
+
+
+def test_kaplan_meier_matches_python(spark):
+    user_days = defaultdict(set)
+    for uid, day in _event_user_days():
+        user_days[uid].add(day)
+    spans = {u: (min(d), max(d)) for u, d in user_days.items()}
+    max_day = max(l for _, l in spans.values())
+    obs = [
+        (l - f, 1 if l < max_day - 7 else 0) for f, l in spans.values()
+    ]
+    n_users = len(obs)
+    byd = defaultdict(lambda: [0, 0])
+    for dur, ch in obs:
+        byd[dur][0] += 1
+        byd[dur][1] += ch
+    left_before = 0
+    cum_ln = Decimal(0)
+    ref = {}
+    for dur in sorted(byd):
+        leaving, events = byd[dur]
+        n_risk = n_users - left_before
+        left_before += leaving
+        if events == 0:
+            continue
+        lnf = Decimal(
+            repr(_round_half_up(math.log((n_risk - events) / n_risk), 12))
+        )
+        cum_ln += lnf
+        ref[dur] = (n_risk, events, _round_half_up(math.exp(float(cum_ln)), 6))
+    got = {
+        r["duration"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in QUERIES["kaplan_meier_churn"](spark, SF_DIR).collect()
+    }
+    assert got == ref
+    # survival is non-increasing
+    survs = [v[2] for _, v in sorted(got.items())]
+    assert survs == sorted(survs, reverse=True)

@@ -72,6 +72,7 @@ ROSTER = [
     "ewma_smoothed_revenue",
     "zipf_exponent_fit",
     "vocab_growth_heaps",
+    "kaplan_meier_churn",
 ]
 
 SF_DIRS = {
