@@ -134,6 +134,8 @@ HEADLINE = [
     "zipf_exponent_fit",
     "vocab_growth_heaps",
     "kaplan_meier_churn",
+    "ks_two_sample_price",
+    "spearman_qty_price",
 ]
 
 

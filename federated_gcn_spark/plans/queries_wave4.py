@@ -2774,3 +2774,178 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.exp(F.col("cum_ln")), 6).alias("survival"),
     )
+
+
+@register(
+    "ks_two_sample_price",
+    """
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 2 AS half
+        FROM orders
+    ), hist AS (
+        SELECT cents,
+               CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS c2
+        FROM o GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM hist
+    ), cum AS (
+        SELECT cents,
+               CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+        FROM hist
+    ), gap AS (
+        SELECT cents,
+               ABS(n2 * cum1 - n1 * cum2) AS d_scaled, n1, n2
+        FROM cum, tot
+    ), best AS (
+        SELECT cents, d_scaled, n1, n2 FROM gap
+        ORDER BY d_scaled DESC, cents LIMIT 1
+    )
+    SELECT n1, n2,
+           ROUND(cents / 100.0, 2) AS at_price,
+           ROUND(CAST(d_scaled AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+           ROUND(CAST(d_scaled AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+               AS ks_lambda
+    FROM best
+    """,
+)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the order-price
+    distributions of the two corpus halves — the BINLESS companion to
+    ``psi_price_drift``: D = max |F₁−F₂| over the exact empirical CDFs,
+    no bucket choice to tune, plus the scaled λ statistic p-value
+    lookups use.
+
+    Exactness trick (CUSUM's pattern): the gap at each distinct value is
+    |n₂·cum₁ − n₁·cum₂| / (n₁n₂), so scaling by n₁n₂ keeps the entire
+    argmax in exact integers — floats appear only in the two reported
+    magnitudes.  100 TB shape: the fact reduces to the distinct-cents
+    value-domain histogram; the CDF accumulation is the distributed
+    prefix-sum shape over value-domain rows."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    hist = orders.groupBy("cents").agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = partitioned_prefix_sum(hist, "cents", "c1", "cb1")
+    cum = partitioned_prefix_sum(cum, "cents", "c2", "cb2")
+    cum = cum.select(
+        "cents",
+        (F.col("cb1") + F.col("c1")).alias("cum1"),
+        (F.col("cb2") + F.col("c2")).alias("cum2"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.abs(
+            F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")
+        ).alias("d_scaled"),
+        "n1",
+        "n2",
+    )
+    best = gap.orderBy(F.desc("d_scaled"), F.asc("cents")).limit(1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_scaled").cast("double") / (n1d * n2d)
+    return best.select(
+        "n1",
+        "n2",
+        F.round(F.col("cents") / 100.0, 2).alias("at_price"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("ks_lambda"),
+    )
+
+
+@register(
+    "spearman_qty_price",
+    """
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), xr AS (
+        SELECT x,
+               2 * (CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) - c) + c + 1
+                   AS rank2x
+        FROM (SELECT x, COUNT(*) AS c FROM li GROUP BY x)
+    ), yr AS (
+        SELECT y,
+               2 * (CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) - c) + c + 1
+                   AS rank2y
+        FROM (SELECT y, COUNT(*) AS c FROM li GROUP BY y)
+    ), ranked AS (
+        SELECT CAST(rank2x AS DECIMAL(38,0)) AS rx,
+               CAST(rank2y AS DECIMAL(38,0)) AS ry
+        FROM li JOIN xr USING (x) JOIN yr USING (y)
+    ), m AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and extended
+    price — the tie-aware, outlier-robust companion to the Pearson
+    correlation already in ``price_stats``.
+
+    Exactness trick: average ranks with ties are half-integers, so
+    DOUBLED ranks (2·rank_before + c + 1 for a tie group of size c) stay
+    EXACT integers — Pearson is affine-invariant, so ρ is unchanged and
+    every moment accumulates in DECIMAL(38,0) from integers; one IEEE
+    emit.  100 TB shape: ranks come from the two value-domain histograms
+    (quantity and cents domains, not row counts) joined back by value —
+    no row-level sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    xh = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    xr = partitioned_prefix_sum(xh, "x", "c", "cb").select(
+        "x", (2 * F.col("cb") + F.col("c") + 1).alias("rank2x")
+    )
+    yh = li.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    yr = partitioned_prefix_sum(yh, "y", "c", "cb").select(
+        "y", (2 * F.col("cb") + F.col("c") + 1).alias("rank2y")
+    )
+    ranked = (
+        li.join(xr, "x")
+        .join(yr, "y")
+        .select(
+            F.col("rank2x").cast("decimal(38,0)").alias("rx"),
+            F.col("rank2y").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
+    )

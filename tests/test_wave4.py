@@ -1031,3 +1031,75 @@ def test_kaplan_meier_matches_python(spark):
     # survival is non-increasing
     survs = [v[2] for _, v in sorted(got.items())]
     assert survs == sorted(survs, reverse=True)
+
+
+def test_ks_two_sample_matches_python(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    a = sorted(
+        int(_round_half_up0(r["o_totalprice"] * 100))
+        for r in tbl
+        if r["o_orderkey"] % 2 == 0
+    )
+    b = sorted(
+        int(_round_half_up0(r["o_totalprice"] * 100))
+        for r in tbl
+        if r["o_orderkey"] % 2 == 1
+    )
+    n1, n2 = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    best = None
+    for v in values:
+        cum1 = bisect.bisect_right(a, v)
+        cum2 = bisect.bisect_right(b, v)
+        d_scaled = abs(n2 * cum1 - n1 * cum2)
+        key = (-d_scaled, v)
+        if best is None or key < best[0]:
+            best = (key, v, d_scaled)
+    _, at, d_scaled = best
+    d = d_scaled / (n1 * n2)
+    r = QUERIES["ks_two_sample_price"](spark, SF_DIR).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["at_price"] == _round_half_up(at / 100, 2)
+    assert r["d_stat"] == _round_half_up(d, 6)
+    assert r["ks_lambda"] == _round_half_up(
+        d * math.sqrt(n1 * n2 / (n1 + n2)), 6
+    )
+
+
+def test_spearman_matches_scipy_style_python(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    ).to_pylist()
+    xs = [int(r["l_quantity"]) for r in tbl]
+    ys = [int(_round_half_up0(r["l_extendedprice"] * 100)) for r in tbl]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2  # average of ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    r = QUERIES["spearman_qty_price"](spark, SF_DIR).collect()[0]
+    assert r["n_rows"] == n
+    assert abs(r["spearman_rho"] - rho) < 1e-6
