@@ -136,6 +136,7 @@ HEADLINE = [
     "kaplan_meier_churn",
     "ks_two_sample_price",
     "spearman_qty_price",
+    "contingency_association",
 ]
 
 

@@ -2949,3 +2949,113 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
     )
+
+
+@register(
+    "contingency_association",
+    """
+    WITH ct AS (
+        SELECT l_returnflag AS a, l_linestatus AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), marg AS (
+        SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM ct GROUP BY a
+    ), margb AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM ct GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS ra,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS rb
+        FROM ct
+    ), cells AS (
+        SELECT ct.a, ct.b, ct.c, marg.ca, margb.cb, tot.n, tot.ra, tot.rb,
+               CAST(ca AS DOUBLE) * cb / n AS expected
+        FROM ct JOIN marg USING (a) JOIN margb USING (b), tot
+    ), terms AS (
+        SELECT n, ra, rb,
+               CAST(ROUND((c - expected) * (c - expected) / expected, 9)
+                    AS DECIMAL(28,9)) AS chi2_term,
+               CAST(ROUND((CAST(c AS DOUBLE) / n)
+                          * LN(CAST(c AS DOUBLE) * n
+                               / (CAST(ca AS DOUBLE) * cb)), 12)
+                    AS DECIMAL(24,12)) AS mi_term
+        FROM cells
+    )
+    SELECT ANY_VALUE(n) AS n_rows,
+           ROUND(CAST(SUM(chi2_term) AS DOUBLE), 4) AS chi2,
+           ROUND(SQRT(CAST(SUM(chi2_term) AS DOUBLE)
+                      / (ANY_VALUE(n)
+                         * (LEAST(ANY_VALUE(ra), ANY_VALUE(rb)) - 1))), 6)
+               AS cramers_v,
+           ROUND(CAST(SUM(mi_term) AS DOUBLE), 6) AS mutual_info_nats
+    FROM terms
+    """,
+)
+def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between two categorical columns (returnflag x
+    linestatus) in one pass: chi-squared, Cramér's V (the normalized
+    effect size), and mutual information in nats — the trio every
+    feature-selection / data-profiling pass computes over categorical
+    pairs.
+
+    100 TB shape: one contingency aggregate (cells = |A|x|B|, tiny),
+    marginals derived from it, constant-sized math after.  Determinism:
+    cell/marginal counts exact; each chi2 and MI contribution is an
+    identical-double expression rounded to decimal before the exact
+    sums; three IEEE emits."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    ct = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    marg = ct.groupBy("a").agg(F.sum("c").alias("ca"))
+    margb = ct.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = ct.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("a").alias("ra"),
+        F.countDistinct("b").alias("rb"),
+    )
+    cells = (
+        ct.join(marg, "a")
+        .join(margb, "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.col("ca").cast("double") * F.col("cb") / F.col("n"),
+        )
+    )
+    diff = F.col("c") - F.col("expected")
+    terms = cells.select(
+        "n",
+        "ra",
+        "rb",
+        F.round(diff * diff / F.col("expected"), 9)
+        .cast("decimal(28,9)")
+        .alias("chi2_term"),
+        F.round(
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("mi_term"),
+    )
+    chi2 = F.sum("chi2_term").cast("double")
+    return terms.agg(
+        F.any_value("n").alias("n_rows"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value("n")
+                    * (F.least(F.any_value("ra"), F.any_value("rb")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(F.sum("mi_term").cast("double"), 6).alias("mutual_info_nats"),
+    )

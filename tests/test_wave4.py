@@ -1103,3 +1103,31 @@ def test_spearman_matches_scipy_style_python(spark):
     r = QUERIES["spearman_qty_price"](spark, SF_DIR).collect()[0]
     assert r["n_rows"] == n
     assert abs(r["spearman_rho"] - rho) < 1e-6
+
+
+def test_contingency_association_matches_python(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    ).to_pylist()
+    ct = Counter((r["l_returnflag"], r["l_linestatus"]) for r in tbl)
+    ca, cb = Counter(), Counter()
+    for (a, b), c in ct.items():
+        ca[a] += c
+        cb[b] += c
+    n = sum(ct.values())
+    chi2 = Decimal(0)
+    mi = Decimal(0)
+    for (a, b), c in ct.items():
+        exp = ca[a] * cb[b] / n
+        chi2 += Decimal(repr(_round_half_up((c - exp) ** 2 / exp, 9)))
+        mi += Decimal(
+            repr(_round_half_up((c / n) * math.log(c * n / (ca[a] * cb[b])), 12))
+        )
+    r = QUERIES["contingency_association"](spark, SF_DIR).collect()[0]
+    assert r["n_rows"] == n
+    assert r["chi2"] == _round_half_up(float(chi2), 4)
+    assert r["cramers_v"] == _round_half_up(
+        math.sqrt(float(chi2) / (n * (min(len(ca), len(cb)) - 1))), 6
+    )
+    assert r["mutual_info_nats"] == _round_half_up(float(mi), 6)
+    assert r["mutual_info_nats"] >= 0

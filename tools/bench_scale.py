@@ -75,6 +75,7 @@ ROSTER = [
     "kaplan_meier_churn",
     "ks_two_sample_price",
     "spearman_qty_price",
+    "contingency_association",
 ]
 
 SF_DIRS = {
