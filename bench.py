@@ -137,6 +137,7 @@ HEADLINE = [
     "ks_two_sample_price",
     "spearman_qty_price",
     "contingency_association",
+    "price_elasticity_by_brand",
 ]
 
 

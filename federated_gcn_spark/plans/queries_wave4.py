@@ -3059,3 +3059,81 @@ def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.round(F.sum("mi_term").cast("double"), 6).alias("mutual_info_nats"),
     )
+
+
+@register(
+    "price_elasticity_by_brand",
+    """
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(LN(CAST(l.l_quantity AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) AS x,
+               CAST(ROUND(LN(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             / 100.0), 9) AS DECIMAL(20,9)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0
+    ), m AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM li GROUP BY brand
+    )
+    SELECT brand, n AS n_items,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS elasticity_slope
+    FROM m
+    """,
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log OLS of extended price on quantity — the grouped
+    regression shape (one independent fit per group in a single
+    aggregation pass) that backs elasticity panels and per-segment trend
+    dashboards; the grouped generalization of ``linear_fit``.
+
+    100 TB shape: the dimension join brings the brand key (broadcast or
+    AQE's choice), then ONE partial-final aggregate accumulates all
+    regression moments per brand — no per-group iteration, no window.
+    Determinism: the log of exact cents (/100 of identical doubles) is
+    rounded to 9 dp into DECIMAL(20,9); all moments sum exactly; one
+    IEEE slope emit per brand."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).where(
+        F.col("l_quantity") > 0
+    )
+    part = load_table(spark, sf_dir, "part", parallel=True).select(
+        "p_partkey", "p_brand"
+    )
+    pts = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.log(F.col("l_quantity").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(
+            F.log(
+                F.round(F.col("l_extendedprice") * 100).cast("long") / 100.0
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("y"),
+    )
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "brand",
+        n.alias("n_items"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("elasticity_slope"),
+    )

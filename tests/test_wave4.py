@@ -1131,3 +1131,34 @@ def test_contingency_association_matches_python(spark):
     )
     assert r["mutual_info_nats"] == _round_half_up(float(mi), 6)
     assert r["mutual_info_nats"] >= 0
+
+
+def test_elasticity_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT p.p_brand, l.l_quantity,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+            FROM read_parquet('{SF_DIR}/lineitem.parquet') l
+            JOIN read_parquet('{SF_DIR}/part.parquet') p
+              ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0"""
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for brand, q, cents in rows:
+        x = Decimal(repr(_round_half_up(math.log(q), 9)))
+        y = Decimal(repr(_round_half_up(math.log(cents / 100.0), 9)))
+        groups[brand].append((x, y))
+    got = {
+        r["brand"]: (r["n_items"], r["elasticity_slope"])
+        for r in QUERIES["price_elasticity_by_brand"](spark, SF_DIR).collect()
+    }
+    for brand, pts in groups.items():
+        n = len(pts)
+        sx = float(sum(x for x, _ in pts)); sy = float(sum(y for _, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        sxy = float(sum(x * y for x, y in pts))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[brand] == (n, _round_half_up(slope, 6)), brand

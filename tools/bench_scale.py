@@ -76,6 +76,7 @@ ROSTER = [
     "ks_two_sample_price",
     "spearman_qty_price",
     "contingency_association",
+    "price_elasticity_by_brand",
 ]
 
 SF_DIRS = {
