@@ -138,6 +138,8 @@ HEADLINE = [
     "spearman_qty_price",
     "contingency_association",
     "price_elasticity_by_brand",
+    "negative_sampling_table",
+    "source_lang_entropy",
 ]
 
 

@@ -3137,3 +3137,133 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
         ).alias("elasticity_slope"),
     )
+
+
+def _negative_sampling_oracle(k: int = 3) -> str:
+    """Replays Spark's xxhash64 draw chain bit-for-bit; the modulus is
+    the runtime supplier count (scalar subquery), not a baked literal,
+    so the same SQL text is correct at every scale factor."""
+    from federated_gcn_spark.plans.xxh64_sql import to_signed64, xxhash64_sql
+
+    s = to_signed64(
+        xxhash64_sql(("e.src", "long"), ("e.dst", "long"), ("j.slot", "int"))
+    )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), ns AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier
+    ), cand AS (
+        SELECT e.src, e.dst, j.slot,
+               ((({s}) % (SELECT n FROM ns)) + (SELECT n FROM ns))
+                   % (SELECT n FROM ns) AS neg_dst
+        FROM e CROSS JOIN (SELECT UNNEST(range({k})) AS slot) j
+    )
+    SELECT c.src, CAST(c.slot AS INT) AS slot,
+           CAST(c.neg_dst AS BIGINT) AS neg_dst,
+           CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS is_collision
+    FROM cand c
+    LEFT JOIN e t ON t.src = c.src AND t.dst = c.neg_dst
+    """
+
+
+@register("negative_sampling_table", _negative_sampling_oracle())
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-sampling table for link-prediction
+    training: k=3 candidate non-neighbors per positive edge, drawn by
+    hashing (src, dst, slot) into the supplier vertex range, with true
+    edges flagged as collisions for the caller to resample or drop —
+    the data-op behind ml/federated's in-kernel negative sampling
+    (reference: models/unsupervised.py negative pairs), exposed as a
+    replayable relational table.
+
+    100 TB shape: draws are pure codegen hash math on the edge list (no
+    RNG state, layout-independent); collision flagging is one equi-join
+    back to the edges.  The modulus is the runtime vertex count (one
+    broadcast row), so the same plan serves any graph size.  Fully
+    replayable: the oracle re-derives every draw bit-for-bit via the
+    xxhash64 SQL chain."""
+    k = 3
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    e = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    ns = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    slots = spark.range(k).select(F.col("id").cast("int").alias("slot"))
+    cand = (
+        e.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "src",
+            "dst",
+            "slot",
+            F.pmod(
+                F.xxhash64(F.col("src"), F.col("dst"), F.col("slot")),
+                F.col("n"),
+            ).alias("neg_dst"),
+        )
+    )
+    t = e.select(F.col("src").alias("t_src"), F.col("dst").alias("t_dst"))
+    j = cand.join(
+        t,
+        (cand["src"] == t["t_src"]) & (cand["neg_dst"] == t["t_dst"]),
+        "left",
+    )
+    return j.select(
+        "src",
+        "slot",
+        F.col("neg_dst").cast("bigint").alias("neg_dst"),
+        F.when(F.col("t_src").isNull(), 0).otherwise(1).alias("is_collision"),
+    )
+
+
+@register(
+    "source_lang_entropy",
+    """
+    WITH ct AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM ct GROUP BY source
+    ), terms AS (
+        SELECT ct.source, tot.n,
+               CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                          * LN(CAST(c AS DOUBLE) / n), 12)
+                    AS DECIMAL(24,12)) AS term
+        FROM ct JOIN tot USING (source)
+    )
+    SELECT source,
+           ANY_VALUE(n) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS lang_entropy_nats
+    FROM terms GROUP BY source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the diversity
+    number a corpus-mixing policy balances (a source collapsing to one
+    language reads 0; uniform over 5 reads ln 5 ≈ 1.609).
+
+    One contingency aggregate; entropy contributions rounded to 12 dp
+    and decimal-summed per the drift-family rule."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    ct = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = ct.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = ct.join(tot, "source").select(
+        "source",
+        "n",
+        F.round(-p * F.log(p), 12).cast("decimal(24,12)").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.sum("term").cast("double"), 6).alias("lang_entropy_nats"),
+    )

@@ -1162,3 +1162,46 @@ def test_elasticity_matches_python(spark):
         sxy = float(sum(x * y for x, y in pts))
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert got[brand] == (n, _round_half_up(slope, 6)), brand
+
+
+def test_negative_sampling_layout_invariant_and_flags(spark):
+    """Hash draws must be layout-independent, every edge gets exactly 3
+    slots, and collision flags are exact vs the true edge set."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(n):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return sorted(
+                map(
+                    tuple,
+                    QUERIES["negative_sampling_table"](spark, SF_DIR).collect(),
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    a = run(3)
+    assert a == run(13)
+    import duckdb
+
+    con = duckdb.connect()
+    edges = set(
+        con.execute(
+            f"""SELECT DISTINCT l_orderkey, l_suppkey
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                WHERE l_orderkey % 10 = 0"""
+        ).fetchall()
+    )
+    con.close()
+    per_edge = Counter(src for src, _, _, _ in a)
+    assert all(v % 3 == 0 for v in per_edge.values())
+    for src, slot, neg, is_col in a:
+        assert is_col == (1 if (src, neg) in edges else 0)
+
+
+def test_source_entropy_bounds(spark):
+    rows = QUERIES["source_lang_entropy"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["lang_entropy_nats"] <= math.log(5) + 1e-9
+        assert r["n_langs"] <= 5

@@ -77,6 +77,8 @@ ROSTER = [
     "spearman_qty_price",
     "contingency_association",
     "price_elasticity_by_brand",
+    "negative_sampling_table",
+    "source_lang_entropy",
 ]
 
 SF_DIRS = {
