@@ -140,6 +140,7 @@ HEADLINE = [
     "price_elasticity_by_brand",
     "negative_sampling_table",
     "source_lang_entropy",
+    "interevent_burstiness",
 ]
 
 

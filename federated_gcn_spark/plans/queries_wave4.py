@@ -3267,3 +3267,78 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_langs"),
         F.round(F.sum("term").cast("double"), 6).alias("lang_entropy_nats"),
     )
+
+
+@register(
+    "interevent_burstiness",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+               event_id
+        FROM events
+    ), gaps AS (
+        SELECT sec - LAG(sec) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+               ) AS gap
+        FROM ev
+    ), g AS (
+        SELECT CAST(gap AS DECIMAL(38,0)) AS gap FROM gaps
+        WHERE gap IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(gap) AS s1,
+               SUM(gap * gap) AS s2
+        FROM g
+    )
+    SELECT n AS n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_gap_sec,
+           ROUND(n / CAST(s1 AS DOUBLE), 9) AS poisson_rate_per_sec,
+           ROUND(SQRT((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                 / CAST(s1 AS DOUBLE), 6) AS gap_cv,
+           ROUND((SQRT((n * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                  - CAST(s1 AS DOUBLE))
+                 / (SQRT((n * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                    + CAST(s1 AS DOUBLE)), 6) AS burstiness
+    FROM m
+    """,
+)
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time statistics over the event stream: the Poisson
+    MLE rate (n/Σgap), the coefficient of variation, and the burstiness
+    index B = (σ−μ)/(σ+μ) (Goh & Barabási) — B≈0 for a Poisson process,
+    →1 for bursty human activity; the stream-characterization number
+    capacity planning and anomaly baselines start from.
+
+    Note the σ/μ trick: with σ = √(n·s2 − s1²)/n and μ = s1/n the 1/n
+    factors cancel, so CV = √(n·s2 − s1²)/s1 and B use only the raw
+    integer moment sums — both emitted from identical doubles.
+
+    100 TB shape: one user_id exchange for the LAG, one moment
+    aggregate; gaps accumulate in DECIMAL(38,0)."""
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    ev = events.select(
+        "user_id", _event_epoch_sec(events).alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.select((F.col("sec") - F.lag("sec").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    g = gaps.select(F.col("gap").cast("decimal(38,0)").alias("gap"))
+    m = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sd_scaled = F.sqrt(n * s2 - s1 * s1)  # n * sigma
+    return m.select(
+        n.alias("n_gaps"),
+        F.round(s1 / n, 4).alias("mean_gap_sec"),
+        F.round(n / s1, 9).alias("poisson_rate_per_sec"),
+        F.round(sd_scaled / s1, 6).alias("gap_cv"),
+        F.round((sd_scaled - s1) / (sd_scaled + s1), 6).alias("burstiness"),
+    )

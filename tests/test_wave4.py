@@ -1205,3 +1205,34 @@ def test_source_entropy_bounds(spark):
     for r in rows:
         assert 0 <= r["lang_entropy_nats"] <= math.log(5) + 1e-9
         assert r["n_langs"] <= 5
+
+
+def test_burstiness_matches_python(spark):
+    by_user = defaultdict(list)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts) // 1000000000, event_id FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    for uid, sec, eid in rows:
+        by_user[uid].append((sec, eid))
+    gaps = []
+    for evs in by_user.values():
+        evs.sort()
+        gaps.extend(b[0] - a[0] for a, b in zip(evs, evs[1:]))
+    n = len(gaps)
+    s1 = sum(gaps)
+    s2 = sum(g * g for g in gaps)
+    sd_scaled = math.sqrt(n * s2 - s1 * s1)
+    r = QUERIES["interevent_burstiness"](spark, SF_DIR).collect()[0]
+    assert r["n_gaps"] == n
+    assert r["mean_gap_sec"] == _round_half_up(s1 / n, 4)
+    assert r["poisson_rate_per_sec"] == _round_half_up(n / s1, 9)
+    assert r["gap_cv"] == _round_half_up(sd_scaled / s1, 6)
+    assert r["burstiness"] == _round_half_up(
+        (sd_scaled - s1) / (sd_scaled + s1), 6
+    )
+    assert -1 <= r["burstiness"] <= 1

@@ -79,6 +79,7 @@ ROSTER = [
     "price_elasticity_by_brand",
     "negative_sampling_table",
     "source_lang_entropy",
+    "interevent_burstiness",
 ]
 
 SF_DIRS = {
