@@ -141,6 +141,8 @@ HEADLINE = [
     "negative_sampling_table",
     "source_lang_entropy",
     "interevent_burstiness",
+    "runs_test_revenue",
+    "degree_powerlaw_fit",
 ]
 
 

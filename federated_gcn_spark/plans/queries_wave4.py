@@ -3342,3 +3342,163 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd_scaled / s1, 6).alias("gap_cv"),
         F.round((sd_scaled - s1) / (sd_scaled + s1), 6).alias("burstiness"),
     )
+
+
+@register(
+    "runs_test_revenue",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), med AS (
+        SELECT rev_c AS m
+        FROM (
+            SELECT rev_c,
+                   ROW_NUMBER() OVER (ORDER BY rev_c) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM daily
+        ) WHERE rn = (cnt + 1) // 2
+    ), signs AS (
+        SELECT day,
+               CASE WHEN rev_c > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+        FROM daily WHERE rev_c <> (SELECT m FROM med)
+    ), runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                         OR LAG(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ), m AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+               AS z_score
+    FROM m
+    """,
+)
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue around its median: too
+    FEW runs of above/below-median days means serial dependence, too
+    MANY means oscillation — the randomness sanity check behind every
+    'is this series i.i.d. enough to bootstrap' decision (and the
+    categorical cousin of the autocorrelation panel).
+
+    Determinism: the median is an exact order statistic (equal-to-median
+    days drop, standard practice), run boundaries are integer LAG
+    comparisons, and the expected-runs/variance formulas are one IEEE
+    expression over exact integer counts."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    ).localCheckpoint(eager=True)
+    n_days = daily.count()
+    med = exact_kth_smallest_value(
+        daily.select(F.col("rev_c").cast("double").alias("v")), "v",
+        (n_days + 1) // 2,
+    )
+    signs = daily.where(F.col("rev_c") != int(med)).select(
+        "day", F.when(F.col("rev_c") > int(med), 1).otherwise(0).alias("s")
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    m = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("s").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n2"),
+    )
+    r = F.col("r")
+    n1 = F.col("n1")
+    n2 = F.col("n2")
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return m.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(exp_r, 4).alias("expected_runs"),
+        F.round((r - exp_r) / F.sqrt(var_r), 6).alias("z_score"),
+    )
+
+
+@register(
+    "degree_powerlaw_fit",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p
+    ), mn AS (
+        SELECT CAST(MIN(d) AS BIGINT) AS dmin FROM deg
+    ), terms AS (
+        SELECT CAST(ROUND(LN(CAST(d AS DOUBLE)
+                             / (CAST((SELECT dmin FROM mn) AS DOUBLE) - 0.5)),
+                          12) AS DECIMAL(24,12)) AS lnterm
+        FROM deg
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           (SELECT dmin FROM mn) AS d_min,
+           ROUND(1.0 + COUNT(*) / CAST(SUM(lnterm) AS DOUBLE), 6)
+               AS powerlaw_alpha
+    FROM terms
+    """,
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the part-degree distribution by the
+    discrete MLE (Clauset-Shalizi-Newman, continuous approximation with
+    the d_min − 1/2 shift): α̂ = 1 + n / Σ ln(dᵢ/(d_min−½)) — the
+    scale-free-ness number that decides whether hub-aware plans (skew
+    salting, degree-ordered enumeration) are mandatory for a graph.
+
+    One degree aggregate; per-vertex log terms rounded to 12 dp and
+    decimal-summed; one IEEE emit."""
+    e = (
+        load_table(spark, sf_dir, "lineitem", parallel=True)
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    mn = deg.agg(F.min("d").alias("dmin"))
+    terms = deg.crossJoin(F.broadcast(mn)).select(
+        "dmin",
+        F.round(
+            F.log(
+                F.col("d").cast("double")
+                / (F.col("dmin").cast("double") - 0.5)
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("lnterm"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.any_value("dmin").alias("d_min"),
+        F.round(
+            1.0 + F.count(F.lit(1)) / F.sum("lnterm").cast("double"), 6
+        ).alias("powerlaw_alpha"),
+    )

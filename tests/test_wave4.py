@@ -1236,3 +1236,52 @@ def test_burstiness_matches_python(spark):
         (sd_scaled - s1) / (sd_scaled + s1), 6
     )
     assert -1 <= r["burstiness"] <= 1
+
+
+def test_runs_test_matches_python(spark):
+    daily = sorted(_daily_rev().items())
+    vals = sorted(v for _, v in daily)
+    med = vals[(len(vals) + 1) // 2 - 1]
+    signs = [(d, 1 if v > med else 0) for d, v in daily if v != med]
+    r_count = sum(
+        1
+        for i, (_, s) in enumerate(signs)
+        if i == 0 or signs[i - 1][1] != s
+    )
+    n1 = sum(s for _, s in signs)
+    n2 = len(signs) - n1
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+    )
+    r = QUERIES["runs_test_revenue"](spark, SF_DIR).collect()[0]
+    assert (r["n_runs"], r["n_above"], r["n_below"]) == (r_count, n1, n2)
+    assert r["expected_runs"] == _round_half_up(exp_r, 4)
+    assert abs(r["z_score"] - (r_count - exp_r) / math.sqrt(var_r)) < 1e-5
+
+
+def test_powerlaw_fit_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    degs = [
+        d
+        for (d,) in con.execute(
+            f"""SELECT COUNT(*) FROM (
+                    SELECT DISTINCT l_suppkey, l_partkey
+                    FROM read_parquet('{SF_DIR}/lineitem.parquet'))
+                GROUP BY l_partkey"""
+        ).fetchall()
+    ]
+    con.close()
+    dmin = min(degs)
+    s = sum(
+        Decimal(repr(_round_half_up(math.log(d / (dmin - 0.5)), 12)))
+        for d in degs
+    )
+    alpha = _round_half_up(1.0 + len(degs) / float(s), 6)
+    r = QUERIES["degree_powerlaw_fit"](spark, SF_DIR).collect()[0]
+    assert (r["n_vertices"], r["d_min"], r["powerlaw_alpha"]) == (
+        len(degs), dmin, alpha,
+    )

@@ -80,6 +80,8 @@ ROSTER = [
     "negative_sampling_table",
     "source_lang_entropy",
     "interevent_burstiness",
+    "runs_test_revenue",
+    "degree_powerlaw_fit",
 ]
 
 SF_DIRS = {
