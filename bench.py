@@ -143,6 +143,7 @@ HEADLINE = [
     "interevent_burstiness",
     "runs_test_revenue",
     "degree_powerlaw_fit",
+    "kruskal_wallis_priority",
 ]
 
 

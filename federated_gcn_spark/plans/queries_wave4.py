@@ -3502,3 +3502,100 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 + F.count(F.lit(1)) / F.sum("lnterm").cast("double"), 6
         ).alias("powerlaw_alpha"),
     )
+
+
+@register(
+    "kruskal_wallis_priority",
+    """
+    WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), vr AS (
+        SELECT cents,
+               2 * (CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) - c) + c + 1
+                   AS rank2,
+               c
+        FROM (SELECT cents, COUNT(*) AS c FROM o GROUP BY cents)
+    ), ranked AS (
+        SELECT o.grp, CAST(vr.rank2 AS DECIMAL(38,0)) AS r2
+        FROM o JOIN vr USING (cents)
+    ), per_grp AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS ni,
+               SUM(r2) AS sr2
+        FROM ranked GROUP BY grp
+    ), tot AS (
+        SELECT CAST(SUM(ni) AS BIGINT) AS n FROM per_grp
+    ), hraw AS (
+        SELECT CAST(SUM(CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE) / ni)
+                    AS DOUBLE) AS sum_term,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_grp
+    ), ties AS (
+        SELECT COALESCE(CAST(SUM(c * c * c - c) AS BIGINT), 0) AS tie_sum
+        FROM vr WHERE c > 1
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           ROUND((3.0 / (n * (n + 1.0)) * sum_term - 3.0 * (n + 1.0))
+                 / (1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)),
+                 6) AS h_statistic
+    FROM hraw, tot, ties
+    """,
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does order value differ across the five
+    priorities? — the k-sample nonparametric ANOVA, completing the rank
+    family (KS two-sample, Spearman).  Doubled tie-average ranks stay
+    exact integers (the Spearman trick); with rank sums doubled, H =
+    12/(n(n+1)) · Σ(Rᵢ²/nᵢ) − 3(n+1) becomes 3/(n(n+1)) · Σ(R2ᵢ²/nᵢ) −
+    3(n+1), so every accumulation is exact and the tie-corrected H is
+    one IEEE expression.
+
+    100 TB shape: ranks from the value-domain cents histogram (the
+    distributed prefix-sum shape), one group aggregate."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = orders.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    vr = partitioned_prefix_sum(hist, "cents", "c", "cb").select(
+        "cents", (2 * F.col("cb") + F.col("c") + 1).alias("rank2"), "c"
+    )
+    ranked = orders.join(vr, "cents").select(
+        "grp", F.col("rank2").cast("decimal(38,0)").alias("r2")
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("r2").alias("sr2")
+    )
+    tot = per_grp.agg(F.sum("ni").alias("n"))
+    hraw = per_grp.agg(
+        F.sum(
+            F.col("sr2").cast("double") * F.col("sr2").cast("double")
+            / F.col("ni")
+        ).alias("sum_term"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ties = vr.where(F.col("c") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")),
+            F.lit(0),
+        ).alias("tie_sum")
+    )
+    n = F.col("n")
+    h = (
+        3.0 / (n * (n + 1.0)) * F.col("sum_term") - 3.0 * (n + 1.0)
+    ) / (
+        1.0
+        - F.col("tie_sum").cast("double")
+        / (n.cast("double") * n * n - n)
+    )
+    return (
+        hraw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("n_groups"),
+            n.alias("n_rows"),
+            F.round(h, 6).alias("h_statistic"),
+        )
+    )

@@ -1285,3 +1285,35 @@ def test_powerlaw_fit_matches_python(spark):
     assert (r["n_vertices"], r["d_min"], r["powerlaw_alpha"]) == (
         len(degs), dmin, alpha,
     )
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    data = [
+        (r["o_orderpriority"], int(_round_half_up0(r["o_totalprice"] * 100)))
+        for r in tbl
+    ]
+    vals = sorted(v for _, v in data)
+    # average ranks
+    from bisect import bisect_left, bisect_right
+
+    def avg_rank(v):
+        lo, hi = bisect_left(vals, v), bisect_right(vals, v)
+        return (lo + 1 + hi) / 2
+
+    groups = defaultdict(list)
+    for g, v in data:
+        groups[g].append(avg_rank(v))
+    n = len(data)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    tie_counts = Counter(v for _, v in data)
+    tie_sum = sum(c ** 3 - c for c in tie_counts.values() if c > 1)
+    h_corr = h / (1 - tie_sum / (n ** 3 - n))
+    r = QUERIES["kruskal_wallis_priority"](spark, SF_DIR).collect()[0]
+    assert r["n_groups"] == len(groups)
+    assert r["n_rows"] == n
+    assert abs(r["h_statistic"] - h_corr) < 1e-4

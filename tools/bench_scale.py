@@ -82,6 +82,7 @@ ROSTER = [
     "interevent_burstiness",
     "runs_test_revenue",
     "degree_powerlaw_fit",
+    "kruskal_wallis_priority",
 ]
 
 SF_DIRS = {
