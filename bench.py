@@ -144,6 +144,7 @@ HEADLINE = [
     "runs_test_revenue",
     "degree_powerlaw_fit",
     "kruskal_wallis_priority",
+    "mann_whitney_halves",
 ]
 
 

@@ -3599,3 +3599,76 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h, 6).alias("h_statistic"),
         )
     )
+
+
+@register(
+    "mann_whitney_halves",
+    """
+    WITH o AS (
+        SELECT o_orderkey % 2 AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), vr AS (
+        SELECT cents,
+               2 * (CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) - c) + c + 1
+                   AS rank2
+        FROM (SELECT cents, COUNT(*) AS c FROM o GROUP BY cents)
+    ), per AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(SUM(CAST(rank2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr2
+        FROM o JOIN vr USING (cents) GROUP BY grp
+    ), u AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN ni END) AS n1,
+               MAX(CASE WHEN grp = 1 THEN ni END) AS n2,
+               MAX(CASE WHEN grp = 0 THEN sr2 END) AS r2a
+        FROM per
+    )
+    SELECT n1, n2,
+           ROUND((CAST(r2a AS DOUBLE) / 2 - n1 * (n1 + 1.0) / 2)
+                 / 1, 1) AS u_statistic,
+           ROUND(2.0 * (CAST(r2a AS DOUBLE) / 2 - n1 * (n1 + 1.0) / 2)
+                 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 6) AS rank_biserial
+    FROM u
+    """,
+)
+def mann_whitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two order halves plus the
+    rank-biserial correlation (the effect size 2U/(n₁n₂) − 1 ∈ [−1,1])
+    — the two-sample location test that needs no normality, with its
+    standard effect-size companion.  Doubled ranks keep the rank sum
+    exact; U = R₁ − n₁(n₁+1)/2 halves back out, and both emits are one
+    IEEE expression each.  Same value-domain rank machinery as
+    Spearman/Kruskal-Wallis."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = orders.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    vr = partitioned_prefix_sum(hist, "cents", "c", "cb").select(
+        "cents", (2 * F.col("cb") + F.col("c") + 1).alias("rank2")
+    )
+    per = (
+        orders.join(vr, "cents")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum(F.col("rank2").cast("decimal(38,0)")).alias("sr2"),
+        )
+    )
+    u = per.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("ni"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("ni"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 0, F.col("sr2"))).alias("r2a"),
+    )
+    n1 = F.col("n1")
+    n2 = F.col("n2")
+    u_stat = F.col("r2a").cast("double") / 2 - n1 * (n1 + 1.0) / 2
+    return u.select(
+        "n1",
+        "n2",
+        F.round(u_stat, 1).alias("u_statistic"),
+        F.round(
+            2.0 * u_stat / (n1.cast("double") * n2) - 1.0, 6
+        ).alias("rank_biserial"),
+    )

@@ -1317,3 +1317,27 @@ def test_kruskal_wallis_matches_scipy_formula(spark):
     assert r["n_groups"] == len(groups)
     assert r["n_rows"] == n
     assert abs(r["h_statistic"] - h_corr) < 1e-4
+
+
+def test_mann_whitney_matches_python(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    data = [
+        (r["o_orderkey"] % 2, int(_round_half_up0(r["o_totalprice"] * 100)))
+        for r in tbl
+    ]
+    vals = sorted(v for _, v in data)
+    from bisect import bisect_left, bisect_right
+
+    def avg_rank(v):
+        return (bisect_left(vals, v) + 1 + bisect_right(vals, v)) / 2
+
+    r1 = sum(avg_rank(v) for g, v in data if g == 0)
+    n1 = sum(1 for g, _ in data if g == 0)
+    n2 = len(data) - n1
+    u = r1 - n1 * (n1 + 1) / 2
+    r = QUERIES["mann_whitney_halves"](spark, SF_DIR).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["u_statistic"] == _round_half_up(u, 1)
+    assert r["rank_biserial"] == _round_half_up(2 * u / (n1 * n2) - 1, 6)

@@ -83,6 +83,7 @@ ROSTER = [
     "runs_test_revenue",
     "degree_powerlaw_fit",
     "kruskal_wallis_priority",
+    "mann_whitney_halves",
 ]
 
 SF_DIRS = {
