@@ -3104,26 +3104,34 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part", parallel=True).select(
         "p_partkey", "p_brand"
     )
-    pts = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
-        F.col("p_brand").alias("brand"),
-        F.round(F.log(F.col("l_quantity").cast("double")), 9)
-        .cast("decimal(20,9)")
-        .alias("x"),
-        F.round(
-            F.log(
-                F.round(F.col("l_extendedprice") * 100).cast("long") / 100.0
-            ),
-            9,
-        )
-        .cast("decimal(20,9)")
-        .alias("y"),
+    x = F.round(F.log(F.col("l_quantity").cast("double")), 9).cast(
+        "decimal(20,9)"
     )
-    m = pts.groupBy("brand").agg(
+    y = F.round(
+        F.log(F.round(F.col("l_extendedprice") * 100).cast("long") / 100.0), 9
+    ).cast("decimal(20,9)")
+    # aggregate moments BELOW the join: decimal sums are additive, so
+    # per-partkey partials roll up to per-brand totals exactly — the
+    # dimension join then moves the part-sized aggregate, not the fact
+    # (at sf1 the part side outgrows the broadcast threshold and a
+    # fact-side SMJ sort cost 13x; this keeps the join part-sized)
+    per_part = li.select(
+        "l_partkey", x.alias("x"), y.alias("y")
+    ).groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = per_part.join(
+        part, per_part["l_partkey"] == part["p_partkey"]
+    ).groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
     )
     n = F.col("n")
     sx = F.col("sx").cast("double")
