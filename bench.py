@@ -145,6 +145,7 @@ HEADLINE = [
     "degree_powerlaw_fit",
     "kruskal_wallis_priority",
     "mann_whitney_halves",
+    "wilcoxon_wow_revenue",
 ]
 
 

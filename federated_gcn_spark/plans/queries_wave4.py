@@ -3680,3 +3680,100 @@ def mann_whitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * u_stat / (n1.cast("double") * n2) - 1.0, 6
         ).alias("rank_biserial"),
     )
+
+
+@register(
+    "wilcoxon_wow_revenue",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ), diffs AS (
+        SELECT b.rev_c - a.rev_c AS d
+        FROM daily a JOIN daily b ON b.day = a.day + 7
+    ), nz AS (
+        SELECT d, ABS(d) AS ad FROM diffs WHERE d <> 0
+    ), vr AS (
+        SELECT ad,
+               2 * (CAST(SUM(c) OVER (ORDER BY ad) AS BIGINT) - c) + c + 1
+                   AS rank2,
+               c
+        FROM (SELECT ad, COUNT(*) AS c FROM nz GROUP BY ad)
+    ), ranked AS (
+        SELECT nz.d, CAST(vr.rank2 AS DECIMAL(38,0)) AS r2
+        FROM nz JOIN vr USING (ad)
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE CAST(0 AS DECIMAL(38,0))
+                        END) AS DECIMAL(38,0)) AS w2_plus
+        FROM ranked
+    ), ties AS (
+        SELECT COALESCE(CAST(SUM(c * c * c - c) AS BIGINT), 0) AS tie_sum
+        FROM vr WHERE c > 1
+    )
+    SELECT n AS n_pairs,
+           ROUND(CAST(w2_plus AS DOUBLE) / 2, 1) AS w_plus,
+           ROUND((CAST(w2_plus AS DOUBLE) / 2 - n * (n + 1.0) / 4)
+                 / SQRT(n * (n + 1.0) * (2.0 * n + 1) / 24
+                        - CAST(tie_sum AS DOUBLE) / 48), 6) AS z_score
+    FROM m, ties
+    """,
+)
+def wilcoxon_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on week-over-week paired daily-revenue
+    changes (day vs day+7 — same-weekday pairing strips weekday
+    seasonality by construction): is there a systematic weekly shift? —
+    the PAIRED branch of the nonparametric family (KS/Mann-Whitney are
+    independent-sample, this is matched-pairs).
+
+    Doubled |d|-ranks stay exact integers (the family trick); W⁺ halves
+    back out, and the tie-corrected normal approximation emits as one
+    IEEE expression.  Same value-domain rank machinery, applied to the
+    |difference| domain of the calendar-bounded pair table."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    ).localCheckpoint(eager=True)
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("rev_c").alias("rev_c2")
+    )
+    diffs = daily.join(b, F.col("day2") == F.col("day") + 7).select(
+        (F.col("rev_c2") - F.col("rev_c")).alias("d")
+    )
+    nz = diffs.where(F.col("d") != 0).select("d", F.abs(F.col("d")).alias("ad"))
+    hist = nz.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
+    vr = partitioned_prefix_sum(hist, "ad", "c", "cb").select(
+        "ad", (2 * F.col("cb") + F.col("c") + 1).alias("rank2"), "c"
+    )
+    ranked = nz.join(vr, "ad").select(
+        "d", F.col("rank2").cast("decimal(38,0)").alias("r2")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("r2")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("w2_plus"),
+    )
+    ties = vr.where(F.col("c") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")),
+            F.lit(0),
+        ).alias("tie_sum")
+    )
+    n = F.col("n")
+    w_plus = F.col("w2_plus").cast("double") / 2
+    var = n * (n + 1.0) * (2.0 * n + 1) / 24 - F.col("tie_sum").cast(
+        "double"
+    ) / 48
+    return m.crossJoin(F.broadcast(ties)).select(
+        n.alias("n_pairs"),
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round((w_plus - n * (n + 1.0) / 4) / F.sqrt(var), 6).alias("z_score"),
+    )

@@ -1341,3 +1341,27 @@ def test_mann_whitney_matches_python(spark):
     assert (r["n1"], r["n2"]) == (n1, n2)
     assert r["u_statistic"] == _round_half_up(u, 1)
     assert r["rank_biserial"] == _round_half_up(2 * u / (n1 * n2) - 1, 6)
+
+
+def test_wilcoxon_matches_python(spark):
+    daily = _daily_rev()
+    diffs = [
+        daily[d + 7] - daily[d] for d in daily if d + 7 in daily
+    ]
+    nz = [d for d in diffs if d != 0]
+    ads = sorted(abs(d) for d in nz)
+    from bisect import bisect_left, bisect_right
+
+    def avg_rank(v):
+        return (bisect_left(ads, v) + 1 + bisect_right(ads, v)) / 2
+
+    n = len(nz)
+    w_plus = sum(avg_rank(abs(d)) for d in nz if d > 0)
+    tie_counts = Counter(ads)
+    tie_sum = sum(c ** 3 - c for c in tie_counts.values() if c > 1)
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie_sum / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    r = QUERIES["wilcoxon_wow_revenue"](spark, SF_DIR).collect()[0]
+    assert r["n_pairs"] == n
+    assert r["w_plus"] == _round_half_up(w_plus, 1)
+    assert abs(r["z_score"] - z) < 1e-5

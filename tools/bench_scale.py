@@ -84,6 +84,7 @@ ROSTER = [
     "degree_powerlaw_fit",
     "kruskal_wallis_priority",
     "mann_whitney_halves",
+    "wilcoxon_wow_revenue",
 ]
 
 SF_DIRS = {
