@@ -146,6 +146,8 @@ HEADLINE = [
     "kruskal_wallis_priority",
     "mann_whitney_halves",
     "wilcoxon_wow_revenue",
+    "wasserstein_price_drift",
+    "hellinger_price_drift",
 ]
 
 

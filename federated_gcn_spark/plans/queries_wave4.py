@@ -3777,3 +3777,160 @@ def wilcoxon_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_plus, 1).alias("w_plus"),
         F.round((w_plus - n * (n + 1.0) / 4) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "wasserstein_price_drift",
+    """
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 2 AS half
+        FROM orders
+    ), hist AS (
+        SELECT cents,
+               CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS c2
+        FROM o GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM hist
+    ), cum AS (
+        SELECT cents,
+               CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2,
+               LEAD(cents) OVER (ORDER BY cents) AS next_cents
+        FROM hist
+    ), area AS (
+        SELECT SUM(CAST(ABS(n2 * cum1 - n1 * cum2) AS DECIMAL(38,0))
+                   * (next_cents - cents)) AS w_scaled,
+               ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2
+        FROM cum, tot WHERE next_cents IS NOT NULL
+    )
+    SELECT n1, n2,
+           ROUND(CAST(w_scaled AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 100, 4)
+               AS wasserstein_dollars
+    FROM area
+    """,
+)
+def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the two halves'
+    price distributions — the optimal-transport drift measure that,
+    unlike KS (max gap) or PSI (binned), weighs HOW FAR mass moved:
+    W₁ = ∫|F₁−F₂| dx, computed exactly as the CDF-gap area over the
+    distinct-value domain.
+
+    Exactness: the integrand |n₂·cum₁ − n₁·cum₂|·Δv is an exact integer
+    per segment (the KS cross-multiplication times an integer gap) and
+    accumulates in DECIMAL(38,0); one division emits dollars.  Same
+    value-domain prefix shape as the KS test."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    hist = orders.groupBy("cents").agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = partitioned_prefix_sum(hist, "cents", "c1", "cb1")
+    cum = partitioned_prefix_sum(cum, "cents", "c2", "cb2")
+    w = Window.orderBy("cents")
+    cum = cum.select(
+        "cents",
+        (F.col("cb1") + F.col("c1")).alias("cum1"),
+        (F.col("cb2") + F.col("c2")).alias("cum2"),
+    ).withColumn("next_cents", F.lead("cents").over(w))
+    area = (
+        cum.where(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")
+                ).cast("decimal(38,0)")
+                * (F.col("next_cents") - F.col("cents"))
+            ).alias("w_scaled"),
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+        )
+    )
+    return area.select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("w_scaled").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2")) / 100,
+            4,
+        ).alias("wasserstein_dollars"),
+    )
+
+
+@register(
+    "hellinger_price_drift",
+    """
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 2 AS half
+        FROM orders
+    ), b AS (
+        SELECT cents // 100000 AS bucket,
+               CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS c2
+        FROM o GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM b
+    ), terms AS (
+        SELECT CAST(ROUND(SQRT((CAST(c1 AS DOUBLE) / n1)
+                               * (CAST(c2 AS DOUBLE) / n2)), 12)
+                    AS DECIMAL(24,12)) AS bc_term
+        FROM b, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(bc_term) AS DOUBLE), 6) AS bhattacharyya,
+           ROUND(SQRT(1 - LEAST(CAST(SUM(bc_term) AS DOUBLE), 1.0)), 6)
+               AS hellinger
+    FROM terms
+    """,
+)
+def hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient and Hellinger distance between the two
+    halves' price distributions over fixed $1000 buckets — the bounded
+    [0,1] drift metric (unlike KL it never diverges on disjoint
+    support), completing the drift-distance family: PSI (binned
+    log-ratio), KS (max CDF gap), Wasserstein (transported mass),
+    Hellinger (geometric overlap).
+
+    Buckets are fixed integer arithmetic (cents div 100000 — no fitted
+    edges, so both engines bucket identically by construction); each
+    √(p·q) term is IEEE-exact on identical doubles, rounded to 12 dp,
+    and decimal-summed."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    b = orders.groupBy(
+        F.expr("cents div 100000").alias("bucket")
+    ).agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    tot = b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.sqrt(
+                (F.col("c1").cast("double") / F.col("n1"))
+                * (F.col("c2").cast("double") / F.col("n2"))
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("bc_term")
+    )
+    bc = F.sum("bc_term").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(1 - F.least(bc, F.lit(1.0))), 6).alias("hellinger"),
+    )

@@ -1365,3 +1365,56 @@ def test_wilcoxon_matches_python(spark):
     assert r["n_pairs"] == n
     assert r["w_plus"] == _round_half_up(w_plus, 1)
     assert abs(r["z_score"] - z) < 1e-5
+
+
+def _halves_cents():
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    a = [int(_round_half_up0(r["o_totalprice"] * 100)) for r in tbl
+         if r["o_orderkey"] % 2 == 0]
+    b = [int(_round_half_up0(r["o_totalprice"] * 100)) for r in tbl
+         if r["o_orderkey"] % 2 == 1]
+    return a, b
+
+
+def test_wasserstein_matches_python(spark):
+    a, b = _halves_cents()
+    n1, n2 = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    from bisect import bisect_right
+
+    a_s, b_s = sorted(a), sorted(b)
+    w_scaled = 0
+    for v, nxt in zip(values, values[1:]):
+        cum1 = bisect_right(a_s, v)
+        cum2 = bisect_right(b_s, v)
+        w_scaled += abs(n2 * cum1 - n1 * cum2) * (nxt - v)
+    r = QUERIES["wasserstein_price_drift"](spark, SF_DIR).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["wasserstein_dollars"] == _round_half_up(
+        w_scaled / (n1 * n2) / 100, 4
+    )
+    # sanity: equals scipy-style mean |F1-F2| integral
+    assert r["wasserstein_dollars"] > 0
+
+
+def test_hellinger_matches_python(spark):
+    a, b = _halves_cents()
+    n1, n2 = len(a), len(b)
+    ca = Counter(v // 100000 for v in a)
+    cb = Counter(v // 100000 for v in b)
+    buckets = set(ca) | set(cb)
+    bc = sum(
+        Decimal(repr(_round_half_up(
+            math.sqrt((ca.get(k, 0) / n1) * (cb.get(k, 0) / n2)), 12
+        )))
+        for k in buckets
+    )
+    r = QUERIES["hellinger_price_drift"](spark, SF_DIR).collect()[0]
+    assert r["n_buckets"] == len(buckets)
+    assert r["bhattacharyya"] == _round_half_up(float(bc), 6)
+    assert r["hellinger"] == _round_half_up(
+        math.sqrt(1 - min(float(bc), 1.0)), 6
+    )
+    assert 0 <= r["hellinger"] <= 1

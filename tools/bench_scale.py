@@ -85,6 +85,8 @@ ROSTER = [
     "kruskal_wallis_priority",
     "mann_whitney_halves",
     "wilcoxon_wow_revenue",
+    "wasserstein_price_drift",
+    "hellinger_price_drift",
 ]
 
 SF_DIRS = {
