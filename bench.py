@@ -148,6 +148,7 @@ HEADLINE = [
     "wilcoxon_wow_revenue",
     "wasserstein_price_drift",
     "hellinger_price_drift",
+    "rolling_correlation_revenue_orders",
 ]
 
 

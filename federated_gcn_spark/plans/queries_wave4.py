@@ -3934,3 +3934,96 @@ def hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bc, 6).alias("bhattacharyya"),
         F.round(F.sqrt(1 - F.least(bc, F.lit(1.0))), 6).alias("hellinger"),
     )
+
+
+@register(
+    "rolling_correlation_revenue_orders",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c,
+               CAST(COUNT(*) AS BIGINT) AS n_ord
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT d.day,
+               CAST(w.rev_c AS DECIMAL(38,0)) AS x,
+               CAST(w.n_ord AS DECIMAL(38,0)) AS y
+        FROM daily d JOIN daily w
+          ON w.day BETWEEN d.day - 29 AND d.day
+    ), m AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM win GROUP BY day
+    )
+    SELECT day, n AS n_days_in_window,
+           CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                  OR n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+                THEN NULL
+                ELSE ROUND((n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (SQRT(n * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * SQRT(n * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6) END AS rolling_corr
+    FROM m
+    """,
+)
+def rolling_correlation_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing 30-day Pearson correlation between daily revenue and
+    daily order count — the rolling-bivariate monitor that flags regime
+    changes where volume and value decouple (discount waves, mix
+    shifts).
+
+    Same calendar-bounded window-join shape as the moving median, with
+    the assortativity family's exactness: per-day moments accumulate in
+    DECIMAL(38,0) from exact integers, one IEEE correlation emit per
+    day; degenerate (zero-variance) windows emit NULL explicitly rather
+    than dividing by zero."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_ord"),
+    )
+    w = daily.select(
+        F.col("day").alias("wday"),
+        F.col("rev_c").cast("decimal(38,0)").alias("x"),
+        F.col("n_ord").cast("decimal(38,0)").alias("y"),
+    )
+    win = daily.join(
+        w,
+        (F.col("wday") >= F.col("day") - 29) & (F.col("wday") <= F.col("day")),
+    )
+    m = win.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return m.select(
+        "day",
+        n.alias("n_days_in_window"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6)
+        )
+        .alias("rolling_corr"),
+    )

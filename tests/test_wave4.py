@@ -1418,3 +1418,39 @@ def test_hellinger_matches_python(spark):
         math.sqrt(1 - min(float(bc), 1.0)), 6
     )
     assert 0 <= r["hellinger"] <= 1
+
+
+def test_rolling_correlation_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT),
+                   COUNT(*)
+            FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    daily = {d: (r, n) for d, r, n in rows}
+    got = {
+        r["day"]: (r["n_days_in_window"], r["rolling_corr"])
+        for r in QUERIES["rolling_correlation_revenue_orders"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for day in daily:
+        pts = [daily[d] for d in daily if day - 29 <= d <= day]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            expected = None
+        else:
+            expected = _round_half_up(
+                (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)), 6
+            )
+        assert got[day] == (n, expected), day

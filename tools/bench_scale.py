@@ -87,6 +87,7 @@ ROSTER = [
     "wilcoxon_wow_revenue",
     "wasserstein_price_drift",
     "hellinger_price_drift",
+    "rolling_correlation_revenue_orders",
 ]
 
 SF_DIRS = {
