@@ -149,6 +149,7 @@ HEADLINE = [
     "wasserstein_price_drift",
     "hellinger_price_drift",
     "rolling_correlation_revenue_orders",
+    "odds_ratio_urgent_building",
 ]
 
 

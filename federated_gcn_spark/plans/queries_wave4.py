@@ -4027,3 +4027,88 @@ def rolling_correlation_revenue_orders(
         )
         .alias("rolling_corr"),
     )
+
+
+@register(
+    "odds_ratio_urgent_building",
+    """
+    WITH base AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS exposed,
+               MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS outcome
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, 1
+    ), cells AS (
+        SELECT CAST(COUNT(*) FILTER (exposed = 1 AND outcome = 1) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (exposed = 1 AND outcome = 0) AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (exposed = 0 AND outcome = 1) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (exposed = 0 AND outcome = 0) AS BIGINT) AS d
+        FROM base
+    )
+    SELECT a, b, c, d,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+               AS odds_ratio,
+           ROUND((CAST(a AS DOUBLE) / (a + b))
+                 / (CAST(c AS DOUBLE) / (c + d)), 6) AS relative_risk,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - 1.959964 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS or_ci_low,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + 1.959964 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS or_ci_high
+    FROM cells
+    """,
+)
+def odds_ratio_urgent_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of 'has an urgent order' for
+    BUILDING-segment customers, with the Woolf 95% CI — the 2×2
+    effect-size readout every cohort comparison reports beside its
+    p-value (the chi-squared machinery says IF there is association;
+    this says HOW MUCH).
+
+    One custkey join + MAX-bit fold (the audience_venn shape) to a
+    single 2×2 cell row; all four emits are one IEEE expression over
+    exact counts."""
+    customer = load_table(spark, sf_dir, "customer", parallel=True).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_custkey", "o_orderpriority"
+    )
+    base = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .groupBy(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("exposed"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("outcome")
+        )
+    )
+    cells = base.agg(
+        F.count_if((F.col("exposed") == 1) & (F.col("outcome") == 1)).alias("a"),
+        F.count_if((F.col("exposed") == 1) & (F.col("outcome") == 0)).alias("b"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outcome") == 1)).alias("c"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outcome") == 0)).alias("d"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    or_ = a * d / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round((a / (a + b)) / (c / (c + d)), 6).alias("relative_risk"),
+        F.round(F.exp(F.log(or_) - 1.959964 * se), 6).alias("or_ci_low"),
+        F.round(F.exp(F.log(or_) + 1.959964 * se), 6).alias("or_ci_high"),
+    )

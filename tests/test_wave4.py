@@ -1454,3 +1454,34 @@ def test_rolling_correlation_matches_python(spark):
                 (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)), 6
             )
         assert got[day] == (n, expected), day
+
+
+def test_odds_ratio_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT c.c_mktsegment = 'BUILDING',
+                   MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF_DIR}/customer.parquet') c
+            JOIN read_parquet('{SF_DIR}/orders.parquet') o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, 1"""
+    ).fetchall()
+    con.close()
+    a = sum(1 for e, y in rows if e and y)
+    b = sum(1 for e, y in rows if e and not y)
+    c_ = sum(1 for e, y in rows if not e and y)
+    d = sum(1 for e, y in rows if not e and not y)
+    orr = a * d / (b * c_)
+    se = math.sqrt(1 / a + 1 / b + 1 / c_ + 1 / d)
+    r = QUERIES["odds_ratio_urgent_building"](spark, SF_DIR).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c_, d)
+    assert r["odds_ratio"] == _round_half_up(orr, 6)
+    assert r["relative_risk"] == _round_half_up(
+        (a / (a + b)) / (c_ / (c_ + d)), 6
+    )
+    assert abs(r["or_ci_low"] - math.exp(math.log(orr) - 1.959964 * se)) < 1e-5
+    assert abs(r["or_ci_high"] - math.exp(math.log(orr) + 1.959964 * se)) < 1e-5
+    assert r["or_ci_low"] <= r["odds_ratio"] <= r["or_ci_high"]

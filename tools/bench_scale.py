@@ -88,6 +88,7 @@ ROSTER = [
     "wasserstein_price_drift",
     "hellinger_price_drift",
     "rolling_correlation_revenue_orders",
+    "odds_ratio_urgent_building",
 ]
 
 SF_DIRS = {
