@@ -150,6 +150,7 @@ HEADLINE = [
     "hellinger_price_drift",
     "rolling_correlation_revenue_orders",
     "odds_ratio_urgent_building",
+    "gains_lift_table",
 ]
 
 

@@ -4112,3 +4112,138 @@ def odds_ratio_urgent_building(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(or_) - 1.959964 * se), 6).alias("or_ci_low"),
         F.round(F.exp(F.log(or_) + 1.959964 * se), 6).alias("or_ci_high"),
     )
+
+
+def _gains_oracle() -> str:
+    from federated_gcn_spark.functions.text import STOPWORDS
+    from federated_gcn_spark.plans.queries import _in_list
+
+    edge_exprs = ", ".join(
+        f"MIN(CASE WHEN cum_c >= ({i} * n + 9) // 10 THEN s END)"
+        for i in range(1, 10)
+    )
+    return rf"""
+    WITH t AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS nt,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(list_filter(
+                        string_split_regex(LOWER(TRIM(text)), '\s+'),
+                        x -> x IN ({_in_list(STOPWORDS)}))) END AS sw,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(text) - LENGTH(translate(text, '.,!?;:', ''))
+                              AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS punct
+        FROM documents
+    ), scored AS (
+        SELECT y,
+               CAST(ROUND(ROUND(0.4 * LEAST(1.0, CAST(nt AS DOUBLE) / 64.0)
+                     + 0.3 * (1.0 - punct)
+                     + 0.3 * LEAST(1.0, 4.0 * (CASE WHEN nt > 0
+                           THEN CAST(sw AS DOUBLE) / nt ELSE 0.0 END)), 6)
+                     * 1000000) AS BIGINT) AS s
+        FROM t
+    ), hist AS (
+        SELECT s, COUNT(*) AS c FROM scored GROUP BY s
+    ), na AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist
+    ), cum AS (
+        SELECT s, CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cum_c
+        FROM hist
+    ), edges AS (
+        SELECT [{edge_exprs}] AS es FROM cum, na
+    ), b AS (
+        SELECT y,
+               len(list_filter((SELECT es FROM edges), e -> s > e)) AS bucket
+        FROM scored
+    ), per AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+               CAST(SUM(n_pos) AS BIGINT) AS pos_all
+        FROM per
+    )
+    SELECT bucket AS score_decile, n_docs, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS positive_rate,
+           ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+                 / (CAST(pos_all AS DOUBLE) / n_all), 6) AS lift,
+           ROUND(CAST(SUM(n_pos) OVER (
+                     ORDER BY bucket DESC
+                 ) AS DOUBLE) / pos_all, 6) AS cum_gain
+    FROM per, tot
+    """
+
+
+@register("gains_lift_table", _gains_oracle())
+def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the quality score as a predictor of
+    English documents — the model-eval readout that answers 'how much of
+    the positive class do the top-k score deciles capture' (marketing's
+    gains chart, completing roc_auc / confusion_matrix /
+    score_calibration).
+
+    Scores become exact integers (6-dp quality × 1e6); decile edges are
+    exact order statistics over the score value domain (the PSI edge
+    machinery); bucket assignment is the broadcast-edge HOF scan;
+    lift/gain emit from exact counts, with the cumulative gain a
+    whole-frame window over ≤ 10 decile rows."""
+    from federated_gcn_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(F.round(quality_score("text"), 6) * 1000000)
+        .cast("long")
+        .alias("s"),
+    )
+    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = partitioned_prefix_sum(hist, "s", "c", "cb").withColumn(
+        "cum_c", F.col("cb") + F.col("c")
+    )
+    na = hist.agg(F.sum("c").alias("n"))
+    edges = (
+        cum.crossJoin(F.broadcast(na))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= F.expr(f"({i} * n + 9) div 10"),
+                        F.col("s"),
+                    )
+                ).alias(f"e{i}")
+                for i in range(1, 10)
+            ]
+        )
+        .select(F.array(*[f"e{i}" for i in range(1, 10)]).alias("es"))
+    )
+    b = scored.crossJoin(F.broadcast(edges)).select(
+        "y",
+        F.size(F.filter("es", lambda e: F.col("s") > e)).alias("bucket"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("n_pos")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("n_pos").alias("pos_all")
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    rate = F.col("n_pos").cast("double") / F.col("n_docs")
+    return j.select(
+        F.col("bucket").alias("score_decile"),
+        "n_docs",
+        "n_pos",
+        F.round(rate, 6).alias("positive_rate"),
+        F.round(
+            rate / (F.col("pos_all").cast("double") / F.col("n_all")), 6
+        ).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(w).cast("double") / F.col("pos_all"), 6
+        ).alias("cum_gain"),
+    )

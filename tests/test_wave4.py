@@ -1485,3 +1485,28 @@ def test_odds_ratio_matches_python(spark):
     assert abs(r["or_ci_low"] - math.exp(math.log(orr) - 1.959964 * se)) < 1e-5
     assert abs(r["or_ci_high"] - math.exp(math.log(orr) + 1.959964 * se)) < 1e-5
     assert r["or_ci_low"] <= r["odds_ratio"] <= r["or_ci_high"]
+
+
+def test_gains_lift_invariants(spark):
+    rows = sorted(
+        QUERIES["gains_lift_table"](spark, SF_DIR).collect(),
+        key=lambda r: -r["score_decile"],
+    )
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang"])
+    n_all = tbl.num_rows
+    pos_all = sum(1 for v in tbl["lang"].to_pylist() if v == "en")
+    assert sum(r["n_docs"] for r in rows) == n_all
+    assert sum(r["n_pos"] for r in rows) == pos_all
+    # cumulative gain is non-decreasing from the top decile down and ends at 1
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-9
+    # each decile holds roughly a tenth of the population (value-domain
+    # edges can only cut between distinct scores)
+    for r in rows:
+        assert r["n_docs"] > 0
+    # lift is rate / base rate
+    for r in rows:
+        assert abs(
+            r["lift"] - r["positive_rate"] / (pos_all / n_all)
+        ) < 1e-4

@@ -89,6 +89,7 @@ ROSTER = [
     "hellinger_price_drift",
     "rolling_correlation_revenue_orders",
     "odds_ratio_urgent_building",
+    "gains_lift_table",
 ]
 
 SF_DIRS = {
