@@ -151,6 +151,7 @@ HEADLINE = [
     "rolling_correlation_revenue_orders",
     "odds_ratio_urgent_building",
     "gains_lift_table",
+    "rfm_segmentation",
 ]
 
 

@@ -4247,3 +4247,152 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos").over(w).cast("double") / F.col("pos_all"), 6
         ).alias("cum_gain"),
     )
+
+
+def _rfm_oracle() -> str:
+    def edges(src: str, val: str) -> str:
+        return ", ".join(
+            f"MIN(CASE WHEN cum_c >= ({i} * n + 4) // 5 THEN {val} END)"
+            for i in range(1, 5)
+        )
+
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                   AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ), n_c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust
+    ), re AS (
+        SELECT [{edges('cust', 'v')}] AS es
+        FROM (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum_c
+              FROM (SELECT recency AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+             n_c
+    ), fe AS (
+        SELECT [{edges('cust', 'v')}] AS es
+        FROM (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum_c
+              FROM (SELECT frequency AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+             n_c
+    ), me AS (
+        SELECT [{edges('cust', 'v')}] AS es
+        FROM (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum_c
+              FROM (SELECT monetary AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+             n_c
+    ), scored AS (
+        SELECT 5 - len(list_filter((SELECT es FROM re), e -> recency > e))
+                   AS r_score,
+               1 + len(list_filter((SELECT es FROM fe), e -> frequency > e))
+                   AS f_score,
+               1 + len(list_filter((SELECT es FROM me), e -> monetary > e))
+                   AS m_score,
+               monetary
+        FROM cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) // COUNT(*) AS BIGINT) AS avg_spend_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("rfm_segmentation", _rfm_oracle())
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (days
+    since last order — lower is better, so the score inverts), Frequency
+    and Monetary by EXACT population quintiles, rolled up to segment
+    cells — the marketing-analytics workhorse, three value-domain
+    quantile fits in one query.
+
+    All three edge sets use the PSI/gains machinery (distinct-value
+    histogram → prefix sum → order-statistic edges → broadcast array +
+    HOF scan); segment means follow the decimal-sum-then-one-division
+    rule.  The fact reduces to one per-customer aggregate before
+    anything else runs."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor")
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff(F.col("anchor"), F.col("last_order"))
+            .cast("long")
+            .alias("recency"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_c = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def quintile_edges(col: str):
+        hist = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cum = partitioned_prefix_sum(hist, "v", "c", "cb").withColumn(
+            "cum_c", F.col("cb") + F.col("c")
+        )
+        return (
+            cum.crossJoin(F.broadcast(n_c))
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum_c") >= F.expr(f"({i} * n + 4) div 5"),
+                            F.col("v"),
+                        )
+                    ).alias(f"e{i}")
+                    for i in range(1, 5)
+                ]
+            )
+            .select(F.array(*[f"e{i}" for i in range(1, 5)]).alias("es"))
+        )
+
+    re_, fe, me = (
+        quintile_edges("recency"),
+        quintile_edges("frequency"),
+        quintile_edges("monetary"),
+    )
+    scored = (
+        cust.crossJoin(F.broadcast(re_.select(F.col("es").alias("r_es"))))
+        .crossJoin(F.broadcast(fe.select(F.col("es").alias("f_es"))))
+        .crossJoin(F.broadcast(me.select(F.col("es").alias("m_es"))))
+        .select(
+            (
+                5 - F.size(F.filter("r_es", lambda e: F.col("recency") > e))
+            ).alias("r_score"),
+            (
+                1 + F.size(F.filter("f_es", lambda e: F.col("frequency") > e))
+            ).alias("f_score"),
+            (
+                1 + F.size(F.filter("m_es", lambda e: F.col("monetary") > e))
+            ).alias("m_score"),
+            "monetary",
+        )
+    )
+    # floor-division cents, not a rounded mean: tiny segments make the
+    # p/q mean land on exact half-cents, where the engines' ROUND-of-
+    # double implementations disagree — integer div is exact everywhere
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("sum(monetary) div count(1)").alias("avg_spend_cents"),
+        )
+    )

@@ -1510,3 +1510,49 @@ def test_gains_lift_invariants(spark):
         assert abs(
             r["lift"] - r["positive_rate"] / (pos_all / n_all)
         ) < 1e-4
+
+
+def test_rfm_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_custkey,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE)
+                        FROM read_parquet('{SF_DIR}/orders.parquet'))),
+                   COUNT(*),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{SF_DIR}/orders.parquet')
+            GROUP BY o_custkey"""
+    ).fetchall()
+    con.close()
+    custs = [(r, f, m) for _, r, f, m in rows]
+    n = len(custs)
+
+    def edges(vals):
+        sv = sorted(vals)
+        return [sv[-(-i * n // 5) - 1] for i in range(1, 5)]
+
+    re_, fe, me = (
+        edges([r for r, _, _ in custs]),
+        edges([f for _, f, _ in custs]),
+        edges([m for _, _, m in custs]),
+    )
+    seg = defaultdict(lambda: [0, 0])
+    for r, f, m in custs:
+        rs = 5 - sum(1 for e in re_ if r > e)
+        fs = 1 + sum(1 for e in fe if f > e)
+        ms = 1 + sum(1 for e in me if m > e)
+        seg[(rs, fs, ms)][0] += 1
+        seg[(rs, fs, ms)][1] += m
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_customers"], r["avg_spend_cents"],
+        )
+        for r in QUERIES["rfm_segmentation"](spark, SF_DIR).collect()
+    }
+    assert got == {
+        k: (c, total // c) for k, (c, total) in seg.items()
+    }

@@ -90,6 +90,7 @@ ROSTER = [
     "rolling_correlation_revenue_orders",
     "odds_ratio_urgent_building",
     "gains_lift_table",
+    "rfm_segmentation",
 ]
 
 SF_DIRS = {
