@@ -152,6 +152,7 @@ HEADLINE = [
     "odds_ratio_urgent_building",
     "gains_lift_table",
     "rfm_segmentation",
+    "cohort_ltv_curve",
 ]
 
 

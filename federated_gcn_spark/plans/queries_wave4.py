@@ -4396,3 +4396,78 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(monetary) div count(1)").alias("avg_spend_cents"),
         )
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               (EXTRACT(year FROM o_orderdate) * 12
+                + EXTRACT(month FROM o_orderdate) - 1) AS ym,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, MIN(ym) AS cohort FROM o GROUP BY o_custkey
+    ), sizes AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM first GROUP BY cohort
+    ), spend AS (
+        SELECT f.cohort, o.ym - f.cohort AS age,
+               CAST(SUM(o.cents) AS BIGINT) AS month_cents
+        FROM o JOIN first f USING (o_custkey)
+        GROUP BY f.cohort, o.ym - f.cohort
+    ), cum AS (
+        SELECT cohort, age,
+               CAST(SUM(month_cents) OVER (
+                   PARTITION BY cohort ORDER BY age
+               ) AS BIGINT) AS cum_cents
+        FROM spend
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort_month,
+           CAST(age AS BIGINT) AS age_months,
+           n_customers,
+           CAST(cum_cents // n_customers AS BIGINT)
+               AS ltv_per_customer_cents
+    FROM cum JOIN sizes USING (cohort)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative spend per customer at each cohort age — the
+    value-based companion to ``cohort_retention_matrix`` (retention says
+    who comes back; LTV says what they're worth as the cohort ages).
+
+    100 TB shape: one custkey aggregate for cohorts, one
+    (cohort, age)-grained rollup of the fact, then calendar-bounded
+    cumulative windows per cohort.  All exact integers; per-customer
+    LTV is floor-division cents (the small-group mean rule)."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    spend = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("ym") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("month_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = spend.withColumn("cum_cents", F.sum("month_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.col("cohort").alias("cohort_month"),
+        F.col("age").alias("age_months"),
+        "n_customers",
+        F.expr("cum_cents div n_customers").alias("ltv_per_customer_cents"),
+    )

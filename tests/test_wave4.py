@@ -1556,3 +1556,43 @@ def test_rfm_matches_python(spark):
     assert got == {
         k: (c, total // c) for k, (c, total) in seg.items()
     }
+
+
+def test_cohort_ltv_matches_python(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pylist()
+    rows = [
+        (
+            r["o_custkey"],
+            r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1,
+            int(_round_half_up0(r["o_totalprice"] * 100)),
+        )
+        for r in tbl
+    ]
+    first = {}
+    for ck, ym, _ in rows:
+        first[ck] = min(first.get(ck, ym), ym)
+    sizes = Counter(first.values())
+    spend = defaultdict(int)
+    for ck, ym, cents in rows:
+        spend[(first[ck], ym - first[ck])] += cents
+    ref = {}
+    for cohort in sizes:
+        cum = 0
+        for age in sorted(a for c, a in spend if c == cohort):
+            cum += spend[(cohort, age)]
+            ref[(cohort, age)] = (sizes[cohort], cum // sizes[cohort])
+    got = {
+        (r["cohort_month"], r["age_months"]): (
+            r["n_customers"], r["ltv_per_customer_cents"],
+        )
+        for r in QUERIES["cohort_ltv_curve"](spark, SF_DIR).collect()
+    }
+    assert got == ref
+    # LTV is non-decreasing with age within a cohort
+    for cohort in sizes:
+        ages = sorted(a for c, a in got if c == cohort)
+        vals = [got[(cohort, a)][1] for a in ages]
+        assert vals == sorted(vals)

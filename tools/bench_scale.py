@@ -91,6 +91,7 @@ ROSTER = [
     "odds_ratio_urgent_building",
     "gains_lift_table",
     "rfm_segmentation",
+    "cohort_ltv_curve",
 ]
 
 SF_DIRS = {
