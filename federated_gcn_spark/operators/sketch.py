@@ -176,12 +176,22 @@ def kmv_kth(df: DataFrame, key_col: str, k: int = 32) -> DataFrame:
     sm = dh.orderBy("h").limit(k)
     num = float((k - 1) * (1 << 64))
     shift = float(1 << 63)
-    return sm.agg(
+    agg = sm.agg(
         F.count(F.lit(1)).cast("long").alias("k_actual"),
         F.max("h").alias("kth_hash"),
         F.round(
             F.lit(num) / (F.max("h").cast("double") + F.lit(shift)), 2
-        ).alias("est_distinct"),
+        ).alias("est_kmv"),
+    )
+    # Exact regime: fewer than k distinct values means the sketch holds
+    # ALL of them — report the exact count, not the inflated formula
+    # estimate (the KMV convention when k_actual < k).
+    return agg.select(
+        "k_actual",
+        "kth_hash",
+        F.when(F.col("k_actual") < k, F.col("k_actual").cast("double"))
+        .otherwise(F.col("est_kmv"))
+        .alias("est_distinct"),
     )
 
 

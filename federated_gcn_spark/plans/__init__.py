@@ -26,43 +26,53 @@ from federated_gcn_spark.plans import queries_wave4  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 2
-# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 3
+# (CORRECTNESS_r01.json ∪ r02 ∪ r03).  Update after each round.
 _DRIVER_RECORDED = {
-    "ann_topk", "anti_join_no_orders", "connected_components",
-    "count_examples", "dedup_exact", "degree_counts", "distinct_nodes",
-    "doc_fingerprint", "double_split_stats", "edge_split_stats",
-    "edge_union_all", "embedding_merge", "embedding_near_dup",
-    "events_hopping", "events_json_extract", "events_sessionize",
-    "events_tumbling", "except_segments", "f1_metrics", "fanout_sampling",
-    "fedavg_tensor", "fedavg_weighted_scalar", "flagship_revenue",
-    "graphsage_layer", "intersect_segments", "ivf_ann_topk",
-    "lang_id_detect", "link_scores", "mem_cost_model", "merge_keep_first",
-    "minhash_near_dup_pairs", "minhash_signatures", "moving_avg_spend",
-    "multimodal_features", "neighbor_mean", "ngram_jaccard_adjacent",
-    "project_cast", "quality_score", "quantity_percentiles", "random_walks",
-    "roc_auc", "rollup_revenue", "semi_join_big_spenders",
-    "simhash_fingerprints", "similarity_topk", "tfidf_top_terms",
-    "token_count", "top_customers", "two_hop_paths", "unweighted_mean",
-    "window_topk",
+    "als_rank1_factors", "anf_register_supersteps", "ann_topk",
+    "anti_join_no_orders", "asof_latest_update", "bigram_nll",
+    "bpe_token_estimate", "chunk_docs", "connected_components",
+    "count_examples", "covariance_matrix", "cube_revenue",
+    "decontam_report", "dedup_exact", "degree_counts", "distinct_nodes",
+    "doc_fingerprint", "documents_curated", "domain_mixture_sample",
+    "double_split_stats", "edge_split_stats", "edge_union_all",
+    "embedding_centroids", "embedding_merge", "embedding_near_dup",
+    "embedding_norms", "events_hopping", "events_json_extract",
+    "events_sessionize", "events_tumbling", "exact_order_statistics",
+    "except_segments", "f1_metrics", "fanout_sampling", "fedavg_tensor",
+    "fedavg_weighted_scalar", "federated_round_stats", "flagship_revenue",
+    "funnel_conversion", "graphsage_layer", "hll_replay_cardinality",
+    "intersect_segments", "ivf_ann_topk", "kcore_stats", "kmv_distinct",
+    "knn_join_topk", "label_communities", "lang_id_detect", "link_scores",
+    "market_share", "max_acctbal_customer", "mem_cost_model",
+    "merge_keep_first", "min_cost_supplier", "minhash_near_dup_pairs",
+    "minhash_signatures", "moving_avg_spend", "near_dedup_corpus",
+    "neighbor_mean", "neighborhood_function", "ngram_jaccard_adjacent",
+    "normalized_dedup", "order_priority_check", "pagerank_top",
+    "pca_variance", "pii_redaction", "pivot_status_counts", "ppr_top",
+    "pq_adc_topk", "price_stats", "pricing_summary", "product_type_profit",
+    "project_cast", "promo_part_suppliers", "quality_score",
+    "quantity_percentiles", "random_walks", "repetition_stats",
+    "retention_daily", "robust_centroids", "roc_auc", "rollup_revenue",
+    "scd2_user_states", "semi_join_big_spenders", "sequence_packing",
+    "simhash_fingerprints", "similarity_topk", "sssp_distances",
+    "stratified_docs_sample", "tfidf_top_terms", "token_count",
+    "top_customers", "top_supplier_quarter", "training_waves",
+    "triangle_stats", "two_hop_paths", "unweighted_mean", "window_topk",
+    "zipf_top_terms",
 }
 
-# Queries the round-2 verdict flagged by name as still lacking an official
-# row, plus the three newly oracle-converted iterative-graph queries —
+# Queries whose behavior changes this round (round-3 verdict + ADVICE fixes)
+# and therefore need a fresh official row, even if already recorded —
 # guaranteed front-of-line this round.
 _PROMOTED = [
-    "pagerank_top", "pricing_summary", "asof_latest_update",
-    "pivot_status_counts", "bpe_token_estimate", "orders_array_agg",
-    "price_stats", "kcore_stats", "neighborhood_function",
-    "ppr_top", "robust_centroids", "label_communities", "sequence_packing",
-    # round-3 second wave: the new capability flagships — make sure the
-    # official file records them this round rather than two rounds out
-    "als_rank1_factors", "pq_adc_topk", "sssp_distances",
-    "hll_replay_cardinality", "kmv_distinct", "anf_register_supersteps",
-    "covariance_matrix", "min_cost_supplier", "market_share",
-    "scd2_user_states", "exact_order_statistics", "bigram_nll",
-    "order_priority_check", "product_type_profit", "top_supplier_quarter",
-    "promo_part_suppliers",
+    "orders_array_agg",        # output reshaped to a hashable string column
+    "multimodal_features",     # converted rows-only -> oracle-checked
+    "als_recommendations",     # gained an oracle (frozen-factor ranking)
+    "negative_sampling_table", # ADVICE: pmod domain off-by-one fixed
+    "kaplan_meier_churn",      # ADVICE: exhausted-risk-set hazard guard
+    "merge_upsert_segments",   # ADVICE: updates-batch key dedup
+    "exact_dedup_clusters",    # star-edge pair emission (scale fix)
 ]
 
 

@@ -2437,7 +2437,8 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_array_agg",
     """
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',')
+               AS orderkeys,
            CAST(LEN(list(o_orderkey)) AS BIGINT) AS n_orders
     FROM orders
     WHERE o_custkey % 100 = 0
@@ -2448,10 +2449,20 @@ def orders_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation (collect_list + array_sort): the sorted
     output makes the result partitioning-independent — bare collect_list
     is not deterministic under shuffle (and for genuinely skewed keys
-    operators/skew.py:salted_collect_list is the two-level variant)."""
+    operators/skew.py:salted_collect_list is the two-level variant).
+    The array is emitted comma-joined (same spelling as postings_index)
+    because the correctness harness hashes cells — ARRAY cells are
+    unhashable there; the array form itself is unit-tested in
+    tests/test_queries.py."""
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("orderkeys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

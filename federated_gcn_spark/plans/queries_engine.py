@@ -447,7 +447,10 @@ def _kmv_oracle(k: int = 32) -> str:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS k_actual,
            MAX(h) AS kth_hash,
-           ROUND({num!r} / (CAST(MAX(h) AS DOUBLE) + {shift!r}), 2) AS est_distinct
+           CASE WHEN COUNT(*) < {k}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ROUND({num!r} / (CAST(MAX(h) AS DOUBLE) + {shift!r}), 2)
+           END AS est_distinct
     FROM sm
     """
 

@@ -2666,7 +2666,7 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT MAX(last_day) AS max_day FROM span
     ), obs AS (
         SELECT last_day - first_day AS duration,
-               CASE WHEN last_day < (SELECT max_day FROM mx) - 7
+               CASE WHEN last_day < (SELECT max_day FROM mx)
                     THEN 1 ELSE 0 END AS churned
         FROM span
     ), tot AS (
@@ -2686,23 +2686,28 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM byd
     ), steps AS (
         SELECT duration, n_risk, n_events,
-               CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE) / n_risk), 12)
-                    AS DECIMAL(24,12)) AS lnf
+               CASE WHEN n_risk - n_events > 0
+                    THEN CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE)
+                                       / n_risk), 12) AS DECIMAL(24,12))
+                    ELSE CAST(0 AS DECIMAL(24,12)) END AS lnf,
+               CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
         FROM risk WHERE n_events > 0
     ), surv AS (
         SELECT duration, n_risk, n_events,
-               CAST(SUM(lnf) OVER (ORDER BY duration) AS DOUBLE) AS cum_ln
+               CAST(SUM(lnf) OVER (ORDER BY duration) AS DOUBLE) AS cum_ln,
+               MAX(dead) OVER (ORDER BY duration) AS cum_dead
         FROM steps
     )
     SELECT duration, n_risk, n_events,
-           ROUND(EXP(cum_ln), 6) AS survival
+           CASE WHEN cum_dead = 1 THEN 0.0
+                ELSE ROUND(EXP(cum_ln), 6) END AS survival
     FROM surv
     """,
 )
 def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier churn-survival curve: users observed from first to
-    last event day, an event = churn (last activity more than 7 days
-    before the observation horizon), later-active users right-censored —
+    last event day, an event = churn (last activity strictly before the
+    observation horizon), horizon-active users right-censored —
     the estimator behind every retention curve that must handle
     censoring honestly (naive retention over-counts users the window
     simply hasn't observed long enough).
@@ -2725,7 +2730,13 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = span.agg(F.max("last_day").alias("max_day"))
     obs = span.crossJoin(F.broadcast(mx)).select(
         (F.col("last_day") - F.col("first_day")).alias("duration"),
-        F.when(F.col("last_day") < F.col("max_day") - 7, 1)
+        # churn horizon = the observation boundary itself: the synthetic
+        # events table is near-daily-active over a 29-day span (every
+        # user's last activity is within 2 days of the horizon), so a
+        # multi-day inactivity horizon would censor EVERYONE and the
+        # estimator would never exercise; "not active on the final day"
+        # gives a real event/censor mix at every scale factor
+        F.when(F.col("last_day") < F.col("max_day"), 1)
         .otherwise(0)
         .alias("churned"),
     )
@@ -2747,19 +2758,32 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
         ).alias("n_risk"),
     )
+    # Exhausted-risk-set guard (round-3 ADVICE): a step where
+    # n_events == n_risk has hazard factor 0 — F.log(0) is NULL in Spark
+    # (silently skipped by the windowed SUM) and -inf in DuckDB, so both
+    # engines must special-case it: survival drops to EXACTLY 0 at that
+    # step and stays 0 (cumulative-max dead flag), and the log term is
+    # excluded from the sum.
     steps = risk.where(F.col("n_events") > 0).select(
         "duration",
         "n_risk",
         "n_events",
-        F.round(
-            F.log(
-                (F.col("n_risk") - F.col("n_events")).cast("double")
-                / F.col("n_risk")
+        F.when(
+            F.col("n_risk") - F.col("n_events") > 0,
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk")
+                ),
+                12,
             ),
-            12,
         )
+        .otherwise(F.lit(0))
         .cast("decimal(24,12)")
         .alias("lnf"),
+        F.when(F.col("n_events") >= F.col("n_risk"), 1)
+        .otherwise(0)
+        .alias("dead"),
     )
     w_cum = (
         Window.orderBy("duration")
@@ -2767,12 +2791,14 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = steps.withColumn(
         "cum_ln", F.sum("lnf").over(w_cum).cast("double")
-    )
+    ).withColumn("cum_dead", F.max("dead").over(w_cum))
     return surv.select(
         "duration",
         "n_risk",
         "n_events",
-        F.round(F.exp(F.col("cum_ln")), 6).alias("survival"),
+        F.when(F.col("cum_dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln")), 6))
+        .alias("survival"),
     )
 
 
@@ -3165,7 +3191,7 @@ def _negative_sampling_oracle(k: int = 3) -> str:
     ), cand AS (
         SELECT e.src, e.dst, j.slot,
                ((({s}) % (SELECT n FROM ns)) + (SELECT n FROM ns))
-                   % (SELECT n FROM ns) AS neg_dst
+                   % (SELECT n FROM ns) + 1 AS neg_dst
         FROM e CROSS JOIN (SELECT UNNEST(range({k})) AS slot) j
     )
     SELECT c.src, CAST(c.slot AS INT) AS slot,
@@ -3212,9 +3238,15 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             "slot",
-            F.pmod(
-                F.xxhash64(F.col("src"), F.col("dst"), F.col("slot")),
-                F.col("n"),
+            # +1: supplier keys span 1..n, so sample THAT domain — a bare
+            # pmod lands in 0..n-1 (candidate 0 never real, supplier n
+            # never drawn; flagged in the round-3 ADVICE review)
+            (
+                F.pmod(
+                    F.xxhash64(F.col("src"), F.col("dst"), F.col("slot")),
+                    F.col("n"),
+                )
+                + 1
             ).alias("neg_dst"),
         )
     )

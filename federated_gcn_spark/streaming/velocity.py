@@ -11,6 +11,12 @@ updated lifetime stats; with chronological arrival the final emitted row
 per user is bit-identical to the batch query's rollup (asserted in
 tests/test_wave4.py::test_streaming_velocity_equals_batch).
 
+Out-of-order arrival (a late file with seconds below the state's
+``max_seen_sec``) violates that contract: the late event's window may
+already be evicted and later frames were already emitted.  Such events
+are dropped EXPLICITLY and counted in the ``n_late`` output column —
+observable, never a silent understatement.
+
 Reference parity: the reference has no streaming surface; this extends
 the round-barrier pattern of streaming/rounds.py:streaming_fedavg to a
 sliding-window stateful operator (SURVEY.md §2.8).
@@ -48,6 +54,8 @@ STATE_SCHEMA = StructType(
         StructField("n_burst_events", LongType()),
         StructField("peak_value", DoubleType()),
         StructField("n_events", LongType()),
+        StructField("max_seen_sec", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -58,6 +66,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_burst_events", LongType()),
         StructField("peak_value", DoubleType()),
         StructField("n_events", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -69,11 +78,23 @@ def _velocity_fn(window_sec: int, threshold: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            secs, vals, peak, n_burst, peak_val, n_ev = state.get
+            (secs, vals, peak, n_burst, peak_val, n_ev,
+             max_seen, n_late) = state.get
             secs, vals = list(secs), list(vals)
         else:
             secs, vals, peak, n_burst, peak_val, n_ev = [], [], 0, 0, 0.0, 0
+            max_seen, n_late = None, 0
         new = pd.concat(list(pdfs), ignore_index=True)
+        # Chronological-arrival contract across micro-batches: an event
+        # older than the state's max seen second arrives after frames at
+        # later seconds were already emitted (and its own window may be
+        # evicted) — silently merging it would understate past bursts.
+        # Drop such late events EXPLICITLY and count them in n_late so
+        # contract violations are observable, not silent.
+        if max_seen is not None:
+            late_mask = new["sec"] < max_seen
+            n_late += int(late_mask.sum())
+            new = new[~late_mask]
         # process in event-time order, one distinct second at a time:
         # the batch query's RANGE frame includes ALL equal-timestamp
         # peers, so tied events must enter the buffer together and share
@@ -98,7 +119,15 @@ def _velocity_fn(window_sec: int, threshold: int):
                 peak = burst_n
             if burst_v > peak_val:
                 peak_val = burst_v
-        state.update((secs, vals, int(peak), int(n_burst), float(peak_val), int(n_ev)))
+        if len(new):
+            max_seen = int(new["sec"].max()) if max_seen is None else max(
+                max_seen, int(new["sec"].max())
+            )
+        state.update(
+            (secs, vals, int(peak), int(n_burst), float(peak_val),
+             int(n_ev), max_seen if max_seen is not None else -(1 << 62),
+             int(n_late))
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -106,6 +135,7 @@ def _velocity_fn(window_sec: int, threshold: int):
                 "n_burst_events": [int(n_burst)],
                 "peak_value": [float(peak_val)],
                 "n_events": [int(n_ev)],
+                "n_late": [int(n_late)],
             }
         )
 

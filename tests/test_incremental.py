@@ -146,6 +146,31 @@ def test_upsert_parquet_swaps_snapshot_and_applies_deletes(spark, tmp_path):
     assert not [d for d in os.listdir(tmp_path) if "__" in d]  # no debris
 
 
+def test_merge_upsert_dedupes_update_batch(spark):
+    """Duplicate merge keys inside one updates batch collapse to one row
+    (last-writer-wins): order_col picks the winner when given, otherwise
+    the lexicographically greatest value row — and the merged snapshot
+    is always key-unique (round-3 ADVICE fix)."""
+    from federated_gcn_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, t long")
+    updates = spark.createDataFrame(
+        [(2, "z", 5), (2, "y", 9), (3, "c", 1), (3, "d", 1)],
+        "k long, v string, t long",
+    )
+    with_order = {
+        (r["k"], r["v"], r["t"])
+        for r in merge_upsert(base, updates, ["k"], order_col="t").collect()
+    }
+    # k=2: t=9 wins; k=3: tied t -> greater value row ("d") wins
+    assert with_order == {(1, "a", 0), (2, "y", 9), (3, "d", 1)}
+    without = merge_upsert(base, updates, ["k"]).collect()
+    assert len(without) == len({r["k"] for r in without}) == 3
+    # deterministic winner: greatest (v, t) struct
+    m = {r["k"]: (r["v"], r["t"]) for r in without}
+    assert m[2] == ("z", 5) and m[3] == ("d", 1)
+
+
 def test_versioned_upsert_time_travel_and_vacuum(spark, tmp_path):
     """Three versions, each readable AS OF; vacuum drops history and a
     dropped version read raises."""

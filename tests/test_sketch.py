@@ -195,6 +195,18 @@ def test_kmv_estimate_tracks_exact(spark):
     assert abs(row["est_distinct"] - 2000) / 2000 < 4 * rse
 
 
+def test_kmv_exact_regime_below_k(spark):
+    """Fewer than k distinct values: the sketch holds them all, so the
+    estimate must be the exact count, not the inflated (k-1)*2^64/h_(k)
+    formula (round-3 ADVICE fix)."""
+    from federated_gcn_spark.operators.sketch import kmv_kth
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    row = kmv_kth(df, "k", k=32).collect()[0]
+    assert row["k_actual"] == 7
+    assert row["est_distinct"] == 7.0
+
+
 def test_exact_kth_smallest_matches_sorted(spark):
     import random
 

@@ -681,6 +681,47 @@ def test_streaming_velocity_equals_batch(spark, tmp_path):
         assert s["n_burst_events"] == b["n_burst_events"], uid
         assert s["n_events"] == b["n_events"], uid
         assert abs(s["peak_value"] - b["peak_burst_value"]) < 1e-6, uid
+        assert s["n_late"] == 0, uid
+
+
+def test_velocity_fn_flags_and_drops_late_events():
+    """An out-of-order micro-batch (seconds below the state's
+    max_seen_sec) must be dropped explicitly and counted in n_late, not
+    silently merged into an already-evicted window (round-3 ADVICE
+    fix)."""
+    import pandas as pd
+
+    from federated_gcn_spark.streaming.velocity import _velocity_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fn = _velocity_fn(window_sec=600, threshold=3)
+    st = FakeState()
+    key = (7,)
+    b1 = pd.DataFrame({"user_id": [7] * 3, "sec": [100, 200, 5000],
+                       "value": [1.0, 1.0, 1.0]})
+    out1 = next(fn(key, iter([b1]), st)).iloc[0]
+    assert out1["n_events"] == 3 and out1["n_late"] == 0
+    # batch 2 arrives with one late event (sec 300 < max_seen 5000)
+    b2 = pd.DataFrame({"user_id": [7] * 2, "sec": [300, 5100],
+                       "value": [9.0, 1.0]})
+    out2 = next(fn(key, iter([b2]), st)).iloc[0]
+    assert out2["n_late"] == 1
+    assert out2["n_events"] == 4  # late row excluded from counters
+    assert out2["peak_value"] < 9.0  # its value never entered a window
 
 
 def test_exact_dedup_clusters_match_union_find(spark):
@@ -1002,7 +1043,7 @@ def test_kaplan_meier_matches_python(spark):
     spans = {u: (min(d), max(d)) for u, d in user_days.items()}
     max_day = max(l for _, l in spans.values())
     obs = [
-        (l - f, 1 if l < max_day - 7 else 0) for f, l in spans.values()
+        (l - f, 1 if l < max_day else 0) for f, l in spans.values()
     ]
     n_users = len(obs)
     byd = defaultdict(lambda: [0, 0])
@@ -1011,6 +1052,7 @@ def test_kaplan_meier_matches_python(spark):
         byd[dur][1] += ch
     left_before = 0
     cum_ln = Decimal(0)
+    dead = False
     ref = {}
     for dur in sorted(byd):
         leaving, events = byd[dur]
@@ -1018,11 +1060,18 @@ def test_kaplan_meier_matches_python(spark):
         left_before += leaving
         if events == 0:
             continue
-        lnf = Decimal(
-            repr(_round_half_up(math.log((n_risk - events) / n_risk), 12))
+        if events >= n_risk:
+            dead = True
+        else:
+            lnf = Decimal(
+                repr(_round_half_up(math.log((n_risk - events) / n_risk), 12))
+            )
+            cum_ln += lnf
+        ref[dur] = (
+            n_risk,
+            events,
+            0.0 if dead else _round_half_up(math.exp(float(cum_ln)), 6),
         )
-        cum_ln += lnf
-        ref[dur] = (n_risk, events, _round_half_up(math.exp(float(cum_ln)), 6))
     got = {
         r["duration"]: (r["n_risk"], r["n_events"], r["survival"])
         for r in QUERIES["kaplan_meier_churn"](spark, SF_DIR).collect()
@@ -1196,8 +1245,14 @@ def test_negative_sampling_layout_invariant_and_flags(spark):
     con.close()
     per_edge = Counter(src for src, _, _, _ in a)
     assert all(v % 3 == 0 for v in per_edge.values())
+    import pyarrow.parquet as _pq
+
+    n_sup = _pq.read_metadata(f"{SF_DIR}/supplier.parquet").num_rows
     for src, slot, neg, is_col in a:
         assert is_col == (1 if (src, neg) in edges else 0)
+        # sampled domain is the REAL key range 1..n (round-3 ADVICE fix:
+        # bare pmod sampled 0..n-1, where 0 is never a vertex)
+        assert 1 <= neg <= n_sup
 
 
 def test_source_entropy_bounds(spark):
