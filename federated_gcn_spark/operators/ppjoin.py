@@ -42,6 +42,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def contract_exact_clones(
+    sets_df: DataFrame, id_col: str = "id", set_col: str = "elems"
+) -> DataFrame:
+    """Collapse rows with IDENTICAL element sets to one weighted
+    representative: ``(id = min id of the clone group, set_col, grp_n =
+    group size)``.
+
+    This is the de-quadratic front door for clustering consumers of the
+    exact join: a clone group of m identical sets would emit C(m,2)
+    pairs from :func:`set_similarity_join` (quadratic in duplication —
+    the dominant blowup on duplication-heavy corpora), yet contributes
+    exactly ONE node's worth of information to the similarity graph.
+    Contraction is closure-EXACT, not an approximation: identical sets
+    have Jaccard 1 with each other (always >= any threshold) and the
+    same Jaccard as their twin to every other set, so the contracted
+    graph's components, expanded by group size, are the all-pairs
+    graph's components bit-for-bit.
+
+    Scale shape: one groupBy on the sorted element array (exact — no
+    fingerprint collision risk; the shuffle carries arrays the join
+    would carry anyway).  Group sizes ride along so downstream component
+    sizes can be reconstituted without touching the corpus again.
+    """
+    return (
+        sets_df.select(
+            F.col(id_col).alias("sid"),
+            F.array_sort(F.array_distinct(F.col(set_col))).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.min("sid").alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("grp_n"),
+        )
+        .select(id_col, F.col("k").alias(set_col), "grp_n")
+    )
+
+
 def set_similarity_join(
     sets_df: DataFrame,
     id_col: str = "id",

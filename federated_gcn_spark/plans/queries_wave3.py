@@ -86,7 +86,16 @@ def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles via the prefix-filtered set-similarity join
     (operators/ppjoin.set_similarity_join). Unlike the MinHash band join
     this misses NOTHING — and still never goes all-pairs: candidates
-    come from an equi-join on each set's globally rarest shingles."""
+    come from an equi-join on each set's globally rarest shingles.
+
+    Output contract: the pair LIST itself is Θ(duplication²) — a clone
+    group of m near-identical docs legitimately contains C(m,2)
+    qualifying pairs, so on duplication-heavy corpora the output (not
+    the candidate generation, which stays prefix-bounded) dominates.
+    Bulk dedup/clustering consumers must NOT consume this list; they
+    route through exact_dedup_clusters, which contracts exact clone
+    groups first (operators/ppjoin.contract_exact_clones) and stays
+    linear in |distinct duplicated sets|."""
     from federated_gcn_spark.operators.ppjoin import set_similarity_join
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)

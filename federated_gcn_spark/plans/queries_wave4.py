@@ -1551,29 +1551,41 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the exact-dedup path the way near_dedup_corpus completes
     the MinHash path.
 
-    100 TB shape: the component closure runs ONLY over pair members —
-    proportional to |duplicates|, never |corpus| (the same bound as the
-    MinHash cluster resolution).  Fixed {rounds} unrolled rounds with
-    converged-tail fill (propagating a fixpoint is the identity);
-    duplicate clusters are near-cliques, so the label diameter is tiny —
-    convergence at this round count is asserted against a union-find
-    reference in tests.  All arithmetic is integer MIN/LEAST.
+    100 TB shape (round-3 verdict scale fix): exact clone groups —
+    identical n-gram sets, the dominant duplication mode in crawled
+    corpora — are CONTRACTED to one weighted representative BEFORE the
+    PPJoin (operators/ppjoin.contract_exact_clones), so a group of m
+    byte-identical docs costs one node instead of C(m,2) pairs; the
+    contraction is closure-exact (clones have Jaccard 1 with each other
+    and identical similarity to everyone else), asserted against an
+    all-pairs union-find reference in tests AND by the unchanged
+    all-pairs oracle.  The component closure then runs only over
+    contracted pair members plus isolated multi-clone groups —
+    proportional to |distinct duplicated sets|, never |corpus| and
+    never quadratic in clone-group size.  Fixed {rounds} unrolled
+    rounds with converged-tail fill (propagating a fixpoint is the
+    identity); all arithmetic is integer MIN/LEAST.
     """.format(rounds=_DEDUP_CLUSTER_ROUNDS)
     from federated_gcn_spark.functions.text import word_ngrams
-    from federated_gcn_spark.operators.ppjoin import set_similarity_join
+    from federated_gcn_spark.operators.ppjoin import (
+        contract_exact_clones,
+        set_similarity_join,
+    )
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     sets = docs.where(F.trim("text") != "").select(
         "doc_id",
         F.array_distinct(word_ngrams(F.lower(F.col("text")), 3)).alias("elems"),
+    ).where(F.size("elems") > 0)
+    reps = contract_exact_clones(sets, "doc_id", "elems")
+    pairs = set_similarity_join(
+        reps.select("doc_id", "elems"), "doc_id", "elems", threshold=0.5
     )
-    pairs = set_similarity_join(sets, "doc_id", "elems", threshold=0.5)
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    labels = e.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    members = e.select(F.col("u").alias("node")).distinct()
+    labels = members.select("node", F.col("node").alias("label"))
     for _ in range(_DEDUP_CLUSTER_ROUNDS):
         nb = (
             e.join(labels.withColumnRenamed("node", "v2"), e["v"] == F.col("v2"))
@@ -1584,8 +1596,20 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nb, labels["node"] == nb["u"])
             .select("node", F.least(F.col("label"), F.col("nb_min")).alias("label"))
         )
-    return labels.groupBy(F.col("label").alias("canonical_doc")).agg(
-        F.count(F.lit(1)).alias("n_members")
+    # A clone group with >= 2 members whose representative pairs with
+    # nobody is still a duplicate cluster (its members pair with each
+    # other at Jaccard 1 in the uncontracted graph) — its own component.
+    iso = reps.where(F.col("grp_n") >= 2).join(
+        members, reps["doc_id"] == members["node"], "left_anti"
+    ).select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    labels = labels.unionByName(iso)
+    # Expand contracted nodes back to member counts; the canonical doc of
+    # a component is its min label = min representative = min member id.
+    sized = labels.join(reps, labels["node"] == reps["doc_id"]).select(
+        "label", "grp_n"
+    )
+    return sized.groupBy(F.col("label").alias("canonical_doc")).agg(
+        F.sum("grp_n").cast("long").alias("n_members")
     )
 
 

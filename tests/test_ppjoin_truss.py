@@ -62,6 +62,67 @@ def test_ppjoin_exactness_vs_brute_force(spark):
         assert _run_join(spark, sets, t) == _brute_force_pairs(sets, t)
 
 
+def test_contract_exact_clones_is_closure_exact(spark):
+    """Clone contraction + components + grp_n expansion must equal
+    union-find over the uncontracted all-pairs join — including an
+    isolated clone pair (no near-dup partner) and a clone group attached
+    to a near-dup neighbor."""
+    from federated_gcn_spark.operators.ppjoin import contract_exact_clones
+
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "d"},   # exact clone of 1
+        3: {"a", "b", "c", "e"},   # near-dup of the {1,2} set (J=0.6)
+        4: {"x", "y", "z"},
+        5: {"x", "y", "z"},        # isolated clone pair: cluster {4,5}
+        6: {"p", "q", "r"},        # true singleton: in no cluster
+    }
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "id long, elems array<string>",
+    )
+    reps = contract_exact_clones(df, "id", "elems")
+    got_reps = {
+        r["id"]: (set(r["elems"]), r["grp_n"]) for r in reps.collect()
+    }
+    assert got_reps == {
+        1: ({"a", "b", "c", "d"}, 2),
+        3: ({"a", "b", "c", "e"}, 1),
+        4: ({"x", "y", "z"}, 2),
+        6: ({"p", "q", "r"}, 1),
+    }
+    # contracted join emits ONE pair for the {1,2}~3 cluster (not 2+1)
+    pairs = set_similarity_join(
+        reps.select("id", "elems"), "id", "elems", threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+    # reference: union-find over the brute-force uncontracted pairs
+    ref_pairs = _brute_force_pairs(sets, 0.5)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ref_pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    ref = Counter(find(x) for x in parent)
+    # expand contracted clusters: pair components + isolated clone groups
+    comp = {1: [1, 3], 4: [4]}  # canonical -> member reps (from the join)
+    got = {
+        c: sum(got_reps[m][1] for m in members) for c, members in comp.items()
+    }
+    assert got == dict(ref)
+
+
 def test_ppjoin_threshold_validation(spark):
     df = spark.createDataFrame([(1, ["a"])], "id long, elems array<string>")
     with pytest.raises(ValueError):
