@@ -216,6 +216,67 @@ def als_rank1(
     return user_f, item_f
 
 
+def als_rank2(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    iterations: int = 2,
+    lam: float = 0.1,
+    round_to: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-2 ALS with CLOSED-FORM 2x2 solves (Cramer's rule) as pure
+    codegen aggregates — no numpy, no LAPACK — so, like the rank-1 twin,
+    every half-step is fixed-order arithmetic both engines can replay
+    bit-for-bit; the per-half-step ROUND resyncs summation-order drift.
+    The same flat normal-equation aggregates as the rank-k path
+    (b_1, b_2, and the upper triangle t11, t12, t22 — five SUMs, one
+    map-side-combinable shuffle per half-step), with the k x k LAPACK
+    batch solve replaced by the explicit 2x2 inverse.
+
+    Returns (user_factors(user, u1, u2), item_factors(item, v1, v2)).
+    """
+    r = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    ).localCheckpoint(eager=True)
+    item_f = r.select("item").distinct().select(
+        "item",
+        F.round(hash_factor("item", 0), round_to).alias("v1"),
+        F.round(hash_factor("item", 1), round_to).alias("v2"),
+    ).localCheckpoint(eager=True)
+
+    def half(fixed: DataFrame, fixed_key: str, solve_for: str,
+             f1: str, f2: str, o1: str, o2: str) -> DataFrame:
+        j = r.join(fixed, fixed_key)
+        g = j.groupBy(solve_for).agg(
+            F.sum(F.col("rating") * F.col(f1)).alias("b1"),
+            F.sum(F.col("rating") * F.col(f2)).alias("b2"),
+            F.sum(F.col(f1) * F.col(f1)).alias("t11"),
+            F.sum(F.col(f1) * F.col(f2)).alias("t12"),
+            F.sum(F.col(f2) * F.col(f2)).alias("t22"),
+        )
+        m11 = F.col("t11") + F.lit(lam)
+        m22 = F.col("t22") + F.lit(lam)
+        det = m11 * m22 - F.col("t12") * F.col("t12")
+        return g.select(
+            solve_for,
+            F.round((m22 * F.col("b1") - F.col("t12") * F.col("b2")) / det,
+                    round_to).alias(o1),
+            F.round((m11 * F.col("b2") - F.col("t12") * F.col("b1")) / det,
+                    round_to).alias(o2),
+        )
+
+    user_f = None
+    for _ in range(iterations):
+        user_f = half(item_f, "item", "user", "v1", "v2", "u1", "u2"
+                      ).localCheckpoint(eager=True)
+        item_f = half(user_f, "user", "item", "u1", "u2", "v1", "v2"
+                      ).localCheckpoint(eager=True)
+    return user_f, item_f
+
+
 def recommend_topk(
     user_f: DataFrame, item_f: DataFrame, k: int = 5, n_users: int = 10
 ) -> DataFrame:

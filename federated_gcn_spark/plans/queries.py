@@ -1458,32 +1458,107 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only (decoder is a seeded stub)
+def _multimodal_oracle() -> str:
+    """Replays the generated pixel/sample values via the xxh64 chain,
+    then the integer-exact pooled features; payload byte sizes are the
+    format-determined constants (BMP 8x8x24bpp = 54 + 8*24 = 246, WAV
+    128-sample PCM-16 = 44 + 256 = 300) — the encode/decode round trip
+    itself is proven byte-level by tests/test_multimodal.py."""
+    from federated_gcn_spark.plans.xxh64_sql import to_signed64, xxhash64_sql
+
+    s = to_signed64(xxhash64_sql(("doc_id", "long"), ("i", "int")))
+    return f"""
+    WITH im AS (
+        SELECT doc_id, CAST(UNNEST(range(192)) AS INT) AS i
+        FROM documents WHERE doc_id % 2 = 0
+    ), ib AS (
+        SELECT doc_id, i, ((({s}) % 256) + 256) % 256 AS byte FROM im
+    ), imt AS (
+        SELECT doc_id,
+               ((i // 3) // 8) // 4 * 2 + ((i // 3) % 8) // 4 AS blk,
+               byte * (CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587
+                       ELSE 114 END) AS term
+        FROM ib
+    ), ima AS (
+        SELECT doc_id,
+               SUM(CASE WHEN blk = 0 THEN term ELSE 0 END) AS f0,
+               SUM(CASE WHEN blk = 1 THEN term ELSE 0 END) AS f1,
+               SUM(CASE WHEN blk = 2 THEN term ELSE 0 END) AS f2,
+               SUM(CASE WHEN blk = 3 THEN term ELSE 0 END) AS f3
+        FROM imt GROUP BY doc_id
+    ), au AS (
+        SELECT doc_id, CAST(UNNEST(range(128)) AS INT) AS i
+        FROM documents WHERE doc_id % 2 = 1
+    ), ab AS (
+        SELECT doc_id, i,
+               ((({s}) % 65536) + 65536) % 65536 - 32768 AS samp
+        FROM au
+    ), aut AS (
+        SELECT doc_id, i // 32 AS frm, ABS(samp) AS term FROM ab
+    ), aua AS (
+        SELECT doc_id,
+               SUM(CASE WHEN frm = 0 THEN term ELSE 0 END) AS f0,
+               SUM(CASE WHEN frm = 1 THEN term ELSE 0 END) AS f1,
+               SUM(CASE WHEN frm = 2 THEN term ELSE 0 END) AS f2,
+               SUM(CASE WHEN frm = 3 THEN term ELSE 0 END) AS f3
+        FROM aut GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+           1 AS decoded_ok, CAST(246 AS BIGINT) AS n_payload_bytes,
+           CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+    FROM ima
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), 'audio', 1, CAST(300 AS BIGINT),
+           CAST(f0 AS BIGINT), CAST(f1 AS BIGINT),
+           CAST(f2 AS BIGINT), CAST(f3 AS BIGINT)
+    FROM aua
+    """
+
+
+@register("multimodal_features", _multimodal_oracle())
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload media pipeline: documents' text bytes stand in as
-    payloads; mapInPandas feature extraction with the deterministic fake
-    decoder (real codecs are pluggable, see operators/multimodal.py)."""
-    from federated_gcn_spark.operators.multimodal import image_features
+    """Binary-payload media pipeline, hash-checked end-to-end (converted
+    from rows-only per the round-3 verdict): per document a
+    deterministic media object is generated — even doc_ids an 8x8 RGB
+    image, odd doc_ids 128 PCM-16 audio samples, values drawn from
+    xxhash64(doc_id, position) so the generator is engine-replayable —
+    ENCODEd into genuine BMP/WAV bytes and DECODEd back through the
+    real magic-dispatch codecs (functions/codecs.py), then pooled into
+    integer-exact features (operators/multimodal.encode_decode_features).
+
+    100 TB shape: value generation is pure codegen hash math (no RNG
+    state, layout-independent); the Arrow boundary carries only
+    (media_id, kind, vals) at fixed width; decode + pooling is
+    vectorized numpy per row inside ``mapInPandas``.  The DuckDB oracle
+    replays the draws bit-for-bit and the pooling in exact integer
+    arithmetic — the payload stage it cannot replay (real BMP/WAV byte
+    round trip) is pinned by the format-determined payload sizes here
+    and byte-level codec tests."""
+    from federated_gcn_spark.operators.multimodal import encode_decode_features
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    media = docs.select(
+    imgs = docs.where(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.named_struct(
-            F.lit("width"), F.lit(64), F.lit("height"), F.lit(64),
-            F.lit("channels"), F.lit(3), F.lit("sample_rate"), F.lit(None).cast("int"),
-            F.lit("n_frames"), F.lit(None).cast("int"), F.lit("format"), F.lit("fake"),
-        ).alias("meta"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(191)),
+            lambda i: F.pmod(
+                F.xxhash64(F.col("doc_id"), i.cast("int")), F.lit(256)
+            ).cast("int"),
+        ).alias("vals"),
     )
-    feats = image_features(media, n_features=8)
-    return feats.select(
-        "media_id",
-        "decoded_ok",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_sum"
-        ),
+    auds = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(127)),
+            lambda i: F.pmod(
+                F.xxhash64(F.col("doc_id"), i.cast("int")), F.lit(65536)
+            ).cast("int"),
+        ).alias("vals"),
     )
+    return encode_decode_features(imgs.unionByName(auds))
 
 
 # ---------------------------------------------------------------------------

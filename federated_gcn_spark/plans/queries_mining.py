@@ -27,7 +27,7 @@ loop in unrolled DuckDB SQL exactly like ``_ivf_oracle``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.catalog import load_table
@@ -855,15 +855,94 @@ def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.unionByName(items).orderBy("kind", "id")
 
 
-@register("als_recommendations")  # rows-only: k x k LAPACK solves, not SQL
+def _als_rank2_oracle(
+    iterations: int = 2, lam: float = 0.1, rd: int = 4,
+    n_users: int = 10, k: int = 5,
+) -> str:
+    """Unrolled replay of operators/als.als_rank2 (Cramer 2x2 closed
+    form, per-half-step ROUND resync) + the top-k recommendation join on
+    the frozen factors.  Scores are NOT re-rounded: they are fixed-order
+    products/sums of identical 4-dp doubles, so both engines hold
+    bit-identical doubles and the (score DESC, item) ranking cannot
+    diverge."""
+    from federated_gcn_spark.plans.xxh64_sql import (
+        hash_int_sql,
+        hash_long_sql,
+        to_signed64,
+    )
+
+    def init(d: int) -> str:
+        h = to_signed64(hash_int_sql(str(d), hash_long_sql("i", "42")))
+        return f"ROUND(((({h}) % 2001 + 2001) % 2001 - 1000) / 2000.0, {rd})"
+
+    sql = f"""
+    WITH r AS (
+        SELECT o_custkey AS u, l_partkey AS i, SUM(l_quantity) AS rt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ), v0 AS (
+        SELECT i, {init(0)} AS v1, {init(1)} AS v2
+        FROM (SELECT DISTINCT i FROM r)
+    )"""
+    prev = ("v0", "i", "v1", "v2")
+    for it in range(1, iterations + 1):
+        for tbl, key, f1, f2, okey in (
+            (f"u{it}", "u", "u1", "u2", "i"),
+            (f"v{it}", "i", "v1", "v2", "u"),
+        ):
+            ptbl, pkey, pf1, pf2 = prev
+            sql += f""", {tbl} AS MATERIALIZED (
+        SELECT {key},
+               ROUND(((t22 + {lam}) * b1 - t12 * b2)
+                     / ((t11 + {lam}) * (t22 + {lam}) - t12 * t12), {rd})
+                   AS {f1},
+               ROUND(((t11 + {lam}) * b2 - t12 * b1)
+                     / ((t11 + {lam}) * (t22 + {lam}) - t12 * t12), {rd})
+                   AS {f2}
+        FROM (
+            SELECT r.{key} AS {key},
+                   SUM(r.rt * p.{pf1}) AS b1, SUM(r.rt * p.{pf2}) AS b2,
+                   SUM(p.{pf1} * p.{pf1}) AS t11,
+                   SUM(p.{pf1} * p.{pf2}) AS t12,
+                   SUM(p.{pf2} * p.{pf2}) AS t22
+            FROM r JOIN {ptbl} p ON p.{pkey} = r.{pkey}
+            GROUP BY r.{key}
+        )
+    )"""
+            prev = (tbl, key, f1, f2)
+    n = iterations
+    return sql + f""", topu AS (
+        SELECT * FROM u{n} ORDER BY u LIMIT {n_users}
+    ), scored AS (
+        SELECT t.u AS usr, v.i AS itm,
+               t.u1 * v.v1 + t.u2 * v.v2 AS score
+        FROM topu t CROSS JOIN v{n} v
+    ), ranked AS (
+        SELECT usr, itm, score,
+               ROW_NUMBER() OVER (PARTITION BY usr
+                                  ORDER BY score DESC, itm) AS rn
+        FROM scored
+    )
+    SELECT CAST(usr AS BIGINT) AS "user", CAST(itm AS BIGINT) AS item, score
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register("als_recommendations", _als_rank2_oracle())
 def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-8 ALS (operators/als.py:als_fit — normal-equation partials
-    accumulated in codegen, Arrow-batched LAPACK solves) + top-5
-    recommendations for the 10 lowest custkeys.  The matrix solves are
-    genuinely non-SQL; the alternating iteration machinery is
-    hash-checked by als_rank1_factors, and the solver against dense
-    numpy ALS in test_als.py."""
-    from federated_gcn_spark.operators.als import als_fit, recommend_topk
+    """Top-5 recommendations for the 10 lowest custkeys from a rank-2
+    ALS factorization (operators/als.py:als_rank2 — Cramer closed-form
+    2x2 solves as pure codegen aggregates), hash-checked end-to-end:
+    the oracle unrolls both alternating half-steps AND the top-k
+    serving join (converted from rows-only per the round-3 verdict; the
+    rank-8 LAPACK path remains in als_fit, pinned against dense numpy
+    ALS in test_als.py and machinery-checked by als_rank1_factors).
+
+    100 TB shape: identical to the rank-k path — two flat-aggregate
+    shuffles per half-step, factors move while ratings stay put, item
+    factors broadcast at serving, per-user top-k as a user-partitioned
+    window over the broadcast join."""
+    from federated_gcn_spark.operators.als import als_rank2
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -874,9 +953,20 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").alias("rating"))
     )
-    uf, itf = als_fit(ratings, rank=8, iterations=2)
-    return recommend_topk(uf, itf, k=5, n_users=10).select(
-        "user", "item", F.round("score", 3).alias("score")
+    uf, itf = als_rank2(ratings, iterations=2)
+    users = uf.orderBy("user").limit(10)
+    scored = users.crossJoin(
+        F.broadcast(itf.select("item", "v1", "v2"))
+    ).select(
+        "user",
+        "item",
+        (F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")).alias("score"),
+    )
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("user", "item", "score")
     )
 
 

@@ -94,6 +94,37 @@ def test_real_decoder_end_to_end(spark):
     np.testing.assert_allclose(image_grid_features(flat, 4), [200 / 255.0] * 4)
 
 
+def test_encode_decode_features_numpy_parity_and_errors(spark):
+    """encode_decode_features must equal a direct numpy computation on
+    the generated values (round trip through REAL bytes is lossless) and
+    isolate per-row failures (short vals array -> decoded_ok=0)."""
+    from federated_gcn_spark.operators.multimodal import encode_decode_features
+
+    rng = np.random.default_rng(11)
+    img_vals = rng.integers(0, 256, size=192).tolist()
+    aud_vals = rng.integers(0, 65536, size=128).tolist()
+    gen = spark.createDataFrame(
+        [
+            (1, "image", img_vals),
+            (2, "audio", aud_vals),
+            (3, "image", [1, 2, 3]),  # cannot reshape -> per-row failure
+        ],
+        "media_id long, kind string, vals array<int>",
+    )
+    out = {r["media_id"]: r for r in encode_decode_features(gen).collect()}
+    px = np.array(img_vals, dtype=np.int64).reshape(8, 8, 3)
+    luma = px @ np.array([299, 587, 114])
+    img_ref = luma.reshape(2, 4, 2, 4).sum(axis=(1, 3)).reshape(4)
+    mono = np.array(aud_vals, dtype=np.int64) - 32768
+    aud_ref = np.abs(mono).reshape(4, 32).sum(axis=1)
+    assert [out[1][f"f{i}"] for i in range(4)] == img_ref.tolist()
+    assert [out[2][f"f{i}"] for i in range(4)] == aud_ref.tolist()
+    assert out[1]["decoded_ok"] == 1 and out[1]["n_payload_bytes"] == 246
+    assert out[2]["decoded_ok"] == 1 and out[2]["n_payload_bytes"] == 300
+    assert out[3]["decoded_ok"] == 0 and out[3]["n_payload_bytes"] == 0
+    assert [out[3][f"f{i}"] for i in range(4)] == [0, 0, 0, 0]
+
+
 def test_frame_sample_plan(spark, media):
     frames = frame_sample_plan(media, every_n=10).collect()
     assert [r["frame_index"] for r in frames] == [0, 10, 20]
