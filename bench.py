@@ -182,17 +182,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Sidecar artifact: the driver's BENCH_r{N}.json wrapper truncates
+    # stdout to a ~2000-char tail, which silently drops most per-query
+    # numbers from the official record (round-3 verdict #5).  Persist
+    # the full compact payload next to the repo so round-over-round
+    # diffs (tools/bench_diff.py) work from committed artifacts alone.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL_latest.json"), "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(payload))
     spark.stop()
 
 
