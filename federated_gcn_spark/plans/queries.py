@@ -738,8 +738,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     qid = emb.agg(F.min("vec_id")).collect()[0][0]
-    qv = emb.where(F.col("vec_id") == qid).select(
-        F.col("embedding").alias("query_embedding")
+    qv = (
+        emb.where(F.col("vec_id") == qid)
+        .select(F.col("embedding").alias("query_embedding"))
+        # key-equality already bounds this to one row; the limit makes
+        # the bound explicit in the plan (GlobalLimit), so the broadcast
+        # build side is self-evidently reduced at any scale
+        .limit(1)
     )
     scored = (
         emb.where(F.col("vec_id") != qid)

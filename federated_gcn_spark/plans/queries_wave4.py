@@ -1577,13 +1577,17 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_ngrams(F.lower(F.col("text")), 3)).alias("elems"),
     ).where(F.size("elems") > 0)
-    reps = contract_exact_clones(sets, "doc_id", "elems")
+    reps = contract_exact_clones(sets, "doc_id", "elems").localCheckpoint(
+        eager=False
+    )  # consumed by the join, the anti-join, and the size expansion
     pairs = set_similarity_join(
         reps.select("doc_id", "elems"), "doc_id", "elems", threshold=0.5
     )
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).localCheckpoint(eager=False)  # joined every round — never rebuilt
     members = e.select(F.col("u").alias("node")).distinct()
     labels = members.select("node", F.col("node").alias("label"))
     for _ in range(_DEDUP_CLUSTER_ROUNDS):
@@ -1595,6 +1599,10 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(nb, labels["node"] == nb["u"])
             .select("node", F.least(F.col("label"), F.col("nb_min")).alias("label"))
+            # cut lineage per round: without this the visible plan tree
+            # (and the scheduler's work) compounds geometrically — 1398
+            # exchanges at 4 rounds, measured
+            .localCheckpoint(eager=False)
         )
     # A clone group with >= 2 members whose representative pairs with
     # nobody is still a duplicate cluster (its members pair with each

@@ -92,6 +92,36 @@ PLAN_BUDGET = {
     "degree_assortativity": (11, 0),
     "gini_customer_spend": (4, 0),
     "benford_first_digit": (7, 0),
+    # round-4: the 20 most expensive previously-unpinned queries
+    # (measured under the same fixture).  exact_dedup_clusters' pin also
+    # guards the per-round lineage cut — without localCheckpoint its
+    # 4-round loop compounded to 1398 visible exchanges.
+    "exact_dedup_clusters": (4, 1),
+    "spearman_qty_price": (6, 0),
+    # 16th exchange is the 1-row GlobalLimit on the broadcast query
+    # vector (the explicit bound the fact-broadcast check wants)
+    "hybrid_search_rrf": (16, 1),
+    "theil_sen_trend": (0, 0),
+    "mis_members": (1, 0),
+    "wasserstein_price_drift": (5, 0),
+    "ks_two_sample_price": (5, 0),
+    "cohort_ltv_curve": (10, 0),
+    "gains_lift_table": (19, 0),
+    "kaplan_meier_churn": (15, 0),
+    "cusum_changepoint": (5, 0),
+    "rfm_segmentation": (13, 0),
+    "kruskal_wallis_priority": (12, 0),
+    "ewma_smoothed_revenue": (6, 0),
+    "bigram_nll": (12, 0),
+    "rolling_correlation_revenue_orders": (6, 0),
+    "degree_powerlaw_fit": (9, 0),
+    "moving_median_revenue": (6, 0),
+    "corpus_health_report": (5, 0),
+    "exact_order_statistics": (0, 0),
+    # round-4 new/reworked operators
+    "als_recommendations": (1, 0),
+    "multimodal_features": (2, 0),
+    "negative_sampling_table": (8, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
