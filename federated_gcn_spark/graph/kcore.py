@@ -37,8 +37,12 @@ from federated_gcn_spark.barrier import iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
-def core_numbers(graph: Graph, max_iterations: int = 50) -> DataFrame:
-    """(id, coreness) for every vertex that has at least one edge."""
+def core_numbers(
+    graph: Graph, max_iterations: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """(id, coreness) for every vertex that has at least one edge.
+    ``stats``, when passed, gets ``stats["iterations"]`` — the number of
+    h-index rounds run until the coreness sum stabilized."""
     edges = graph.symmetrized_edges().select(SRC, DST).distinct()
     edges = edges.localCheckpoint(eager=True)  # reused every round
 
@@ -49,7 +53,9 @@ def core_numbers(graph: Graph, max_iterations: int = 50) -> DataFrame:
     cur = iteration_barrier(cur)
     prev_sum = cur.agg(F.sum("c")).collect()[0][0]
 
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         # neighbor messages: to v, each u contributes c(u). (Clamping by
         # deg(v) as in the paper is a no-op here: values >= h count the
         # same either way and h <= deg(v) always — so skip that join.)
@@ -76,6 +82,8 @@ def core_numbers(graph: Graph, max_iterations: int = 50) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["iterations"] = iterations
     return cur.select(ID, F.col("c").alias("coreness"))
 
 
