@@ -1,0 +1,346 @@
+"""Round-4 wave: entity resolution, resampling inference, temporal
+point-in-time join, and ANN quality evaluation.
+
+- ``part_entity_matches``: record linkage (entity resolution) by
+  multi-attribute blocking + edit-distance verification — the standard
+  dedup shape for dirty entity tables (Fellegi-Sunter blocking stage).
+  Never all-pairs: candidate pairs exist only WITHIN (brand, type)
+  blocks, the same asymptotics as the LSH/prefix-filter text dedups.
+- ``bootstrap_revenue_ci``: Poisson(1)-weighted bootstrap confidence
+  interval for mean order value.  The Poisson bootstrap IS the
+  scale-safe bootstrap (resampling n rows WITH replacement needs global
+  coordination; independent per-row Poisson weights need none — each
+  row contributes to every replicate locally, one aggregate per
+  replicate).  Weights are drawn by inverse-CDF on xxhash64 uniforms,
+  so the DuckDB oracle replays every draw bit-for-bit.
+- ``scd2_point_in_time_join``: probe events joined to the SCD2 state
+  valid at their timestamp.  Spark spells it the scale-correct way —
+  the union + per-key last(ignorenulls) window as-of (ONE hash exchange
+  on the key, linear scan, no range join); the oracle uses the naive
+  interval-predicate join — two INDEPENDENT spellings agreeing is the
+  strongest form of the check.
+- ``ann_recall_report``: recall@10 of the hyperplane-LSH ANN against
+  the brute-force exact ranking — the evaluation harness every ANN
+  deployment runs; both rankings are deterministic, so even the quality
+  METRIC is hash-checked.  Embeds the parents' oracle texts (one source
+  of truth).
+
+Cross-engine determinism: edit distances and overlap counts are exact
+integers; bootstrap replicate means and recall are single divisions of
+identical values (see plans.queries module docstring for the rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.plans.queries import ORACLE, register
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocking + edit-distance verification
+# ---------------------------------------------------------------------------
+
+_MATCH_MAX_DIST = 2
+
+
+@register(
+    "part_entity_matches",
+    f"""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_MATCH_MAX_DIST}
+    """,
+)
+def part_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate matches over the part catalog:
+    (brand, type) multi-attribute blocking, then exact Levenshtein
+    verification at distance <= {d} — the blocking-then-verify shape of
+    every record-linkage pipeline (and of this repo's text dedups:
+    candidates only within blocks, never all-pairs).
+
+    100 TB shape: the self-join key is the full blocking key, so the
+    shuffle is block-sized and a skewed block splits under AQE;
+    ``levenshtein`` is JVM codegen (no Python).  Blocking recall is the
+    usual caveat — records disagreeing on a blocking attribute are
+    never compared; production stacks union several blocking passes,
+    which is this same plan repeated with other keys.
+    """.format(d=_MATCH_MAX_DIST)
+    part = load_table(spark, sf_dir, "part", parallel=True)
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_type",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_type",
+    )
+    return (
+        a.join(b, ["p_brand", "p_type"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= _MATCH_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+_BOOT_P = 1_000_003
+# cumulative Poisson(1) CDF: P(X <= k) for k = 0..7; u beyond the last
+# entry draws weight 8 (prob ~1e-6)
+_POIS_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def _bootstrap_oracle() -> str:
+    from federated_gcn_spark.plans.xxh64_sql import to_signed64, xxhash64_sql
+
+    s = to_signed64(xxhash64_sql(("o_orderkey", "long"), ("b", "int")))
+    w_case = " ".join(
+        f"WHEN u < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POIS_CDF)
+    )
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(cents) AS tot FROM o
+    ), d AS (
+        SELECT o.o_orderkey, o.cents, CAST(j.b AS INT) AS b,
+               (((({s}) % {_BOOT_P}) + {_BOOT_P}) % {_BOOT_P} + 0.5)
+                   / CAST({float(_BOOT_P)!r} AS DOUBLE) AS u
+        FROM o CROSS JOIN (SELECT UNNEST(range({_BOOT_B})) AS b) j
+    ), w AS (
+        SELECT b, cents, CASE {w_case} ELSE 8 END AS wt FROM d
+    ), reps AS (
+        SELECT b, CAST(SUM(wt * cents) AS DOUBLE) / (100.0 * SUM(wt)) AS m
+        FROM w GROUP BY b
+    ), lo AS (
+        SELECT MAX(m) AS ci_lo FROM (SELECT m FROM reps ORDER BY m LIMIT 2)
+    ), hi AS (
+        SELECT MIN(m) AS ci_hi FROM (SELECT m FROM reps ORDER BY m DESC LIMIT 2)
+    )
+    SELECT pt.n_orders,
+           CAST(pt.tot AS DOUBLE) / (100.0 * pt.n_orders) AS mean_price,
+           lo.ci_lo, hi.ci_hi
+    FROM pt, lo, hi
+    """
+
+
+@register("bootstrap_revenue_ci", _bootstrap_oracle())
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~94% bootstrap CI for mean order value via the Poisson bootstrap
+    ({b} replicates; interval = 2nd smallest / 2nd largest replicate
+    mean).  Each row draws an independent Poisson(1) weight per
+    replicate from xxhash64(o_orderkey, b) by inverse CDF — no global
+    resampling coordination, which is exactly why this is the bootstrap
+    that works on 100 TB: the whole computation is one
+    explode({b}) + groupBy(replicate) aggregate with map-side combine,
+    and every draw is engine-replayable.
+
+    Determinism: weights and cent sums are exact integers; each
+    replicate mean is ONE double division of identical values, so the
+    order statistics over the {b} means cannot diverge across engines.
+    """.format(b=_BOOT_B)
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    o = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("tot")
+    ).select(
+        "n_orders",
+        (F.col("tot").cast("double") / (100.0 * F.col("n_orders"))).alias(
+            "mean_price"
+        ),
+    )
+    slots = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.pmod(F.xxhash64(F.col("o_orderkey"), F.col("b")), F.lit(_BOOT_P))
+        + F.lit(0.5)
+    ) / F.lit(float(_BOOT_P))
+    wt = F.when(u < F.lit(_POIS_CDF[0]), 0)
+    for k in range(1, len(_POIS_CDF)):
+        wt = wt.when(u < F.lit(_POIS_CDF[k]), k)
+    wt = wt.otherwise(8)
+    reps = (
+        o.crossJoin(F.broadcast(slots))
+        .select("b", "cents", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("wt") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("wt"))
+            ).alias("m")
+        )
+    )
+    lo = reps.orderBy("m").limit(2).agg(F.max("m").alias("ci_lo"))
+    hi = reps.orderBy(F.desc("m")).limit(2).agg(F.min("m").alias("ci_hi"))
+    return pt.crossJoin(lo).crossJoin(hi)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH t AS (
+        SELECT user_id, event_type,
+               epoch_ns(ts) // 1000000000 AS sec, event_id
+        FROM events WHERE user_id < 10
+    ), l AS (
+        SELECT user_id, event_type, sec, event_id,
+               CASE WHEN LAG(event_type) OVER
+                        (PARTITION BY user_id ORDER BY sec, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM t
+    ), g AS (
+        SELECT user_id, event_type, sec,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM l
+    ), i AS (
+        SELECT user_id, MIN(event_type) AS state, MIN(sec) AS valid_from
+        FROM g GROUP BY user_id, grp
+    ), scd AS (
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to
+        FROM i
+    ), probes AS (
+        SELECT user_id, event_id, sec FROM t WHERE event_id % 3 = 0
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.sec AS BIGINT) AS sec,
+           s.state AS state_at
+    FROM probes p JOIN scd s
+      ON s.user_id = p.user_id
+     AND s.valid_from <= p.sec
+     AND (s.valid_to IS NULL OR p.sec < s.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: each probe event resolves
+    the SCD2 state interval covering its timestamp — the lookup every
+    feature store / ML training join needs to avoid label leakage
+    ("the customer's state AS OF the order date, not today's").
+
+    Spark plan: NOT the naive interval join (quadratic per key).  State
+    transitions and probes union into one stream; a per-key window
+    carries last(state ignorenulls) over (sec, is_probe, tiebreak)
+    order; probes read the carried state — ONE hash exchange on the
+    key + a linear within-partition scan, the asof_latest_update shape.
+    The oracle intentionally uses the interval-predicate spelling: two
+    independent formulations agreeing is a stronger check than a
+    replay.  Empty intervals (equal-second state flips) are dropped on
+    both sides — they cover no instant by the half-open [from, to)
+    contract."""
+    from federated_gcn_spark.operators.scd import build_scd2
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.where(F.col("user_id") < 10).select(
+        "user_id",
+        "event_type",
+        _event_epoch_sec(events).alias("sec"),
+        "event_id",
+    )
+    scd = build_scd2(t, "user_id", "event_type", "sec", "event_id").where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    updates = scd.select(
+        "user_id",
+        F.col("valid_from").alias("sec"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        "state",
+    )
+    probes = t.where(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        "sec",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = updates.unionByName(probes).withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_probe") == 1).select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("sec").cast("long"),
+        "state_at",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+def _ann_recall_oracle() -> str:
+    return f"""
+    WITH brute AS ({ORACLE["similarity_topk"]}),
+    approx AS ({ORACLE["ann_topk"]})
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           COUNT(*) / 10.0 AS recall_at_k
+    FROM approx a JOIN brute b USING (vec_id)
+    """
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN (ann_topk) against the exact
+    brute-force ranking (similarity_topk) — the evaluation loop every
+    ANN index ships with, as a one-row query.  Both rankings are
+    deterministic (hash-replayable bucketing, exact cosine re-rank), so
+    the recall METRIC itself is oracle-checked, not just eyeballed.
+    The oracle embeds the parents' oracle texts — one source of truth.
+
+    100 TB shape: the parents do the work; the comparison is a top-k x
+    top-k join (constant size).  In production this runs over a sampled
+    query batch — same plan with a sampled query side."""
+    from federated_gcn_spark.plans.queries import ann_topk_q, similarity_topk
+
+    brute = similarity_topk(spark, sf_dir).select("vec_id")
+    approx = ann_topk_q(spark, sf_dir).select("vec_id")
+    overlap = approx.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_k"),
+    )
