@@ -153,6 +153,12 @@ HEADLINE = [
     "gains_lift_table",
     "rfm_segmentation",
     "cohort_ltv_curve",
+    # round-4 wave 5: entity resolution, bootstrap inference, PIT join,
+    # ANN evaluation
+    "part_entity_matches",
+    "bootstrap_revenue_ci",
+    "scd2_point_in_time_join",
+    "ann_recall_report",
 ]
 
 

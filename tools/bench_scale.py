@@ -92,6 +92,11 @@ ROSTER = [
     "gains_lift_table",
     "rfm_segmentation",
     "cohort_ltv_curve",
+    # round-4 wave 5
+    "part_entity_matches",
+    "bootstrap_revenue_ci",
+    "scd2_point_in_time_join",
+    "ann_recall_report",
 ]
 
 SF_DIRS = {
