@@ -159,6 +159,7 @@ HEADLINE = [
     "bootstrap_revenue_ci",
     "scd2_point_in_time_join",
     "ann_recall_report",
+    "isotonic_calibration",
 ]
 
 

@@ -344,3 +344,107 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA closed form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "isotonic_calibration",
+    """
+    WITH bins AS (
+        SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS score_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM lineitem GROUP BY score_bin
+    ), cum AS (
+        SELECT score_bin, n, pos,
+               SUM(n) OVER (ORDER BY score_bin) AS cn,
+               SUM(pos) OVER (ORDER BY score_bin) AS cp
+        FROM bins
+    ), blocks AS (
+        SELECT j.score_bin AS jb, k.score_bin AS kb,
+               CAST(k.cp - j.cp + j.pos AS DOUBLE)
+                   / (k.cn - j.cn + j.n) AS m
+        FROM cum j JOIN cum k ON j.score_bin <= k.score_bin
+    ), inner_min AS (
+        SELECT i.score_bin, b.jb, MIN(b.m) AS mn
+        FROM cum i JOIN blocks b
+          ON b.jb <= i.score_bin AND i.score_bin <= b.kb
+        GROUP BY i.score_bin, b.jb
+    ), iso AS (
+        SELECT score_bin, MAX(mn) AS iso_rate FROM inner_min GROUP BY score_bin
+    )
+    SELECT c.score_bin, c.n, c.pos,
+           CAST(c.pos AS DOUBLE) / c.n AS raw_rate,
+           i.iso_rate
+    FROM cum c JOIN iso i USING (score_bin)
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) calibration of the score_calibration
+    bins, via the max-min CLOSED FORM: iso_i = max_{j<=i} min_{k>=i}
+    mean(pos[j..k] / n[j..k]) — equivalent to pool-adjacent-violators
+    but expressible as pure relational algebra (no sequential pooling
+    loop), which is what makes it engine-replayable AND cluster-friendly.
+
+    100 TB shape: the corpus-sized work is ONE groupBy into score bins;
+    the closed form then runs on B bins (B is fixed by the binning, not
+    the corpus — here ~8), so the O(B^3) block enumeration is constant
+    work on broadcast-sized data.  Exactness: every block mean is a
+    single division of exact integer sums — identical doubles in both
+    engines — and min/max over identical doubles cannot diverge."""
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    bins = (
+        lineitem.select(
+            F.floor(F.col("l_extendedprice") / 10000)
+            .cast("long")
+            .alias("score_bin"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("score_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "score_bin", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    ).localCheckpoint(eager=False)  # B rows; reused by 3 self-joins
+    j = cum.select(
+        F.col("score_bin").alias("jb"),
+        F.col("cn").alias("jcn"), F.col("cp").alias("jcp"),
+        F.col("n").alias("jn"), F.col("pos").alias("jpos"),
+    )
+    k = cum.select(
+        F.col("score_bin").alias("kb"),
+        F.col("cn").alias("kcn"), F.col("cp").alias("kcp"),
+    )
+    blocks = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb", "kb",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jpos")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+        ).alias("m"),
+    )
+    i = cum.select(F.col("score_bin").alias("ib"))
+    inner_min = (
+        blocks.join(
+            i, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb"))
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("m").alias("mn"))
+    )
+    iso = inner_min.groupBy("ib").agg(F.max("mn").alias("iso_rate"))
+    return cum.join(iso, cum["score_bin"] == iso["ib"]).select(
+        "score_bin", "n", "pos",
+        (F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
+        "iso_rate",
+    )

@@ -117,3 +117,46 @@ def test_ann_recall_consistent_with_parents(spark):
     # sf0.001 the 500-vector corpus + 8 planes + 2-bit multiprobe gives
     # 0.4; the sf0.01 recall is pinned higher in test_similarity.py)
     assert row["recall_at_k"] >= 0.3
+
+
+def test_isotonic_calibration_matches_pava(spark):
+    """The max-min closed form must equal the classic sequential
+    pool-adjacent-violators algorithm, and be monotone non-decreasing."""
+    con = duckdb.connect()
+    bins = con.execute(
+        f"""SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS b,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            GROUP BY b ORDER BY b"""
+    ).fetchall()
+    con.close()
+    # sequential PAVA on (pos, n) blocks
+    blocks = [[int(p), int(n)] for _, n, p in bins]
+    stack: list[list[int]] = []
+    for blk in blocks:
+        stack.append(list(blk))
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):  # prev mean >= cur mean -> pool (exact integer comparison)
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    ref = []
+    it = iter(bins)
+    for p, n in stack:
+        # the pooled mean applies to every original bin in the pool
+        covered = 0
+        while covered < n:
+            b, bn, _ = next(it)
+            ref.append((b, p / n))
+            covered += bn
+    got = sorted(
+        (r["score_bin"], r["iso_rate"])
+        for r in QUERIES["isotonic_calibration"](spark, SF_DIR).collect()
+    )
+    assert [b for b, _ in got] == [b for b, _ in ref]
+    for (gb, gv), (rb, rv) in zip(got, ref):
+        assert gv == pytest.approx(rv, abs=1e-12), gb
+    rates = [v for _, v in got]
+    assert rates == sorted(rates)  # isotonic by construction

@@ -97,6 +97,7 @@ ROSTER = [
     "bootstrap_revenue_ci",
     "scd2_point_in_time_join",
     "ann_recall_report",
+    "isotonic_calibration",
 ]
 
 SF_DIRS = {
