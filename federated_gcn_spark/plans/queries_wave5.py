@@ -448,3 +448,352 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment lift
+# ---------------------------------------------------------------------------
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               o_custkey % 2 AS t,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM cust
+    ), th AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+        FROM mom
+    ), grp AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS ng,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sxg,
+               SUM(CAST(y AS DECIMAL(38,0))) AS syg
+        FROM cust GROUP BY t
+    ), wide AS (
+        SELECT MAX(CASE WHEN t = 1 THEN CAST(syg AS DOUBLE) / ng END) AS my1,
+               MAX(CASE WHEN t = 0 THEN CAST(syg AS DOUBLE) / ng END) AS my0,
+               MAX(CASE WHEN t = 1 THEN CAST(sxg AS DOUBLE) / ng END) AS mx1,
+               MAX(CASE WHEN t = 0 THEN CAST(sxg AS DOUBLE) / ng END) AS mx0
+        FROM grp
+    )
+    SELECT th.n AS n_units,
+           th.theta,
+           (wide.my1 - wide.my0) / 100.0 AS lift_raw,
+           ((wide.my1 - wide.my0) - th.theta * (wide.mx1 - wide.mx0)) / 100.0
+               AS lift_cuped,
+           th.rho2 AS var_reduction
+    FROM th, wide
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    the industry-standard A/B variance-reduction): pre-period spend (X,
+    orders before 1998) regresses out of the outcome (Y, orders from
+    1998 on); theta = cov(X,Y)/var(X) pooled, adjusted lift =
+    raw lift - theta * (pre-period imbalance); rho^2 reports the
+    variance fraction removed.  Assignment T = custkey parity (a stand-in
+    hash randomization).
+
+    100 TB shape: ONE customer-keyed aggregate reduces the fact table;
+    moments and group sums are five algebraic aggregates (map-side
+    combine).  Determinism: cents are integers, moment sums are exact
+    DECIMAL(38,0), and every double is produced by the same fixed
+    expression tree in both engines — single divisions of identical
+    values (the Pearson-family pattern)."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(0)).alias("y"),
+    ).select(
+        (F.col("o_custkey") % 2).alias("t"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cnum = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cdenx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cdeny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    th = mom.select(
+        n.alias("n_units"),
+        (cnum / cdenx).alias("theta"),
+        ((cnum * cnum) / (cdenx * cdeny)).alias("rho2"),
+    )
+    grp = cust.groupBy("t").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(dec("x")).alias("sxg"),
+        F.sum(dec("y")).alias("syg"),
+    )
+    pick = lambda tv, cc: F.max(  # noqa: E731
+        F.when(F.col("t") == tv, F.col(cc).cast("double") / F.col("ng"))
+    )
+    wide = grp.agg(
+        pick(1, "syg").alias("my1"), pick(0, "syg").alias("my0"),
+        pick(1, "sxg").alias("mx1"), pick(0, "sxg").alias("mx0"),
+    )
+    return th.crossJoin(wide).select(
+        "n_units",
+        "theta",
+        ((F.col("my1") - F.col("my0")) / 100.0).alias("lift_raw"),
+        (
+            (
+                (F.col("my1") - F.col("my0"))
+                - F.col("theta") * (F.col("mx1") - F.col("mx0"))
+            )
+            / 100.0
+        ).alias("lift_cuped"),
+        F.col("rho2").alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction interval
+# ---------------------------------------------------------------------------
+
+def _conformal_oracle() -> str:
+    from federated_gcn_spark.plans.xxh64_sql import to_signed64, xxhash64_sql
+
+    s = to_signed64(
+        xxhash64_sql(("l_orderkey", "long"), ("l_linenumber", "long"))
+    )
+    return f"""
+    WITH li AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               ((({s}) % 4) + 4) % 4 AS fold
+        FROM lineitem
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(x AS BIGINT) AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(cents AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(CAST(x AS BIGINT) AS DECIMAL(38,0))
+                   * CAST(x AS BIGINT)) AS sxx,
+               SUM(CAST(CAST(x AS BIGINT) AS DECIMAL(38,0)) * cents) AS sxy
+        FROM li WHERE fold < 2
+    ), fit AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / n AS a
+        FROM mom
+    ), cal AS (
+        SELECT ABS(cents / 100.0 - (fit.a + fit.b * li.x) / 100.0) AS r
+        FROM li, fit WHERE fold = 2
+    ), nc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+    ), q AS (
+        SELECT r AS width FROM cal ORDER BY r
+        LIMIT 1 OFFSET (SELECT (9 * (n_cal + 1) + 9) // 10 - 1 FROM nc)
+    ), tst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN
+                   ABS(cents / 100.0 - (fit.a + fit.b * li.x) / 100.0)
+                       <= (SELECT width FROM q)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM li, fit WHERE fold = 3
+    )
+    SELECT nc.n_cal, q.width AS q90_halfwidth,
+           tst.n_test, tst.n_covered,
+           CAST(tst.n_covered AS DOUBLE) / tst.n_test AS coverage
+    FROM nc, q, tst
+    """
+
+
+@register("conformal_price_interval", _conformal_oracle())
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Vovk; the distribution-free interval
+    wrapper every ML deployment can bolt on): hash-fold the data
+    (train 2/4, calibration 1/4, test 1/4), fit the linear
+    quantity→price model on train, take the ceil(0.9*(n_cal+1))-th
+    smallest absolute calibration residual as the interval half-width,
+    and report empirical coverage on the held-out test fold — which is
+    guaranteed >= 90% in expectation by exchangeability, no
+    distributional assumption.
+
+    100 TB shape: folds are hash labels (no shuffle to split); the fit
+    is the decimal-moment OLS; the calibration quantile is ONE
+    TakeOrdered of bounded rank; coverage is a conditional count.
+    Determinism: residuals are fixed-expression doubles over exact
+    ints, fold draws replay through the xxh64 chain, quantile rank is
+    integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber").cast("long")),
+            F.lit(4),
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)  # three folds read from one scan
+    dec = lambda c: c.cast("bigint").cast("decimal(38,0)")  # noqa: E731
+    mom = li.where(F.col("fold") < 2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x").cast("bigint")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("cents")).alias("sxy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    fit = mom.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx").cast("double")) / n).alias("a"),
+    )
+    resid = F.abs(
+        F.col("cents") / 100.0 - (F.col("a") + F.col("b") * F.col("x")) / 100.0
+    )
+    cal = (
+        li.where(F.col("fold") == 2)
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"))
+        .localCheckpoint(eager=False)  # reused for count + kth selection
+    )
+    nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    n_cal = nc.collect()[0]["n_cal"]
+    k = (9 * (n_cal + 1) + 9) // 10  # ceil(0.9 * (n_cal + 1))
+    q = cal.orderBy("r").limit(k).agg(F.max("r").alias("q90_halfwidth"))
+    tst = (
+        li.where(F.col("fold") == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(resid <= F.col("q90_halfwidth"), 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return (
+        nc.crossJoin(q)
+        .crossJoin(tst)
+        .select(
+            "n_cal",
+            "q90_halfwidth",
+            "n_test",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_to_convert_percentiles",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_ns(ts) // 1000000000 AS sec
+        FROM events
+    ), firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN sec END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS fp
+        FROM ev GROUP BY user_id
+    ), lagm AS (
+        SELECT (fp - fv) // 60 AS lag_min
+        FROM firsts WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ), hist AS (
+        SELECT lag_min, CAST(COUNT(*) AS BIGINT) AS c FROM lagm GROUP BY lag_min
+    ), cum AS (
+        SELECT lag_min, c,
+               CAST(SUM(c) OVER (ORDER BY lag_min) AS BIGINT) AS cum_c,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    )
+    SELECT n AS n_converted,
+           MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN lag_min END) AS p50_min,
+           MIN(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN lag_min END) AS p90_min,
+           MIN(CASE WHEN cum_c >= (99 * n + 99) // 100 THEN lag_min END)
+               AS p99_min
+    FROM cum GROUP BY n
+    """,
+)
+def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: exact p50/p90/p99 of first-view →
+    first-purchase lag (minutes) across converting users — the
+    time-dimension companion to funnel_conversion's step-count report.
+
+    100 TB shape: ONE user-keyed conditional-min aggregate reduces the
+    event stream; the lag distribution then lives as a value-domain
+    histogram (lag MINUTES over the observation window — bounded by the
+    calendar, not the corpus), so the cumulative window and the exact
+    quantile selection run over a constant-sized table (the
+    ship_lag_percentiles pattern).  Integer arithmetic end-to-end."""
+    from federated_gcn_spark.plans.queries import _event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events", parallel=True)
+    ev = events.select(
+        "user_id", "event_type", _event_epoch_sec(events).alias("sec")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("fp"),
+    )
+    lagm = firsts.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(F.expr("(fp - fv) div 60").alias("lag_min"))
+    hist = lagm.groupBy("lag_min").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("lag_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("lag_min").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "lag_min",
+        F.sum("c").over(w_cum).cast("long").alias("cum_c"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    kth = lambda sql_rank: F.min(  # noqa: E731
+        F.when(F.col("cum_c") >= F.expr(sql_rank), F.col("lag_min"))
+    )
+    return cum.groupBy("n").agg(
+        kth("(n + 1) div 2").alias("p50_min"),
+        kth("(9 * n + 9) div 10").alias("p90_min"),
+        kth("(99 * n + 99) div 100").alias("p99_min"),
+    ).select(
+        F.col("n").alias("n_converted"), "p50_min", "p90_min", "p99_min"
+    )

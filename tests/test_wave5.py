@@ -160,3 +160,90 @@ def test_isotonic_calibration_matches_pava(spark):
         assert gv == pytest.approx(rv, abs=1e-12), gb
     rates = [v for _, v in got]
     assert rates == sorted(rates)  # isotonic by construction
+
+
+def test_cuped_matches_python_reference(spark):
+    """theta, lifts and rho2 against a direct python computation on the
+    per-customer pre/post cent sums."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_custkey % 2 AS t,
+                   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+                   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+            FROM read_parquet('{SF_DIR}/orders.parquet')
+            GROUP BY o_custkey"""
+    ).fetchall()
+    con.close()
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    syy = sum(y * y for _, _, y in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    rho2 = float(n * sxy - sx * sy) ** 2 / (
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    g = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for t, x, y in rows:
+        g[t][0] += 1
+        g[t][1] += x
+        g[t][2] += y
+    my1, my0 = g[1][2] / g[1][0], g[0][2] / g[0][0]
+    mx1, mx0 = g[1][1] / g[1][0], g[0][1] / g[0][0]
+    row = QUERIES["cuped_adjusted_lift"](spark, SF_DIR).collect()[0]
+    assert row["n_units"] == n
+    assert row["theta"] == pytest.approx(theta, rel=1e-12)
+    assert row["lift_raw"] == pytest.approx((my1 - my0) / 100.0, rel=1e-9)
+    assert row["lift_cuped"] == pytest.approx(
+        ((my1 - my0) - theta * (mx1 - mx0)) / 100.0, rel=1e-9
+    )
+    assert row["var_reduction"] == pytest.approx(rho2, rel=1e-12)
+    assert 0.0 <= row["var_reduction"] <= 1.0
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal coverage on the held-out fold must land
+    near the nominal 90% (exchangeable folds; binomial tolerance)."""
+    row = QUERIES["conformal_price_interval"](spark, SF_DIR).collect()[0]
+    assert row["n_cal"] > 100 and row["n_test"] > 100
+    assert row["q90_halfwidth"] > 0
+    # binomial 4-sigma band around 0.9
+    import math
+
+    tol = 4 * math.sqrt(0.9 * 0.1 / row["n_test"])
+    assert abs(row["coverage"] - 0.9) < tol + 0.01
+
+
+def test_time_to_convert_matches_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, event_type, epoch_ns(ts) // 1000000000
+            FROM read_parquet('{SF_DIR}/events.parquet')"""
+    ).fetchall()
+    con.close()
+    fv, fp = {}, {}
+    for uid, et, sec in rows:
+        if et == "view":
+            fv[uid] = min(fv.get(uid, sec), sec)
+        elif et == "purchase":
+            fp[uid] = min(fp.get(uid, sec), sec)
+    lags = sorted(
+        (fp[u] - fv[u]) // 60
+        for u in fv.keys() & fp.keys()
+        if fp[u] >= fv[u]
+    )
+    n = len(lags)
+
+    def kth(rank):
+        return lags[rank - 1]
+
+    row = QUERIES["time_to_convert_percentiles"](spark, SF_DIR).collect()[0]
+    assert row["n_converted"] == n
+    assert row["p50_min"] == kth((n + 1) // 2)
+    assert row["p90_min"] == kth((9 * n + 9) // 10)
+    assert row["p99_min"] == kth((99 * n + 99) // 100)
