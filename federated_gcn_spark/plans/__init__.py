@@ -24,6 +24,7 @@ from federated_gcn_spark.plans import queries_mining  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave3  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave4  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave5  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave6  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 

@@ -122,6 +122,21 @@ PLAN_BUDGET = {
     "als_recommendations": (1, 0),
     "multimodal_features": (2, 0),
     "negative_sampling_table": (8, 0),
+    # round-4 wave 5 continuation (measured under the same fixture).
+    # conformal's visible plan is the post-checkpoint tail of the
+    # calibration/test folds plus the broadcast fit.
+    "cuped_adjusted_lift": (8, 0),
+    "conformal_price_interval": (7, 0),
+    "time_to_convert_percentiles": (4, 0),
+    # round-4 wave 6 (measured under the same fixture).  modularity's
+    # two SMJs are the vertex-keyed label joins — the correct join at
+    # scale, where the label table is as big as the vertex set.
+    "community_modularity": (10, 2),
+    "attribution_credit_split": (4, 0),
+    "k_anonymity_report": (3, 0),
+    "srm_assignment_check": (3, 0),
+    "double_smoothing_forecast": (6, 0),
+    "systematic_weighted_sample": (3, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -98,6 +98,15 @@ ROSTER = [
     "scd2_point_in_time_join",
     "ann_recall_report",
     "isotonic_calibration",
+    "cuped_adjusted_lift",
+    "conformal_price_interval",
+    "time_to_convert_percentiles",
+    # round-4 wave 6
+    "community_modularity",
+    "attribution_credit_split",
+    "k_anonymity_report",
+    "double_smoothing_forecast",
+    "systematic_weighted_sample",
 ]
 
 SF_DIRS = {
