@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.operators.stats import partitioned_prefix_sum
 from federated_gcn_spark.plans.queries import ORACLE, register
 
 # ---------------------------------------------------------------------------
@@ -610,22 +611,28 @@ def _conformal_oracle() -> str:
                    / n AS a
         FROM mom
     ), cal AS (
-        SELECT ABS(cents / 100.0 - (fit.a + fit.b * li.x) / 100.0) AS r
+        SELECT ABS(cents * 100
+                   - CAST(ROUND((fit.a + fit.b * li.x) * 100) AS BIGINT)) AS r
         FROM li, fit WHERE fold = 2
+    ), hist AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY r
     ), nc AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+        SELECT CAST(SUM(c) AS BIGINT) AS n_cal FROM hist
+    ), cum AS (
+        SELECT r, CAST(SUM(c) OVER (ORDER BY r) AS BIGINT) AS cum_c FROM hist
     ), q AS (
-        SELECT r AS width FROM cal ORDER BY r
-        LIMIT 1 OFFSET (SELECT (9 * (n_cal + 1) + 9) // 10 - 1 FROM nc)
+        SELECT MIN(r) AS q_i4 FROM cum, nc
+        WHERE cum_c >= (9 * (n_cal + 1) + 9) // 10
     ), tst AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
                CAST(SUM(CASE WHEN
-                   ABS(cents / 100.0 - (fit.a + fit.b * li.x) / 100.0)
-                       <= (SELECT width FROM q)
+                   ABS(cents * 100
+                       - CAST(ROUND((fit.a + fit.b * li.x) * 100) AS BIGINT))
+                       <= (SELECT q_i4 FROM q)
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
         FROM li, fit WHERE fold = 3
     )
-    SELECT nc.n_cal, q.width AS q90_halfwidth,
+    SELECT nc.n_cal, CAST(q.q_i4 AS DOUBLE) / 10000 AS q90_halfwidth,
            tst.n_test, tst.n_covered,
            CAST(tst.n_covered AS DOUBLE) / tst.n_test AS coverage
     FROM nc, q, tst
@@ -644,11 +651,14 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributional assumption.
 
     100 TB shape: folds are hash labels (no shuffle to split); the fit
-    is the decimal-moment OLS; the calibration quantile is ONE
-    TakeOrdered of bounded rank; coverage is a conditional count.
-    Determinism: residuals are fixed-expression doubles over exact
-    ints, fold draws replay through the xxh64 chain, quantile rank is
-    integer arithmetic."""
+    is the decimal-moment OLS; residuals quantize to integer 1e-4
+    dollars, so the calibration quantile is an exact selection over a
+    VALUE-DOMAIN histogram + distributed prefix sum — never a
+    TakeOrdered of rank ~0.9n, which would funnel O(rows) through one
+    task at scale; coverage is a conditional count.  Determinism:
+    residuals are integers built from one fixed double expression, fold
+    draws replay through the xxh64 chain, quantile rank is integer
+    arithmetic."""
     li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
         F.col("l_quantity").cast("double").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -673,19 +683,23 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("b"),
         ((F.col("sy").cast("double") - b * F.col("sx").cast("double")) / n).alias("a"),
     )
-    resid = F.abs(
-        F.col("cents") / 100.0 - (F.col("a") + F.col("b") * F.col("x")) / 100.0
+    resid_i4 = F.abs(
+        F.col("cents") * 100
+        - F.round((F.col("a") + F.col("b") * F.col("x")) * 100).cast("long")
     )
-    cal = (
+    hist = (
         li.where(F.col("fold") == 2)
         .crossJoin(F.broadcast(fit))
-        .select(resid.alias("r"))
-        .localCheckpoint(eager=False)  # reused for count + kth selection
+        .groupBy(resid_i4.alias("r"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    cum = partitioned_prefix_sum(hist, "r", "c", "cum_before")
+    nc = cum.agg(F.sum("c").cast("long").alias("n_cal"))
     n_cal = nc.collect()[0]["n_cal"]
     k = (9 * (n_cal + 1) + 9) // 10  # ceil(0.9 * (n_cal + 1))
-    q = cal.orderBy("r").limit(k).agg(F.max("r").alias("q90_halfwidth"))
+    q = cum.where(F.col("cum_before") + F.col("c") >= k).agg(
+        F.min("r").alias("q_i4")
+    )
     tst = (
         li.where(F.col("fold") == 3)
         .crossJoin(F.broadcast(fit))
@@ -693,7 +707,7 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.sum(
-                F.when(resid <= F.col("q90_halfwidth"), 1).otherwise(0)
+                F.when(resid_i4 <= F.col("q_i4"), 1).otherwise(0)
             ).cast("long").alias("n_covered"),
         )
     )
@@ -702,7 +716,7 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tst)
         .select(
             "n_cal",
-            "q90_halfwidth",
+            (F.col("q_i4").cast("double") / 10000).alias("q90_halfwidth"),
             "n_test",
             "n_covered",
             (F.col("n_covered").cast("double") / F.col("n_test")).alias(

@@ -126,7 +126,7 @@ PLAN_BUDGET = {
     # conformal's visible plan is the post-checkpoint tail of the
     # calibration/test folds plus the broadcast fit.
     "cuped_adjusted_lift": (8, 0),
-    "conformal_price_interval": (7, 0),
+    "conformal_price_interval": (9, 0),  # +2: histogram + prefix-sum pass
     "time_to_convert_percentiles": (4, 0),
     # round-4 wave 6 (measured under the same fixture).  modularity's
     # two SMJs are the vertex-keyed label joins — the correct join at
