@@ -137,6 +137,12 @@ PLAN_BUDGET = {
     "srm_assignment_check": (3, 0),
     "double_smoothing_forecast": (6, 0),
     "systematic_weighted_sample": (3, 0),
+    # round-4 wave 7 (measured under the same fixture)
+    "event_path_trigrams": (3, 0),
+    "unseen_vocab_mass": (3, 0),
+    "brier_calibration_report": (13, 0),
+    "ann_ndcg_report": (6, 0),
+    "rich_club_coefficient": (8, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

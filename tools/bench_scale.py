@@ -107,6 +107,12 @@ ROSTER = [
     "k_anonymity_report",
     "double_smoothing_forecast",
     "systematic_weighted_sample",
+    # round-4 wave 7
+    "event_path_trigrams",
+    "unseen_vocab_mass",
+    "brier_calibration_report",
+    "ann_ndcg_report",
+    "rich_club_coefficient",
 ]
 
 SF_DIRS = {
