@@ -177,6 +177,13 @@ HEADLINE = [
     "brier_calibration_report",
     "ann_ndcg_report",
     "rich_club_coefficient",
+    # round-4 wave 8: sequence mining, cluster quality, sketch accuracy,
+    # scorecard binning
+    "sequence_support_pairs",
+    "clustering_silhouette",
+    "hll_error_report",
+    "kmv_error_report",
+    "woe_iv_binning",
 ]
 
 

@@ -143,6 +143,12 @@ PLAN_BUDGET = {
     "brier_calibration_report": (13, 0),
     "ann_ndcg_report": (6, 0),
     "rich_club_coefficient": (8, 0),
+    # round-4 wave 8 (measured under the same fixture)
+    "sequence_support_pairs": (10, 0),
+    "clustering_silhouette": (7, 0),
+    "hll_error_report": (5, 0),
+    "kmv_error_report": (4, 0),
+    "woe_iv_binning": (7, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -113,6 +113,12 @@ ROSTER = [
     "brier_calibration_report",
     "ann_ndcg_report",
     "rich_club_coefficient",
+    # round-4 wave 8
+    "sequence_support_pairs",
+    "clustering_silhouette",
+    "hll_error_report",
+    "kmv_error_report",
+    "woe_iv_binning",
 ]
 
 SF_DIRS = {
