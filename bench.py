@@ -184,6 +184,9 @@ HEADLINE = [
     "hll_error_report",
     "kmv_error_report",
     "woe_iv_binning",
+    # round-4 wave 9: session windows, community quality
+    "session_window_stats",
+    "community_conductance",
 ]
 
 

@@ -149,6 +149,10 @@ PLAN_BUDGET = {
     "hll_error_report": (5, 0),
     "kmv_error_report": (4, 0),
     "woe_iv_binning": (7, 0),
+    # round-4 wave 9 (measured under the same fixture; conductance's
+    # SMJs are the vertex-keyed label joins, correct at scale)
+    "session_window_stats": (3, 0),
+    "community_conductance": (9, 2),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -119,6 +119,9 @@ ROSTER = [
     "hll_error_report",
     "kmv_error_report",
     "woe_iv_binning",
+    # round-4 wave 9
+    "session_window_stats",
+    "community_conductance",
 ]
 
 SF_DIRS = {
