@@ -187,6 +187,11 @@ HEADLINE = [
     # round-4 wave 9: session windows, community quality
     "session_window_stats",
     "community_conductance",
+    # round-4 wave 10: volatility bands, drawdown, parametric tests
+    "bollinger_bands",
+    "max_drawdown",
+    "anova_oneway",
+    "jarque_bera_price",
 ]
 
 

@@ -153,6 +153,11 @@ PLAN_BUDGET = {
     # SMJs are the vertex-keyed label joins, correct at scale)
     "session_window_stats": (3, 0),
     "community_conductance": (9, 2),
+    # round-4 wave 10
+    "bollinger_bands": (6, 0),
+    "max_drawdown": (3, 0),
+    "anova_oneway": (3, 0),
+    "jarque_bera_price": (3, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -122,6 +122,11 @@ ROSTER = [
     # round-4 wave 9
     "session_window_stats",
     "community_conductance",
+    # round-4 wave 10
+    "bollinger_bands",
+    "max_drawdown",
+    "anova_oneway",
+    "jarque_bera_price",
 ]
 
 SF_DIRS = {
