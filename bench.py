@@ -192,6 +192,11 @@ HEADLINE = [
     "max_drawdown",
     "anova_oneway",
     "jarque_bera_price",
+    # round-4 wave 11: concentration, causal, risk, agreement
+    "herfindahl_index",
+    "diff_in_diff_revenue",
+    "value_at_risk",
+    "cohen_kappa",
 ]
 
 

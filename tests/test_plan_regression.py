@@ -158,6 +158,11 @@ PLAN_BUDGET = {
     "max_drawdown": (3, 0),
     "anova_oneway": (3, 0),
     "jarque_bera_price": (3, 0),
+    # round-4 wave 11
+    "herfindahl_index": (6, 0),
+    "diff_in_diff_revenue": (4, 0),
+    "value_at_risk": (3, 0),
+    "cohen_kappa": (2, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -127,6 +127,11 @@ ROSTER = [
     "max_drawdown",
     "anova_oneway",
     "jarque_bera_price",
+    # round-4 wave 11
+    "herfindahl_index",
+    "diff_in_diff_revenue",
+    "value_at_risk",
+    "cohen_kappa",
 ]
 
 SF_DIRS = {
