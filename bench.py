@@ -197,6 +197,11 @@ HEADLINE = [
     "diff_in_diff_revenue",
     "value_at_risk",
     "cohen_kappa",
+    # round-4 wave 12: inequality, blocked ranks, changepoint, centrality
+    "theil_index",
+    "friedman_test",
+    "pettitt_changepoint",
+    "harmonic_centrality",
 ]
 
 

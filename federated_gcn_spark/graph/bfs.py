@@ -47,3 +47,44 @@ def bfs_distances(
         settled = iteration_barrier(settled.unionByName(nxt))
         frontier = nxt
     return settled
+
+
+def multi_source_bfs(
+    graph: Graph,
+    sources: DataFrame,
+    max_hops: int = 6,
+    undirected: bool = True,
+) -> DataFrame:
+    """(origin, id, distance) for every vertex within ``max_hops`` of
+    each origin in ``sources`` (a one-column DataFrame of vertex ids).
+
+    Same frontier fixpoint as :func:`bfs_distances`, with the state
+    keyed by (origin, id) — every (origin, vertex) pair enters a
+    frontier at most once, so total shuffled rows are bounded by
+    |sources| * |V| regardless of round count.  Intended for small
+    source panels (centrality probes); for all-sources reachability use
+    graph/anf.py.
+    """
+    edges = (
+        graph.symmetrized_edges() if undirected else graph.edges.select(SRC, DST)
+    ).distinct().localCheckpoint(eager=True)
+
+    settled = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("origin")
+    ).withColumn(ID, F.col("origin")).withColumn("distance", F.lit(0))
+    settled = iteration_barrier(settled)
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[ID] == edges[SRC])
+            .select("origin", F.col(DST).alias(ID))
+            .distinct()
+            .join(settled.select("origin", ID), ["origin", ID], "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        nxt = iteration_barrier(nxt)
+        if nxt.count() == 0:
+            break
+        settled = iteration_barrier(settled.unionByName(nxt))
+        frontier = nxt
+    return settled

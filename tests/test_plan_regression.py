@@ -163,6 +163,12 @@ PLAN_BUDGET = {
     "diff_in_diff_revenue": (4, 0),
     "value_at_risk": (3, 0),
     "cohen_kappa": (2, 0),
+    # round-4 wave 12 (friedman's exchanges all run on the tiny
+    # (month, priority) aggregate — calendar-bounded, not corpus-sized)
+    "theil_index": (6, 0),
+    "friedman_test": (20, 0),
+    "pettitt_changepoint": (7, 0),
+    "harmonic_centrality": (3, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -132,6 +132,11 @@ ROSTER = [
     "diff_in_diff_revenue",
     "value_at_risk",
     "cohen_kappa",
+    # round-4 wave 12
+    "theil_index",
+    "friedman_test",
+    "pettitt_changepoint",
+    "harmonic_centrality",
 ]
 
 SF_DIRS = {
