@@ -202,6 +202,11 @@ HEADLINE = [
     "friedman_test",
     "pettitt_changepoint",
     "harmonic_centrality",
+    # round-4 wave 13: embedding compression, quality rules, SPRT
+    "embedding_int8_quant_report",
+    "embedding_truncation_fidelity",
+    "gopher_quality_rules",
+    "sprt_conversion_monitor",
 ]
 
 

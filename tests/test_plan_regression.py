@@ -169,6 +169,11 @@ PLAN_BUDGET = {
     "friedman_test": (20, 0),
     "pettitt_changepoint": (7, 0),
     "harmonic_centrality": (3, 0),
+    # round-4 wave 13
+    "embedding_int8_quant_report": (3, 0),
+    "embedding_truncation_fidelity": (3, 0),
+    "gopher_quality_rules": (6, 0),
+    "sprt_conversion_monitor": (7, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -137,6 +137,11 @@ ROSTER = [
     "friedman_test",
     "pettitt_changepoint",
     "harmonic_centrality",
+    # round-4 wave 13
+    "embedding_int8_quant_report",
+    "embedding_truncation_fidelity",
+    "gopher_quality_rules",
+    "sprt_conversion_monitor",
 ]
 
 SF_DIRS = {
