@@ -207,6 +207,11 @@ HEADLINE = [
     "embedding_truncation_fidelity",
     "gopher_quality_rules",
     "sprt_conversion_monitor",
+    # round-4 wave 14: outliers, MCC, mixture temperature, seasonality
+    "grubbs_outlier_test",
+    "mcc_score",
+    "temperature_mixture_weights",
+    "seasonal_decompose",
 ]
 
 

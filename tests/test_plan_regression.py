@@ -174,6 +174,12 @@ PLAN_BUDGET = {
     "embedding_truncation_fidelity": (3, 0),
     "gopher_quality_rules": (6, 0),
     "sprt_conversion_monitor": (7, 0),
+    # round-4 wave 14 (the 15-exchange plans all run on the daily /
+    # per-source aggregate — calendar/dimension-bounded, not corpus)
+    "grubbs_outlier_test": (15, 0),
+    "mcc_score": (2, 0),
+    "temperature_mixture_weights": (15, 0),
+    "seasonal_decompose": (15, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -142,6 +142,11 @@ ROSTER = [
     "embedding_truncation_fidelity",
     "gopher_quality_rules",
     "sprt_conversion_monitor",
+    # round-4 wave 14
+    "grubbs_outlier_test",
+    "mcc_score",
+    "temperature_mixture_weights",
+    "seasonal_decompose",
 ]
 
 SF_DIRS = {
