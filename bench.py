@@ -212,6 +212,11 @@ HEADLINE = [
     "mcc_score",
     "temperature_mixture_weights",
     "seasonal_decompose",
+    # round-4 wave 15: cluster separation, matched raters, momentum, whiteness
+    "davies_bouldin_index",
+    "cochran_q_test",
+    "rsi_indicator",
+    "ljung_box_test",
 ]
 
 

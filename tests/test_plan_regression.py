@@ -180,6 +180,12 @@ PLAN_BUDGET = {
     "mcc_score": (2, 0),
     "temperature_mixture_weights": (15, 0),
     "seasonal_decompose": (15, 0),
+    # round-4 wave 15 (davies_bouldin's exchanges run over the k*d=640
+    # centroid table and the per-point ride-along, both bounded)
+    "davies_bouldin_index": (29, 0),
+    "cochran_q_test": (2, 0),
+    "rsi_indicator": (7, 0),
+    "ljung_box_test": (12, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -147,6 +147,11 @@ ROSTER = [
     "mcc_score",
     "temperature_mixture_weights",
     "seasonal_decompose",
+    # round-4 wave 15
+    "davies_bouldin_index",
+    "cochran_q_test",
+    "rsi_indicator",
+    "ljung_box_test",
 ]
 
 SF_DIRS = {
