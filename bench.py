@@ -217,6 +217,11 @@ HEADLINE = [
     "cochran_q_test",
     "rsi_indicator",
     "ljung_box_test",
+    # round-4 wave 16: concordance, behavioral entropy, SES selection, degree Gini
+    "kendall_tau_daily",
+    "session_entropy_distribution",
+    "ses_gridsearch",
+    "graph_degree_gini",
 ]
 
 

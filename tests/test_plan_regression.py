@@ -186,6 +186,12 @@ PLAN_BUDGET = {
     "cochran_q_test": (2, 0),
     "rsi_indicator": (7, 0),
     "ljung_box_test": (12, 0),
+    # round-4 wave 16 (degree-gini exchanges run over the degree-value
+    # histogram and edge aggregate, both graph-bounded)
+    "kendall_tau_daily": (6, 0),
+    "session_entropy_distribution": (5, 0),
+    "ses_gridsearch": (10, 0),
+    "graph_degree_gini": (25, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

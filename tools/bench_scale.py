@@ -152,6 +152,11 @@ ROSTER = [
     "cochran_q_test",
     "rsi_indicator",
     "ljung_box_test",
+    # round-4 wave 16
+    "kendall_tau_daily",
+    "session_entropy_distribution",
+    "ses_gridsearch",
+    "graph_degree_gini",
 ]
 
 SF_DIRS = {
