@@ -222,6 +222,11 @@ HEADLINE = [
     "session_entropy_distribution",
     "ses_gridsearch",
     "graph_degree_gini",
+    # round-4 wave 17: paired raters, stratified causal, Hurst, degree mixing
+    "mcnemar_test",
+    "stratified_adjusted_lift",
+    "hurst_exponent",
+    "neighbor_degree_curve",
 ]
 
 

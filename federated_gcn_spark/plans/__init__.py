@@ -35,6 +35,7 @@ from federated_gcn_spark.plans import queries_wave13  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave14  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave15  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave16  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave17  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 

@@ -192,6 +192,12 @@ PLAN_BUDGET = {
     "session_entropy_distribution": (5, 0),
     "ses_gridsearch": (10, 0),
     "graph_degree_gini": (25, 0),
+    # round-4 wave 17 (hurst's one SMJ joins two calendar-bounded
+    # block tables on (k, b) — fine at any corpus size)
+    "mcnemar_test": (2, 0),
+    "stratified_adjusted_lift": (6, 0),
+    "hurst_exponent": (12, 1),
+    "neighbor_degree_curve": (21, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

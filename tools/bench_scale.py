@@ -157,6 +157,11 @@ ROSTER = [
     "session_entropy_distribution",
     "ses_gridsearch",
     "graph_degree_gini",
+    # round-4 wave 17
+    "mcnemar_test",
+    "stratified_adjusted_lift",
+    "hurst_exponent",
+    "neighbor_degree_curve",
 ]
 
 SF_DIRS = {
