@@ -171,10 +171,10 @@ def stratified_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     customer = load_table(spark, sf_dir, "customer")
     spend = (
+        # no broadcast hint: customer is a fact table — let the planner
+        # pick the join strategy by size (the market_share lesson)
         orders.join(
-            F.broadcast(
-                customer.select("c_custkey", "c_mktsegment", "c_acctbal")
-            ),
+            customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
