@@ -36,6 +36,9 @@ from federated_gcn_spark.plans import queries_wave14  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave15  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave16  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave17  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave18  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave19  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave20  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 

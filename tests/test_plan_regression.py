@@ -198,6 +198,18 @@ PLAN_BUDGET = {
     "stratified_adjusted_lift": (6, 0),
     "hurst_exponent": (12, 1),
     "neighbor_degree_curve": (21, 0),
+    # round-4 waves 18-20
+    "trimmed_mean_prices": (4, 0),
+    "copurchase_pairs": (14, 0),
+    "exponential_gap_fit": (9, 0),
+    "hill_tail_index": (3, 0),
+    "capture_recapture_estimate": (3, 0),
+    "laspeyres_paasche_index": (4, 0),
+    "simpson_diversity": (7, 0),
+    "growth_streaks": (3, 0),
+    "poisson_rate_test": (2, 0),
+    "tukey_fences_report": (7, 0),
+    "xyz_demand_classes": (5, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -162,6 +162,20 @@ ROSTER = [
     "stratified_adjusted_lift",
     "hurst_exponent",
     "neighbor_degree_curve",
+    # round-4 wave 18
+    "trimmed_mean_prices",
+    "copurchase_pairs",
+    "exponential_gap_fit",
+    "hill_tail_index",
+    # round-4 wave 19
+    "capture_recapture_estimate",
+    "laspeyres_paasche_index",
+    "simpson_diversity",
+    "growth_streaks",
+    # round-4 wave 20
+    "poisson_rate_test",
+    "tukey_fences_report",
+    "xyz_demand_classes",
 ]
 
 SF_DIRS = {
