@@ -241,6 +241,11 @@ HEADLINE = [
     "poisson_rate_test",
     "tukey_fences_report",
     "xyz_demand_classes",
+    # round-4 wave 21: volatility, goodness-of-fit, G-test, multi-rater
+    "log_return_volatility",
+    "anderson_darling_gap_test",
+    "g_test_priority_segment",
+    "fleiss_kappa",
 ]
 
 

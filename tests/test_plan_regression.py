@@ -210,6 +210,11 @@ PLAN_BUDGET = {
     "poisson_rate_test": (2, 0),
     "tukey_fences_report": (7, 0),
     "xyz_demand_classes": (5, 0),
+    # round-4 wave 21
+    "log_return_volatility": (3, 0),
+    "anderson_darling_gap_test": (9, 0),
+    "g_test_priority_segment": (4, 0),
+    "fleiss_kappa": (2, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -176,6 +176,11 @@ ROSTER = [
     "poisson_rate_test",
     "tukey_fences_report",
     "xyz_demand_classes",
+    # round-4 wave 21
+    "log_return_volatility",
+    "anderson_darling_gap_test",
+    "g_test_priority_segment",
+    "fleiss_kappa",
 ]
 
 SF_DIRS = {
