@@ -246,6 +246,11 @@ HEADLINE = [
     "anderson_darling_gap_test",
     "g_test_priority_segment",
     "fleiss_kappa",
+    # round-4 wave 22: thresholds, ordinal association, drift, influence
+    "youden_threshold",
+    "somers_d_priority_late",
+    "page_hinkley_drift",
+    "cooks_distance_report",
 ]
 
 

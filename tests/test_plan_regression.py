@@ -215,6 +215,12 @@ PLAN_BUDGET = {
     "anderson_darling_gap_test": (9, 0),
     "g_test_priority_segment": (4, 0),
     "fleiss_kappa": (2, 0),
+    # round-4 wave 22 (cooks' exchanges are all on the calendar-bounded
+    # daily table — moment broadcast + per-day scalar math)
+    "youden_threshold": (15, 0),
+    "somers_d_priority_late": (10, 0),
+    "page_hinkley_drift": (7, 0),
+    "cooks_distance_report": (31, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

@@ -181,6 +181,11 @@ ROSTER = [
     "anderson_darling_gap_test",
     "g_test_priority_segment",
     "fleiss_kappa",
+    # round-4 wave 22
+    "youden_threshold",
+    "somers_d_priority_late",
+    "page_hinkley_drift",
+    "cooks_distance_report",
 ]
 
 SF_DIRS = {
