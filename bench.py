@@ -251,6 +251,10 @@ HEADLINE = [
     "somers_d_priority_late",
     "page_hinkley_drift",
     "cooks_distance_report",
+    # round-4 wave 23: extremes, overdispersion, Robin Hood index
+    "gumbel_extreme_fit",
+    "dispersion_index",
+    "hoover_index",
 ]
 
 

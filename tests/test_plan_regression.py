@@ -221,6 +221,10 @@ PLAN_BUDGET = {
     "somers_d_priority_late": (10, 0),
     "page_hinkley_drift": (7, 0),
     "cooks_distance_report": (31, 0),
+    # round-4 wave 23
+    "gumbel_extreme_fit": (4, 0),
+    "dispersion_index": (3, 0),
+    "hoover_index": (11, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts

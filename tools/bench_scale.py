@@ -186,6 +186,10 @@ ROSTER = [
     "somers_d_priority_late",
     "page_hinkley_drift",
     "cooks_distance_report",
+    # round-4 wave 23
+    "gumbel_extreme_fit",
+    "dispersion_index",
+    "hoover_index",
 ]
 
 SF_DIRS = {
