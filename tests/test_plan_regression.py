@@ -225,6 +225,11 @@ PLAN_BUDGET = {
     "gumbel_extreme_fit": (4, 0),
     "dispersion_index": (3, 0),
     "hoover_index": (11, 0),
+    # round-4 wave 24 (all ride the calendar-sized daily aggregate)
+    "epoch_folding_periodogram": (6, 0),
+    "pacf_lags": (7, 0),
+    "turning_points_test": (3, 0),
+    "cross_correlation_lags": (4, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
