@@ -230,6 +230,11 @@ PLAN_BUDGET = {
     "pacf_lags": (7, 0),
     "turning_points_test": (3, 0),
     "cross_correlation_lags": (4, 0),
+    # round-4 wave 25 (all reduce to <= 25-row group tallies)
+    "benjamini_hochberg_fdr": (7, 0),
+    "brown_forsythe_levene": (8, 0),
+    "bartlett_test": (3, 0),
+    "tukey_hsd_pairs": (4, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
