@@ -1,0 +1,93 @@
+"""Greedy distributed graph coloring via iterated Luby MIS layers.
+
+Color class c = a maximal independent set of the graph induced on the
+still-uncolored vertices (Luby 1986 composed layer-wise — the textbook
+distributed (Δ+1)-ish coloring).  Each layer reuses
+:func:`federated_gcn_spark.graph.mis.luby_mis`'s update rule with a
+layer-specific hash seed, so the whole coloring is a pure function of
+the vertex ids: layout-independent, and replayable in an unrolled SQL
+oracle (plans/queries_wave26._coloring_oracle).
+
+Spark shape: per layer, the induced subgraph is two semi-joins on the
+(checkpointed) edge list; per MIS round inside the layer, the same
+anti-join dominance step as ``luby_mis`` — all equi-joins on vertex id,
+lineage cut by ``iteration_barrier`` each round.  At 100 TB the edge
+list shuffles once per (layer, round) on vertex id with map-side
+combine; no vertex-pair blowup anywhere.
+
+Reference anchor: SURVEY.md §2.7 graph-algorithm layer (scheduling /
+conflict-freedom primitives around fl_client_shed.py's partition
+scheduling); composes graph/mis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def luby_coloring(
+    graph: Graph,
+    n_colors: int = 4,
+    rounds_per_color: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, color) — greedy MIS-layer coloring of the UNDIRECTED graph.
+
+    Colors are 0-based; vertices still uncolored after ``n_colors``
+    layers (possible when the fixed round budget leaves an MIS
+    non-maximal) come back with color = -1, so callers can assert
+    coverage.  Each layer runs ``rounds_per_color`` Luby rounds with
+    priority xxhash64(id, seed + color): running a round past
+    convergence is a no-op, so a fixed unroll and an early-exit loop
+    agree — the invariant the SQL oracle replay depends on.
+    """
+    edges = graph.symmetrized_edges().select(SRC, DST).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    spark = graph.vertices.sparkSession
+
+    remaining = iteration_barrier(graph.vertices.select(ID))
+    colored = spark.createDataFrame([], f"{ID} long, color int")
+
+    for color in range(n_colors):
+        layer_seed = seed + color
+
+        def pri(col):
+            return F.struct(
+                F.xxhash64(F.col(col), F.lit(layer_seed)).alias("h"),
+                F.col(col).alias("i"),
+            )
+
+        active = remaining
+        taken = spark.createDataFrame([], f"{ID} long")
+        for _ in range(rounds_per_color):
+            act_e = edges.join(
+                active.withColumnRenamed(ID, SRC), SRC, "left_semi"
+            ).join(active.withColumnRenamed(ID, DST), DST, "left_semi")
+            dominated = (
+                act_e.where(pri(SRC) > pri(DST))
+                .select(F.col(DST).alias(ID))
+                .distinct()
+            )
+            winners = iteration_barrier(active.join(dominated, ID, "left_anti"))
+            taken = iteration_barrier(taken.unionByName(winners))
+            losers = (
+                edges.join(winners.withColumnRenamed(ID, SRC), SRC, "left_semi")
+                .select(F.col(DST).alias(ID))
+                .distinct()
+            )
+            active = iteration_barrier(
+                active.join(winners, ID, "left_anti").join(
+                    losers, ID, "left_anti"
+                )
+            )
+        colored = iteration_barrier(
+            colored.unionByName(taken.withColumn("color", F.lit(color)))
+        )
+        remaining = iteration_barrier(remaining.join(taken, ID, "left_anti"))
+
+    leftover = remaining.withColumn("color", F.lit(-1))
+    return colored.unionByName(leftover)

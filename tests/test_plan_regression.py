@@ -235,6 +235,14 @@ PLAN_BUDGET = {
     "brown_forsythe_levene": (8, 0),
     "bartlett_test": (3, 0),
     "tukey_hsd_pairs": (4, 0),
+    # round-4 wave 26.  eigenvector/coloring loop bodies are cut by
+    # iteration_barrier (static counts low); clustering_null_model's 8
+    # SMJs are the triangle census's edge-edge joins — the correct
+    # at-scale join for stat-less checkpointed inputs.
+    "eigenvector_centrality": (6, 1),
+    "greedy_coloring_stats": (2, 0),
+    "butterfly_count": (8, 0),
+    "clustering_null_model": (23, 8),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
