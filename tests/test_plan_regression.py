@@ -243,6 +243,12 @@ PLAN_BUDGET = {
     "greedy_coloring_stats": (2, 0),
     "butterfly_count": (8, 0),
     "clustering_null_model": (23, 8),
+    # round-4 wave 27 (snapshot diff's SMJ is the co-partitioned
+    # full-outer key join — the correct at-scale shape)
+    "table_fingerprint": (3, 0),
+    "snapshot_diff_stats": (7, 1),
+    "zone_map_skipping_report": (6, 0),
+    "shard_assignment_balance": (13, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
