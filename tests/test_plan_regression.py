@@ -249,6 +249,11 @@ PLAN_BUDGET = {
     "snapshot_diff_stats": (7, 1),
     "zone_map_skipping_report": (6, 0),
     "shard_assignment_balance": (13, 0),
+    # round-4 wave 28 (EM/CART run on checkpointed sufficient-stats
+    # cells; knn's quadratic join is sample-bounded by construction)
+    "gmm_em_1d": (2, 0),
+    "cart_depth2_tree": (7, 0),
+    "knn_loo_accuracy": (3, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
