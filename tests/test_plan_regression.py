@@ -254,6 +254,12 @@ PLAN_BUDGET = {
     "gmm_em_1d": (2, 0),
     "cart_depth2_tree": (7, 0),
     "knn_loo_accuracy": (3, 0),
+    # round-4 wave 29 (projection folds are codegen'd maps; novelty is
+    # the decontam gram-join shape)
+    "jl_projection_fidelity": (4, 0),
+    "feature_hash_collisions": (4, 0),
+    "mojibake_stats": (3, 0),
+    "ngram_novelty_scan": (7, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
