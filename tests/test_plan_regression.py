@@ -260,6 +260,11 @@ PLAN_BUDGET = {
     "feature_hash_collisions": (4, 0),
     "mojibake_stats": (3, 0),
     "ngram_novelty_scan": (7, 0),
+    # round-4 wave 30 (moment-form OLS diagnostics on the daily table)
+    "durbin_watson": (4, 0),
+    "breusch_pagan": (3, 0),
+    "granger_causality_1lag": (2, 0),
+    "chow_break_test": (9, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
