@@ -265,6 +265,11 @@ PLAN_BUDGET = {
     "breusch_pagan": (3, 0),
     "granger_causality_1lag": (2, 0),
     "chow_break_test": (9, 0),
+    # round-4 wave 31
+    "nelson_aalen_hazard": (3, 0),
+    "forecast_accuracy_report": (7, 0),
+    "pinball_quantile_eval": (5, 0),
+    "croston_demand_forecast": (6, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
