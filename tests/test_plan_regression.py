@@ -270,6 +270,11 @@ PLAN_BUDGET = {
     "forecast_accuracy_report": (7, 0),
     "pinball_quantile_eval": (5, 0),
     "croston_demand_forecast": (6, 0),
+    # round-4 wave 32 (bounded-bucket drift statistics)
+    "jensen_shannon_drift": (7, 0),
+    "cramer_von_mises_binned": (3, 0),
+    "mood_median_test": (1, 0),
+    "atkinson_index_binned": (4, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
