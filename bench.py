@@ -255,6 +255,48 @@ HEADLINE = [
     "gumbel_extreme_fit",
     "dispersion_index",
     "hoover_index",
+    # round-4 wave 24: periodicity + serial dependence
+    "epoch_folding_periodogram",
+    "pacf_lags",
+    "cross_correlation_lags",
+    # round-4 wave 25: multiple testing + variance homogeneity
+    "benjamini_hochberg_fdr",
+    "brown_forsythe_levene",
+    "tukey_hsd_pairs",
+    # round-4 wave 26: spectral centrality, coloring, bipartite motifs
+    "eigenvector_centrality",
+    "greedy_coloring_stats",
+    "butterfly_count",
+    "clustering_null_model",
+    # round-4 wave 27: storage audits
+    "table_fingerprint",
+    "snapshot_diff_stats",
+    "zone_map_skipping_report",
+    "shard_assignment_balance",
+    # round-4 wave 28: model fitting on sufficient statistics
+    "gmm_em_1d",
+    "cart_depth2_tree",
+    "knn_loo_accuracy",
+    # round-4 wave 29: embedding/text pipeline audits
+    "jl_projection_fidelity",
+    "feature_hash_collisions",
+    "mojibake_stats",
+    "ngram_novelty_scan",
+    # round-4 wave 30: regression diagnostics
+    "durbin_watson",
+    "breusch_pagan",
+    "granger_causality_1lag",
+    "chow_break_test",
+    # round-4 wave 31: survival + forecast evaluation
+    "nelson_aalen_hazard",
+    "forecast_accuracy_report",
+    "pinball_quantile_eval",
+    "croston_demand_forecast",
+    # round-4 wave 32: drift distances + inequality
+    "jensen_shannon_drift",
+    "cramer_von_mises_binned",
+    "mood_median_test",
+    "atkinson_index_binned",
 ]
 
 

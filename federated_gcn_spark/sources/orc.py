@@ -1,21 +1,18 @@
-"""ORC source/sink — the third columnar format of the lakehouse
-surface (Parquet everywhere, ORC for Hive-lineage warehouses).
+"""ORC source/sink — the second columnar format alongside parquet.
 
-The reference reads CSV only (SURVEY.md §2.1 S1-S3); this engine
-treats ORC as first-class because Spark's ORC reader is built in (no
-extra package), predicate pushdown and column pruning work exactly as
-for Parquet, and 100 TB Hive estates overwhelmingly sit in ORC.
+Mixed lakes are the norm at 100 TB: Hive-era tables are ORC, newer
+drops parquet, and an engine that only speaks one forces a full rewrite
+of the other. Spark's native ORC reader gives the same scan-level
+wins as parquet — predicate pushdown into stripe/row-group indexes,
+column pruning, optional bloom-filter indexes per column — so the
+catalog treats the two formats symmetrically; everything downstream is
+format-agnostic DataFrames.
 
-Scale notes baked in:
-- reads take an EXPLICIT schema when provided (schema-on-read drift
-  across  ORC shards written by different producers is real; with no
-  schema argument Spark uses the footer schema of the first file);
-- writes use zlib compression (the codec every ORC reader ships) and
-  shard to the DataFrame's partitioning — control shard count
-  upstream with repartition(n), not in the writer;
-- ``orc.filter.pushdown`` stays on (Spark default) so row-group
-  min/max stats skip like Parquet zone maps
-  (see plans/queries_wave27.zone_map_skipping_report).
+Same scale rules as the JSONL source: explicit schema on read when the
+footprint matters (schema merging across 100k files is a driver-side
+listing storm), shard count controlled upstream via repartition, and
+compression left at Spark's zlib/snappy default unless the deployment
+pins one.
 """
 
 from __future__ import annotations
@@ -25,16 +22,35 @@ from pyspark.sql.types import StructType
 
 
 def read_orc(
-    spark: SparkSession, path: str, schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
 ) -> DataFrame:
-    """Read an ORC file/directory; pass ``schema`` to pin the contract
-    (mismatched columns come back NULL rather than failing mid-scan)."""
+    """Read an ORC dataset; pass ``schema`` to skip footer inference."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
 
 
-def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write ``df`` as ORC with zlib compression, one file per task."""
-    df.write.mode(mode).option("compression", "zlib").orc(path)
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+) -> None:
+    """Write ORC; optional partition dirs + per-column bloom indexes.
+
+    ``bloom_filter_cols`` turns on ORC's built-in per-stripe bloom
+    filters for those columns — point-lookup predicates then skip
+    stripes server-side, the ORC-native cousin of parquet min/max plus
+    the explicit operators/bloom.py join filter.
+    """
+    writer = df.write.mode("overwrite")
+    if bloom_filter_cols:
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
+        )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
