@@ -297,6 +297,11 @@ HEADLINE = [
     "cramer_von_mises_binned",
     "mood_median_test",
     "atkinson_index_binned",
+    # round-4 wave 33: Markov-chain behavioral analytics
+    "markov_stationary_distribution",
+    "markov_absorption_probabilities",
+    "markov_entropy_rate",
+    "markov_mixing_curve",
 ]
 
 

@@ -58,18 +58,18 @@ _TRANS_SQL = """
                    PARTITION BY user_id ORDER BY sec, event_id
                ) AS to_type
         FROM e
-    ), pairs AS (
+    ) , pairs AS MATERIALIZED (
         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM seq WHERE to_type IS NOT NULL
         GROUP BY from_type, to_type
     ), tot AS (
         SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
         FROM pairs GROUP BY from_type
-    ), p AS (
+    ), p AS MATERIALIZED (
         SELECT p.from_type, p.to_type,
                CAST(p.n AS DOUBLE) / t.n_from AS prob
         FROM pairs p JOIN tot t USING (from_type)
-    ), states AS (
+    ), states AS MATERIALIZED (
         SELECT from_type AS s FROM tot
     )
 """
@@ -139,7 +139,7 @@ def _stationary_oracle(steps: int) -> str:
     ]
     for t in range(1, steps + 1):
         parts.append(
-            f""", pi{t} AS (
+            f""", pi{t} AS MATERIALIZED (
         SELECT p.to_type AS s,
                CAST(SUM(CAST(ROUND(x.pi * p.prob, 12) AS DECIMAL(24,12)))
                     AS DOUBLE) AS pi
@@ -184,7 +184,7 @@ def markov_stationary_distribution(
     last = _iterate_pi(spark, trans, prev, 1)
     return (
         last.alias("a")
-        .join(prev.alias("b"), F.col("a.s") == F.col("b.s"))
+        .join(F.broadcast(prev.alias("b")), F.col("a.s") == F.col("b.s"))
         .select(
             F.col("a.s").alias("event_type"),
             F.round(F.col("a.pi"), 9).alias("stationary_prob"),
@@ -201,11 +201,11 @@ def _absorption_oracle(terms: int) -> str:
     parts = [
         f"""
     WITH {_TRANS_SQL},
-    q AS (
+    q AS MATERIALIZED (
         SELECT from_type, to_type, prob FROM p
         WHERE from_type NOT IN ('{a0}', '{a1}')
           AND to_type NOT IN ('{a0}', '{a1}')
-    ), r AS (
+    ), r AS MATERIALIZED (
         SELECT from_type, to_type, prob FROM p
         WHERE from_type NOT IN ('{a0}', '{a1}')
           AND to_type IN ('{a0}', '{a1}')
@@ -215,7 +215,7 @@ def _absorption_oracle(terms: int) -> str:
     ]
     for t in range(1, terms + 1):
         parts.append(
-            f""", b{t} AS (
+            f""", b{t} AS MATERIALIZED (
         SELECT r.from_type AS s, r.to_type AS a, r.prob AS b
         FROM r
         UNION ALL
@@ -224,7 +224,7 @@ def _absorption_oracle(terms: int) -> str:
                     AS DOUBLE) AS b
         FROM q JOIN bb{t - 1} x ON x.s = q.to_type
         GROUP BY q.from_type, x.a
-    ), bb{t} AS (
+    ), bb{t} AS MATERIALIZED (
         SELECT s, a, CAST(SUM(CAST(ROUND(b, 12) AS DECIMAL(24,12)))
                           AS DOUBLE) AS b
         FROM b{t} GROUP BY s, a
@@ -393,7 +393,7 @@ def _mixing_oracle(steps: int, stat_steps: int) -> str:
     ]
     for t in range(1, stat_steps + 1):
         parts.append(
-            f""", pi{t} AS (
+            f""", pi{t} AS MATERIALIZED (
         SELECT p.to_type AS s,
                CAST(SUM(CAST(ROUND(x.pi * p.prob, 12) AS DECIMAL(24,12)))
                     AS DOUBLE) AS pi
@@ -409,7 +409,7 @@ def _mixing_oracle(steps: int, stat_steps: int) -> str:
     )
     for t in range(1, steps + 1):
         parts.append(
-            f""", m{t} AS (
+            f""", m{t} AS MATERIALIZED (
         SELECT p.to_type AS s,
                CAST(SUM(CAST(ROUND(x.pi * p.prob, 12) AS DECIMAL(24,12)))
                     AS DOUBLE) AS pi
@@ -462,7 +462,7 @@ def markov_mixing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(1, _MIX_STEPS + 1):
         m = _iterate_pi(spark, trans, m, 1)
         tv = (
-            m.join(stat, "s")
+            m.join(F.broadcast(stat), "s")
             .agg(
                 F.round(
                     0.5

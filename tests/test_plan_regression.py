@@ -275,6 +275,13 @@ PLAN_BUDGET = {
     "cramer_von_mises_binned": (3, 0),
     "mood_median_test": (1, 0),
     "atkinson_index_binned": (4, 0),
+    # round-4 wave 33 (vocabulary-bounded Markov supersteps; loop
+    # bodies cut by iteration_barrier; mixing's 8 TV points each
+    # broadcast-join the bounded stationary table)
+    "markov_stationary_distribution": (2, 0),
+    "markov_absorption_probabilities": (2, 0),
+    "markov_entropy_rate": (3, 0),
+    "markov_mixing_curve": (16, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
