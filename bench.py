@@ -302,6 +302,11 @@ HEADLINE = [
     "markov_absorption_probabilities",
     "markov_entropy_rate",
     "markov_mixing_curve",
+    # round-4 wave 34: relational surface + sketch algebra
+    "unpivot_metrics",
+    "order_lines_nested",
+    "median_polish_weekday_month",
+    "kmv_set_algebra",
 ]
 
 

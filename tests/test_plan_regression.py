@@ -282,6 +282,12 @@ PLAN_BUDGET = {
     "markov_absorption_probabilities": (2, 0),
     "markov_entropy_rate": (3, 0),
     "markov_mixing_curve": (16, 0),
+    # round-4 wave 34 (median polish iterates over a checkpointed
+    # 84-cell table; kmv algebra's branches are TakeOrdered(64) sets)
+    "unpivot_metrics": (6, 0),
+    "order_lines_nested": (2, 0),
+    "median_polish_weekday_month": (16, 0),
+    "kmv_set_algebra": (18, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
