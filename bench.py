@@ -307,6 +307,11 @@ HEADLINE = [
     "order_lines_nested",
     "median_polish_weekday_month",
     "kmv_set_algebra",
+    # round-4 wave 35: omnibus normality, ESD rounds, NMI, QQ drift
+    "dagostino_k2",
+    "esd_outlier_rounds",
+    "nmi_lang_source",
+    "qq_deciles_halves",
 ]
 
 

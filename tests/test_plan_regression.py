@@ -288,6 +288,12 @@ PLAN_BUDGET = {
     "order_lines_nested": (2, 0),
     "median_polish_weekday_month": (16, 0),
     "kmv_set_algebra": (18, 0),
+    # round-4 wave 35 (qq/esd run on checkpointed bounded aggregates;
+    # nmi's 19 exchanges are all over the bounded contingency table)
+    "dagostino_k2": (2, 0),
+    "esd_outlier_rounds": (1, 0),
+    "nmi_lang_source": (19, 0),
+    "qq_deciles_halves": (1, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
