@@ -312,6 +312,11 @@ HEADLINE = [
     "esd_outlier_rounds",
     "nmi_lang_source",
     "qq_deciles_halves",
+    # round-4 wave 36: feature engineering + robustness
+    "rake_keyphrases",
+    "target_encoding_smoothed",
+    "feature_scaling_stats",
+    "degree_attack_robustness",
 ]
 
 

@@ -1,0 +1,505 @@
+"""Round-4 wave 36: feature-engineering and robustness — the
+preprocessing fits and stress tests around model training.
+
+- ``rake_keyphrases``: RAKE keyword extraction over the corpus —
+  split documents into candidate phrases at stopwords, score words by
+  degree/frequency, score phrases as the sum of member-word scores,
+  top 20 phrases.  The zero-model keyphrase baseline next to
+  tfidf_top_terms / bm25_search.
+- ``target_encoding_smoothed``: out-of-fold smoothed target encoding
+  of part brand against the return rate — enc = (n*mean + m*prior) /
+  (n + m) computed from the OTHER two folds, the leakage-safe
+  categorical encoding every tabular pipeline ships.
+- ``feature_scaling_stats``: the fit step of a scaling pipeline —
+  per-feature min-max, z-score (mean, sd) and robust (median, IQR)
+  parameters for the lineitem numeric features, exact.
+- ``degree_attack_robustness``: remove the top-5 hub vertices vs 5
+  hash-random vertices from the order-supplier graph and compare the
+  surviving edge fraction and max-degree drop — the targeted-attack
+  robustness probe (Albert-Barabasi style) on the co-purchase
+  infrastructure.
+
+Cross-engine determinism: RAKE word degrees/frequencies are exact
+integers and phrase scores are 9-dp-rounded DECIMAL sums over <= 3
+member words with (score, phrase) tie-breaks; encodings are fixed
+expressions of exact fold tallies; scaling medians/IQRs are SELECTED
+exact values; attack sets pick by exact (degree, id) order or
+xxhash64.
+
+Reference anchor: SURVEY.md §2.10/§2.11; extends tfidf_top_terms,
+woe_iv_binning (encoding family), exact_group_medians, kcore_stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.plans.queries import register
+
+_RAKE_STOP = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "that", "are", "or",
+)
+_RAKE_TOPK = 20
+_TE_M = 10.0  # smoothing pseudo-count
+_TE_FOLDS = 3
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return rf"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+        FROM documents WHERE TRIM(text) <> ''
+    ), pe AS (
+        SELECT doc_id, t, UNNEST(range(1, len(t) + 1)) AS pos FROM d
+    ), toks AS (
+        SELECT doc_id, pos, t[pos] AS tok FROM pe WHERE t[pos] <> ''
+    ), runs AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS grp
+        FROM toks WHERE tok NOT IN ({stops})
+    ), phrases AS MATERIALIZED (
+        SELECT doc_id, grp,
+               STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM runs GROUP BY doc_id, grp
+        HAVING COUNT(*) <= 3
+    ), wscore AS MATERIALIZED (
+        SELECT w, CAST(SUM(plen) AS BIGINT) AS deg,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(phrase, ' ')) AS w, plen
+              FROM phrases)
+        GROUP BY w
+    ), pocc AS MATERIALIZED (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY phrase
+    ), pscore AS (
+        SELECT pw.phrase,
+               CAST(SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS score
+        FROM (SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w
+              FROM pocc) pw
+        JOIN wscore ws ON ws.w = pw.w
+        GROUP BY pw.phrase
+    )
+    SELECT o.phrase, o.n_occurrences, ROUND(s.score, 6) AS rake_score
+    FROM pocc o JOIN pscore s USING (phrase)
+    ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOPK}
+    """
+
+
+@register("rake_keyphrases", _rake_oracle())
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are maximal
+    stopword-free token runs (<= 3 words); each word scores
+    degree/frequency (degree = total length of phrases containing it)
+    and a phrase scores the sum of its words — top 20 by score.  The
+    classic zero-training keyphrase baseline (Rose et al. 2010).
+
+    100 TB shape: two exploded aggregations (phrase tally, word tally)
+    plus one phrase-word equi-join — the tfidf shuffle shape; no
+    doc x doc anywhere.  Determinism: degrees/frequencies are exact
+    integers; per-word score terms round to 9 dp into exact DECIMAL
+    sums; top-k ties break by phrase."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).where(F.col("tok") != "")
+    marked = toks.withColumn(
+        "stop", F.when(F.col("tok").isin(list(_RAKE_STOP)), 1).otherwise(0)
+    )
+    w = Window.partitionBy("doc_id", "stop").orderBy("pos")
+    runs = marked.where(F.col("stop") == 0).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .where(F.col("plen") <= 3)
+        .localCheckpoint(eager=True)
+    )
+    words = phrases.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"), "plen"
+    )
+    wscore = words.groupBy("w").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    pocc = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    ).localCheckpoint(eager=True)
+    pw = pocc.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("deg").cast("double") / F.col("freq"), 9).cast(
+                    "decimal(28,9)"
+                )
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        pocc.join(pscore, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score"), 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold smoothed target encoding
+# ---------------------------------------------------------------------------
+
+@register(
+    "target_encoding_smoothed",
+    f"""
+    WITH base AS (
+        SELECT p.p_brand AS brand, l.l_orderkey % {_TE_FOLDS} AS fold,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), cell AS (
+        SELECT brand, fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM base GROUP BY brand, fold
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(pos) AS BIGINT) AS pos_all
+        FROM cell
+    ), brand_tot AS (
+        SELECT brand, CAST(SUM(n) AS BIGINT) AS n_b,
+               CAST(SUM(pos) AS BIGINT) AS pos_b
+        FROM cell GROUP BY brand
+    )
+    SELECT c.brand, CAST(c.fold AS BIGINT) AS fold, c.n AS n_rows,
+           ROUND((CAST(b.pos_b - c.pos AS DOUBLE)
+                  + {_TE_M} * (CAST(t.pos_all - c.pos AS DOUBLE)
+                               / (t.n_all - c.n)))
+                 / (CAST(b.n_b - c.n AS DOUBLE) + {_TE_M}), 6) AS encoding,
+           ROUND(CAST(t.pos_all - c.pos AS DOUBLE) / (t.n_all - c.n), 6)
+               AS oof_prior
+    FROM cell c
+    JOIN brand_tot b USING (brand)
+    CROSS JOIN tot t
+    ORDER BY brand, fold
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of part brand vs return
+    rate: for each (brand, fold), the encoding uses ONLY the other
+    folds — enc = (pos_oof + m * prior_oof) / (n_oof + m), m = 10 —
+    the leakage-safe categorical encoder (the difference between a
+    model that generalizes and one that memorizes its training keys).
+
+    100 TB shape: one (brand, fold) tally (brands x 3 cells); the
+    out-of-fold arithmetic is complement subtraction from brand/global
+    totals — no per-fold rescan.  Determinism: tallies exact; the
+    encoding is one fixed expression."""
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    part = load_table(spark, sf_dir, "part")
+    base = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_orderkey") % _TE_FOLDS).alias("fold"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cell = base.groupBy("brand", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    ).localCheckpoint(eager=True)
+    tot = cell.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+    )
+    brand_tot = cell.groupBy("brand").agg(
+        F.sum("n").cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+    )
+    j = cell.join(F.broadcast(brand_tot), "brand").crossJoin(
+        F.broadcast(tot)
+    )
+    prior = (F.col("pos_all") - F.col("pos")).cast("double") / (
+        F.col("n_all") - F.col("n")
+    )
+    enc = (
+        (F.col("pos_b") - F.col("pos")).cast("double") + _TE_M * prior
+    ) / ((F.col("n_b") - F.col("n")).cast("double") + _TE_M)
+    return j.select(
+        "brand",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").alias("n_rows"),
+        F.round(enc, 6).alias("encoding"),
+        F.round(prior, 6).alias("oof_prior"),
+    ).orderBy("brand", "fold")
+
+
+# ---------------------------------------------------------------------------
+# Feature-scaling fit statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "feature_scaling_stats",
+    """
+    WITH f AS (
+        SELECT 'quantity' AS feature, CAST(l_quantity * 100 AS BIGINT) AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(ROUND(l_discount * 100) AS BIGINT)
+        FROM lineitem
+    ), ranked AS (
+        SELECT feature, v,
+               ROW_NUMBER() OVER (PARTITION BY feature ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY feature) AS n
+        FROM f
+    ), quart AS (
+        SELECT feature,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END)
+                   AS q1,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END)
+                   AS q3
+        FROM ranked GROUP BY feature
+    ), mom AS (
+        SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS DECIMAL(38,0)) * v) AS q
+        FROM f GROUP BY feature
+    )
+    SELECT m.feature, m.n,
+           ROUND(CAST(m.mn AS DOUBLE) / 100, 2) AS min_value,
+           ROUND(CAST(m.mx AS DOUBLE) / 100, 2) AS max_value,
+           ROUND(CAST(m.s AS DOUBLE) / m.n / 100, 4) AS mean,
+           ROUND(SQRT((CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                       - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1))) / 100, 4) AS sd,
+           ROUND(CAST(qu.median AS DOUBLE) / 100, 2) AS median,
+           ROUND(CAST(qu.q3 - qu.q1 AS DOUBLE) / 100, 2) AS iqr
+    FROM mom m JOIN quart qu USING (feature)
+    ORDER BY feature
+    """,
+)
+def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit step of a feature-scaling pipeline: per numeric feature
+    the min-max bounds, z-score parameters (mean, sd) and robust
+    parameters (exact median, IQR) — computed once, broadcast to any
+    downstream transform; robust params make the scaler immune to the
+    price tail.
+
+    100 TB shape: one union-of-projections pass for moments; the
+    median/quartiles come from the two-pass bounded histogram
+    selection per feature (operators/stats machinery — the oracle's
+    window spelling sorts, the Spark plan does not).  Determinism:
+    integerized values make every order statistic a selected exact
+    value; moments are exact DECIMAL sums."""
+    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    feats = {
+        "quantity": (F.col("l_quantity") * 100).cast("long"),
+        "extendedprice": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "discount": F.round(F.col("l_discount") * 100).cast("long"),
+    }
+    f = None
+    for name, expr in feats.items():
+        part = lineitem.select(F.lit(name).alias("feature"), expr.alias("v"))
+        f = part if f is None else f.unionByName(part)
+    f = f.localCheckpoint(eager=True)
+    mom = f.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").cast("long").alias("mn"),
+        F.max("v").cast("long").alias("mx"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+    )
+    rows = []
+    for name in feats:
+        part = f.where(F.col("feature") == name)
+        n = part.count()
+        med = float(exact_kth_smallest_value(part, "v", (n + 1) // 2))
+        q1 = float(exact_kth_smallest_value(part, "v", -(-n // 4)))
+        q3 = float(exact_kth_smallest_value(part, "v", -(-3 * n // 4)))
+        rows.append((name, med, q3 - q1))
+    quart = spark.createDataFrame(
+        rows, "feature string, median_c double, iqr_c double"
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (nd * F.col("q").cast("double") - F.col("s").cast("double")
+         * F.col("s").cast("double"))
+        / (nd * (F.col("n") - 1))
+    )
+    return (
+        mom.join(F.broadcast(quart), "feature")
+        .select(
+            "feature",
+            "n",
+            F.round(F.col("mn").cast("double") / 100, 2).alias("min_value"),
+            F.round(F.col("mx").cast("double") / 100, 2).alias("max_value"),
+            F.round(F.col("s").cast("double") / nd / 100, 4).alias("mean"),
+            F.round(sd / 100, 4).alias("sd"),
+            F.round(F.col("median_c") / 100, 2).alias("median"),
+            F.round(F.col("iqr_c") / 100, 2).alias("iqr"),
+        )
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Targeted-vs-random attack robustness of the order-supplier graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_attack_robustness",
+    """
+    WITH ed AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)
+        GROUP BY node
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_deg
+        FROM ed
+    ), hubs AS MATERIALIZED (
+        SELECT node FROM deg ORDER BY d DESC, node LIMIT 5
+    ), rand5 AS MATERIALIZED (
+        SELECT node FROM deg
+        ORDER BY (((42 + node * 2654435761) % 4294967296)), node LIMIT 5
+    ), after_hub AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM ed WHERE src NOT IN (SELECT node FROM hubs)
+                  AND dst NOT IN (SELECT node FROM hubs)
+    ), after_rand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM ed WHERE src NOT IN (SELECT node FROM rand5)
+                  AND dst NOT IN (SELECT node FROM rand5)
+    )
+    SELECT b.n_edges, b.max_deg,
+           h.n_edges AS edges_after_hub_attack,
+           r.n_edges AS edges_after_random_removal,
+           ROUND(1 - CAST(h.n_edges AS DOUBLE) / b.n_edges, 6)
+               AS hub_attack_loss,
+           ROUND(1 - CAST(r.n_edges AS DOUBLE) / b.n_edges, 6)
+               AS random_removal_loss
+    FROM base b CROSS JOIN after_hub h CROSS JOIN after_rand r
+    """,
+)
+def degree_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness probe: remove the 5 highest-degree
+    vertices (hub attack) versus 5 deterministic-hash-random vertices
+    from the order-supplier graph and compare the surviving edge
+    fraction — the Albert-Barabasi asymmetry (scale-free-ish networks
+    shrug off random failure and crumble under targeted attack).
+
+    100 TB shape: one degree tally, two TakeOrdered(5) picks, two
+    anti-join edge counts — never a component recomputation per
+    removal.  Determinism: hub pick orders by exact (degree, id);
+    the 'random' pick is a fixed Knuth-multiplicative hash of the
+    vertex id, identical in both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    ed = (
+        lineitem.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ed.select(F.col("src").alias("node"))
+        .unionAll(ed.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    base = ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(F.max("d").cast("long").alias("max_deg")))
+    )
+    hubs = deg.orderBy(F.col("d").desc(), "node").limit(5).select("node")
+    rand5 = (
+        deg.select(
+            "node",
+            ((F.lit(42) + F.col("node") * 2654435761) % 4294967296).alias(
+                "r"
+            ),
+        )
+        .orderBy("r", "node")
+        .limit(5)
+        .select("node")
+    )
+
+    def survivors(kill: DataFrame) -> DataFrame:
+        kill = F.broadcast(kill.localCheckpoint(eager=True))
+        return (
+            ed.join(kill.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(kill.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+
+    h = survivors(hubs).select(F.col("n_edges").alias("edges_after_hub_attack"))
+    r = survivors(rand5).select(
+        F.col("n_edges").alias("edges_after_random_removal")
+    )
+    j = base.crossJoin(F.broadcast(h)).crossJoin(F.broadcast(r))
+    return j.select(
+        "n_edges",
+        "max_deg",
+        "edges_after_hub_attack",
+        "edges_after_random_removal",
+        F.round(
+            1
+            - F.col("edges_after_hub_attack").cast("double")
+            / F.col("n_edges"),
+            6,
+        ).alias("hub_attack_loss"),
+        F.round(
+            1
+            - F.col("edges_after_random_removal").cast("double")
+            / F.col("n_edges"),
+            6,
+        ).alias("random_removal_loss"),
+    )

@@ -294,6 +294,11 @@ PLAN_BUDGET = {
     "esd_outlier_rounds": (1, 0),
     "nmi_lang_source": (19, 0),
     "qq_deciles_halves": (1, 0),
+    # round-4 wave 36
+    "rake_keyphrases": (4, 0),
+    "target_encoding_smoothed": (5, 0),
+    "feature_scaling_stats": (3, 0),
+    "degree_attack_robustness": (11, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
