@@ -317,6 +317,11 @@ HEADLINE = [
     "target_encoding_smoothed",
     "feature_scaling_stats",
     "degree_attack_robustness",
+    # round-4 wave 37: weighting, regularization, energy stats, split gains
+    "ipf_raking_weights",
+    "ridge_regression_path",
+    "energy_distance_halves",
+    "gini_gain_feature_ranking",
 ]
 
 

@@ -299,6 +299,12 @@ PLAN_BUDGET = {
     "target_encoding_smoothed": (5, 0),
     "feature_scaling_stats": (3, 0),
     "degree_attack_robustness": (11, 0),
+    # round-4 wave 37 (gini ranking's SMJ is the cells-x-candidates
+    # join within each bounded feature group)
+    "ipf_raking_weights": (1, 0),
+    "ridge_regression_path": (4, 0),
+    "energy_distance_halves": (3, 0),
+    "gini_gain_feature_ranking": (4, 1),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
