@@ -463,7 +463,7 @@ def qq_deciles_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-pass bounded histogram (operators/stats machinery) — the
     VALUES are identical, the plan scales.  Determinism: deciles are
     SELECTED exact integers."""
-    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+    from federated_gcn_spark.operators.stats import exact_quantile_values
 
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -473,11 +473,11 @@ def qq_deciles_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in (0, 1):
         part = orders.where(F.col("half") == h)
         n = part.count()
-        vals = []
-        for d in range(1, 10):
-            k = -(-d * n // 10)  # ceil(d/10 * n) with integer arithmetic
-            vals.append((d / 10.0, float(exact_kth_smallest_value(part, "cents", k))))
-        halves[h] = vals
+        ks = [-(-d * n // 10) for d in range(1, 10)]  # ceil(d/10 * n)
+        got = exact_quantile_values(part, "cents", ks)
+        halves[h] = [
+            (d / 10.0, float(got[k])) for d, k in zip(range(1, 10), ks)
+        ]
     rows = [
         (q, ev / 100.0, ov / 100.0, round((ov - ev) / 100.0, 2))
         for (q, ev), (_, ov) in zip(halves[0], halves[1])
