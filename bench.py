@@ -322,6 +322,11 @@ HEADLINE = [
     "ridge_regression_path",
     "energy_distance_halves",
     "gini_gain_feature_ranking",
+    # round-4 wave 38: revenue bridge, adstock, newsvendor, spectral step
+    "revenue_bridge_decomposition",
+    "adstock_grid_fit",
+    "newsvendor_stock_levels",
+    "power_iteration_top_pc",
 ]
 
 

@@ -1,0 +1,544 @@
+"""Round-4 wave 38: revenue decomposition, media decay, inventory
+decisions, and a declarative spectral step.
+
+- ``revenue_bridge_decomposition``: the FP&A price/volume/mix bridge —
+  the revenue change between the two calendar halves decomposed per
+  part type into price effect (Δprice x old volume), volume effect
+  (Δvolume x old price) and the joint term, tying exactly to the
+  total delta.
+- ``adstock_grid_fit``: geometric ad-stock (carryover) transform of
+  daily order COUNT at decay in {0.3, 0.5, 0.7, 0.9} (20-day
+  truncated convolution — the ses_gridsearch window trick), graded by
+  Pearson correlation with next-day revenue; best decay by exact
+  argmax.
+- ``newsvendor_stock_levels``: the newsvendor quantile rule — per
+  part-type daily-demand distribution, stock at the critical ratio
+  cu/(cu+co) quantile (exact order statistics); emits the optimal
+  stock and its empirical service level.
+- ``power_iteration_top_pc``: the top principal component of the
+  embedding covariance matrix via 15 power-iteration supersteps run
+  DECLARATIVELY over the (i, j, cov) table — the SQL-expressible
+  spectral twin of the LAPACK-backed pca_variance (rows-only), so the
+  dominant eigenpair is hash-checked cross-engine.
+
+Cross-engine determinism: bridge terms are exact integer cents
+tallies; ad-stock decayed terms and correlation moments are 6/9-dp
+rounded DECIMAL sums; newsvendor quantiles are SELECTED values;
+power-iteration terms round to 9 dp per (i,j) entry with L-infinity
+normalization (argmax |v| ties by index).
+
+Reference anchor: SURVEY.md §2.11; extends laspeyres_paasche_index,
+ses_gridsearch, pinball_quantile_eval, covariance_matrix/pca_variance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from federated_gcn_spark.catalog import load_table
+from federated_gcn_spark.plans.queries import register
+
+_ADSTOCK_DECAYS = (0.3, 0.5, 0.7, 0.9)
+_ADSTOCK_TERMS = 20
+_NV_CU, _NV_CO = 4.0, 1.0  # underage vs overage cost -> q* = 0.8
+_PI_STEPS = 15
+_PI_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Price / volume / mix revenue bridge
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_bridge_decomposition",
+    """
+    WITH li AS (
+        SELECT p.p_type AS ptype,
+               CASE WHEN date_diff('day', DATE '1970-01-01',
+                                   CAST(l.l_shipdate AS DATE))
+                         <= (SELECT (MIN(x) + MAX(x)) // 2 FROM (
+                                SELECT date_diff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE)) AS x
+                                FROM lineitem))
+                    THEN 0 ELSE 1 END AS half,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), per AS (
+        SELECT ptype, half, CAST(SUM(qty) AS BIGINT) AS q,
+               CAST(SUM(cents) AS BIGINT) AS r
+        FROM li GROUP BY ptype, half
+    ), wide AS (
+        SELECT ptype,
+               COALESCE(MAX(CASE WHEN half = 0 THEN q END), 0) AS q0,
+               COALESCE(MAX(CASE WHEN half = 0 THEN r END), 0) AS r0,
+               COALESCE(MAX(CASE WHEN half = 1 THEN q END), 0) AS q1,
+               COALESCE(MAX(CASE WHEN half = 1 THEN r END), 0) AS r1
+        FROM per GROUP BY ptype
+    )
+    SELECT ptype,
+           ROUND(CAST(r1 - r0 AS DOUBLE) / 100, 2) AS delta_revenue,
+           ROUND(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+                      * q0 / 100 ELSE 0 END, 2) AS price_effect,
+           ROUND(CASE WHEN q0 > 0
+                 THEN CAST(q1 - q0 AS DOUBLE)
+                      * (CAST(r0 AS DOUBLE) / q0) / 100
+                 ELSE CAST(r1 AS DOUBLE) / 100 END, 2) AS volume_effect,
+           ROUND(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+                      * (q1 - q0) / 100 ELSE 0 END, 2) AS joint_effect
+    FROM wide
+    ORDER BY ptype
+    """,
+)
+def revenue_bridge_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price/volume/mix revenue bridge per part type between the two
+    calendar halves: delta = price effect + volume effect + joint term
+    (the Laspeyres-decomposition identity holds exactly by
+    construction) — the FP&A 'why did revenue move?' query.
+
+    100 TB shape: one (type, half) tally off a broadcast part dim;
+    the decomposition is scalar per type.  Determinism: quantities
+    and cents are exact integers; unit prices are single divisions
+    inside fixed emit expressions."""
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    part = load_table(spark, sf_dir, "part")
+    day = F.unix_date(F.to_date("l_shipdate")).cast("long")
+    bounds = lineitem.agg(
+        F.floor((F.min(day) + F.max(day)) / 2).cast("long").alias("mid")
+    )
+    li = (
+        lineitem.crossJoin(F.broadcast(bounds))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_type").alias("ptype"),
+            F.when(day <= F.col("mid"), 0).otherwise(1).alias("half"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+    per = li.groupBy("ptype", "half").agg(
+        F.sum("qty").cast("long").alias("q"),
+        F.sum("cents").cast("long").alias("r"),
+    )
+    wide = per.groupBy("ptype").agg(
+        F.coalesce(F.max(F.when(F.col("half") == 0, F.col("q"))), F.lit(0)).alias("q0"),
+        F.coalesce(F.max(F.when(F.col("half") == 0, F.col("r"))), F.lit(0)).alias("r0"),
+        F.coalesce(F.max(F.when(F.col("half") == 1, F.col("q"))), F.lit(0)).alias("q1"),
+        F.coalesce(F.max(F.when(F.col("half") == 1, F.col("r"))), F.lit(0)).alias("r1"),
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    return wide.select(
+        "ptype",
+        F.round((F.col("r1") - F.col("r0")).cast("double") / 100, 2).alias(
+            "delta_revenue"
+        ),
+        F.round(
+            F.when(both, (p1 - p0) * F.col("q0") / 100).otherwise(0.0), 2
+        ).alias("price_effect"),
+        F.round(
+            F.when(
+                F.col("q0") > 0,
+                (F.col("q1") - F.col("q0")).cast("double") * p0 / 100,
+            ).otherwise(F.col("r1").cast("double") / 100),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            F.when(both, (p1 - p0) * (F.col("q1") - F.col("q0")) / 100)
+            .otherwise(0.0),
+            2,
+        ).alias("joint_effect"),
+    ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# Geometric ad-stock grid fit
+# ---------------------------------------------------------------------------
+
+def _adstock_oracle() -> str:
+    decays = ", ".join(str(d) for d in _ADSTOCK_DECAYS)
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS t,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), ad AS (
+        SELECT d.decay, cur.t,
+               CAST(SUM(CAST(ROUND(POWER(d.decay, cur.t - past.t) * past.x,
+                                   6) AS DECIMAL(28,6))) AS DOUBLE) AS stock
+        FROM (SELECT UNNEST([{decays}]) AS decay) d
+        JOIN daily cur ON TRUE
+        JOIN daily past
+          ON past.t BETWEEN cur.t - {_ADSTOCK_TERMS - 1} AND cur.t
+        GROUP BY d.decay, cur.t
+    ), scored AS (
+        SELECT a.decay,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(a.stock, 4) AS DECIMAL(28,4))) AS sx,
+               SUM(CAST(ROUND(a.stock * a.stock, 4) AS DECIMAL(28,4)))
+                   AS sxx,
+               SUM(CAST(nxt.y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(nxt.y AS DECIMAL(38,0)) * nxt.y) AS syy,
+               SUM(CAST(ROUND(a.stock * nxt.y, 4) AS DECIMAL(38,4))) AS sxy
+        FROM ad a JOIN daily nxt ON nxt.t = a.t + 1
+        GROUP BY a.decay
+    ), corr AS (
+        SELECT CAST(decay AS DOUBLE) AS decay, n,
+               (n * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(n * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        FROM scored
+    )
+    SELECT decay, n AS n_days, ROUND(r, 6) AS corr_next_day_revenue,
+           CAST(CASE WHEN ROUND(r, 9) = (SELECT MAX(ROUND(r, 9)) FROM corr)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM corr ORDER BY decay
+    """
+
+
+@register("adstock_grid_fit", _adstock_oracle())
+def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric ad-stock (carryover) model selection: transform daily
+    order count with a 20-day truncated geometric convolution at decay
+    in {0.3, 0.5, 0.7, 0.9} and grade each by Pearson correlation with
+    NEXT-day revenue — the marketing-mix preprocessing step, chosen by
+    exact argmax over 9-dp-rounded correlations.
+
+    100 TB shape: the ses_gridsearch window trick — one calendar-
+    bounded banded self-join carries all four decay columns; adding a
+    grid point adds a column, not a pass.  Determinism: decayed terms
+    and cross-moments round to 6/4 dp into exact DECIMAL sums; the
+    winner flag compares 9-dp-rounded values."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = (
+        orders.groupBy(
+            F.unix_date(F.to_date("o_orderdate")).cast("long").alias("t")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "y"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    decays = spark.createDataFrame(
+        [(d,) for d in _ADSTOCK_DECAYS], "decay double"
+    )
+    past = daily.select(F.col("t").alias("pt"), F.col("x").alias("px"))
+    ad = (
+        daily.crossJoin(F.broadcast(decays))
+        .join(
+            past,
+            (F.col("pt") >= F.col("t") - (_ADSTOCK_TERMS - 1))
+            & (F.col("pt") <= F.col("t")),
+        )
+        .groupBy("decay", "t")
+        .agg(
+            F.sum(
+                F.round(
+                    F.pow(F.col("decay"), F.col("t") - F.col("pt"))
+                    * F.col("px"),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("stock")
+        )
+    )
+    nxt = daily.select((F.col("t") - 1).alias("t"), F.col("y").alias("ny"))
+    j = ad.join(nxt, "t")
+    scored = j.groupBy("decay").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("stock"), 4).cast("decimal(28,4)")).alias("sx"),
+        F.sum(
+            F.round(F.col("stock") * F.col("stock"), 4).cast("decimal(28,4)")
+        ).alias("sxx"),
+        F.sum(F.col("ny").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("ny").cast("decimal(38,0)") * F.col("ny")).alias("syy"),
+        F.sum(
+            F.round(F.col("stock") * F.col("ny"), 4).cast("decimal(38,4)")
+        ).alias("sxy"),
+    )
+    r = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    corr = scored.select(
+        F.col("decay").cast("double").alias("decay"),
+        F.col("n"),
+        r.alias("r"),
+    ).localCheckpoint(eager=True)
+    best = corr.agg(F.max(F.round(F.col("r"), 9)).alias("best_r"))
+    return (
+        corr.crossJoin(F.broadcast(best))
+        .select(
+            "decay",
+            F.col("n").alias("n_days"),
+            F.round(F.col("r"), 6).alias("corr_next_day_revenue"),
+            F.when(F.round(F.col("r"), 9) == F.col("best_r"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("decay")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking levels
+# ---------------------------------------------------------------------------
+
+@register(
+    "newsvendor_stock_levels",
+    f"""
+    WITH demand AS (
+        SELECT p.p_type AS ptype,
+               date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT ptype, d,
+               ROW_NUMBER() OVER (PARTITION BY ptype ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY ptype) AS n
+        FROM demand
+    ), pick AS (
+        SELECT ptype, n, d AS stock
+        FROM ranked
+        WHERE rn = CAST(CEIL({_NV_CU} / ({_NV_CU} + {_NV_CO}) * n) AS BIGINT)
+    ), service AS (
+        SELECT p.ptype, p.n, p.stock,
+               CAST(SUM(CASE WHEN dm.d <= p.stock THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM pick p JOIN demand dm ON dm.ptype = p.ptype
+        GROUP BY p.ptype, p.n, p.stock
+    )
+    SELECT ptype, CAST(n AS BIGINT) AS n_days, stock AS optimal_stock,
+           ROUND(CAST(n_covered AS DOUBLE) / n, 4) AS service_level
+    FROM service ORDER BY ptype
+    """,
+)
+def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking rule per part type: with underage cost 4
+    and overage cost 1 the optimal stock is the 0.8-quantile of daily
+    demand (critical ratio cu/(cu+co)); emits the exact quantile
+    (rank = ceil(q*n) order statistic) and the achieved empirical
+    service level — inventory optimization as one declarative query.
+
+    100 TB shape: a (type, day) demand tally, a per-type window over
+    the calendar-bounded demand series, one join back for coverage.
+    Determinism: stock levels are SELECTED exact integers; service
+    levels are exact counts."""
+    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    part = load_table(spark, sf_dir, "part")
+    demand = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.unix_date(F.to_date("l_shipdate")).cast("long").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    q = _NV_CU / (_NV_CU + _NV_CO)
+    w = Window.partitionBy("ptype").orderBy("d")
+    wn = Window.partitionBy("ptype")
+    pick = (
+        demand.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        .select("ptype", "n", F.col("d").alias("stock"))
+    )
+    service = (
+        pick.join(
+            demand.select("ptype", F.col("d").alias("dm")), "ptype"
+        )
+        .groupBy("ptype", "n", "stock")
+        .agg(
+            F.sum(F.when(F.col("dm") <= F.col("stock"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return service.select(
+        "ptype",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("stock").alias("optimal_stock"),
+        F.round(F.col("n_covered").cast("double") / F.col("n"), 4).alias(
+            "service_level"
+        ),
+    ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# Declarative power iteration over the covariance table
+# ---------------------------------------------------------------------------
+
+_COV_SQL = f"""
+        SELECT CAST(a.k - 1 AS BIGINT) AS i, CAST(b.k - 1 AS BIGINT) AS j,
+               ROUND(COVAR_POP(e.embedding[a.k]::DOUBLE,
+                               e.embedding[b.k]::DOUBLE), 4) AS cov
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range(1, {_PI_DIM + 1})) AS k) a
+        CROSS JOIN (SELECT UNNEST(range(1, {_PI_DIM + 1})) AS k) b
+        GROUP BY a.k, b.k
+"""
+
+
+def _power_iter_oracle(steps: int = _PI_STEPS) -> str:
+    parts = [
+        f"""
+    WITH cov AS MATERIALIZED ({_COV_SQL}),
+    v0 AS (
+        SELECT DISTINCT i AS j, 1.0 AS v FROM cov
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""", u{t} AS MATERIALIZED (
+        SELECT c.i AS j,
+               CAST(SUM(CAST(ROUND(c.cov * x.v, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS v
+        FROM cov c JOIN v{t - 1} x ON x.j = c.j
+        GROUP BY c.i
+    ), v{t} AS MATERIALIZED (
+        SELECT j, v / (SELECT MAX(ABS(v)) FROM u{t}) AS v FROM u{t}
+    )"""
+        )
+    k = steps
+    parts.append(
+        f""", rq AS (
+        SELECT CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(a.v * a.v, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) AS lam
+        FROM v{k - 1} a JOIN u{k} b ON b.j = a.j
+    )
+    SELECT j AS component,
+           ROUND(v, 6) AS loading,
+           ROUND(lam, 4) AS top_eigenvalue
+    FROM v{k} CROSS JOIN rq
+    ORDER BY ABS(v) DESC, component LIMIT 8
+    """
+    )
+    return "".join(parts)
+
+
+@register("power_iteration_top_pc", _power_iter_oracle())
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance matrix by
+    15 DECLARATIVE power-iteration supersteps over the (i, j, cov)
+    table (L-infinity normalized), with the Rayleigh quotient as the
+    dominant eigenvalue — the SQL-expressible spectral twin of
+    pca_variance (whose full eigendecomposition is LAPACK and
+    therefore rows-only): the dominant eigenpair itself is
+    hash-checked cross-engine.
+
+    100 TB shape: the covariance reduce is the one corpus pass
+    (pca_variance's shape); each superstep is a 64x64 join-agg.
+    Determinism: covariances round to 4 dp at construction; every
+    matrix-vector term rounds to 9 dp into exact DECIMAL sums; the
+    max-|v| normalizer is a scalar of identical doubles; top-8 ties
+    break by component index."""
+    from federated_gcn_spark.barrier import iteration_barrier
+    from federated_gcn_spark.operators.pca import gram_moments
+
+    # one distributed Gram pass (covariance_matrix's machinery); the
+    # 4-dp rounding is the cross-engine resync point shared with the
+    # oracle's COVAR_POP
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    _, _, cov_np = gram_moments(emb, "embedding")
+    rows = [
+        (i, j, round(float(cov_np[i, j]), 4))
+        for i in range(cov_np.shape[0])
+        for j in range(cov_np.shape[1])
+    ]
+    cov = spark.createDataFrame(rows, "i long, j long, cov double")
+    v = cov.select(F.col("i").alias("j")).distinct().withColumn(
+        "v", F.lit(1.0)
+    )
+    v = iteration_barrier(v)
+    u = None
+    prev = v
+    for _ in range(_PI_STEPS):
+        prev = v
+        u = (
+            cov.join(v, cov.j == v.j)
+            .groupBy(F.col("i").alias("j2"))
+            .agg(
+                F.sum(
+                    F.round(F.col("cov") * F.col("v"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                )
+                .cast("double")
+                .alias("v")
+            )
+            .select(F.col("j2").alias("j"), "v")
+        )
+        u = iteration_barrier(u)
+        mx = u.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+        v = iteration_barrier(
+            u.crossJoin(F.broadcast(mx)).select(
+                "j", (F.col("v") / F.col("mx")).alias("v")
+            )
+        )
+    rq = (
+        prev.alias("a")
+        .join(u.alias("b"), F.col("a.j") == F.col("b.j"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("a.v") * F.col("b.v"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+                / F.sum(
+                    F.round(F.col("a.v") * F.col("a.v"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+            ).alias("lam")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(rq))
+        .select(
+            F.col("j").alias("component"),
+            F.round(F.col("v"), 6).alias("loading"),
+            F.round(F.col("lam"), 4).alias("top_eigenvalue"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "component")
+        .limit(8)
+    )

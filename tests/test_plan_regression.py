@@ -305,6 +305,12 @@ PLAN_BUDGET = {
     "ridge_regression_path": (4, 0),
     "energy_distance_halves": (3, 0),
     "gini_gain_feature_ranking": (4, 1),
+    # round-4 wave 38 (power iteration runs on the 64x64 covariance
+    # table; its SMJ is the stat-less checkpointed Rayleigh join)
+    "revenue_bridge_decomposition": (8, 0),
+    "adstock_grid_fit": (3, 0),
+    "newsvendor_stock_levels": (3, 0),
+    "power_iteration_top_pc": (4, 1),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
