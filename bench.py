@@ -327,6 +327,11 @@ HEADLINE = [
     "adstock_grid_fit",
     "newsvendor_stock_levels",
     "power_iteration_top_pc",
+    # round-4 wave 39: matching, dummy regression, stickiness, queueing
+    "handshake_matching_stats",
+    "december_effect_regression",
+    "dau_wau_stickiness",
+    "queueing_mmc_whatif",
 ]
 
 

@@ -311,6 +311,11 @@ PLAN_BUDGET = {
     "adstock_grid_fit": (3, 0),
     "newsvendor_stock_levels": (3, 0),
     "power_iteration_top_pc": (4, 1),
+    # round-4 wave 39
+    "handshake_matching_stats": (6, 0),
+    "december_effect_regression": (3, 0),
+    "dau_wau_stickiness": (8, 0),
+    "queueing_mmc_whatif": (4, 0),
 }
 
 # Tables small enough to ever sit on a broadcast build side. Facts
