@@ -190,6 +190,35 @@ ROSTER = [
     "gumbel_extreme_fit",
     "dispersion_index",
     "hoover_index",
+    # round-4 waves 24-27
+    "epoch_folding_periodogram", "pacf_lags", "turning_points_test",
+    "cross_correlation_lags", "benjamini_hochberg_fdr",
+    "brown_forsythe_levene", "bartlett_test", "tukey_hsd_pairs",
+    "eigenvector_centrality", "greedy_coloring_stats", "butterfly_count",
+    "clustering_null_model", "table_fingerprint", "snapshot_diff_stats",
+    "zone_map_skipping_report", "shard_assignment_balance",
+    # round-4 waves 28-31
+    "gmm_em_1d", "cart_depth2_tree", "knn_loo_accuracy",
+    "jl_projection_fidelity", "feature_hash_collisions", "mojibake_stats",
+    "ngram_novelty_scan", "durbin_watson", "breusch_pagan",
+    "granger_causality_1lag", "chow_break_test", "nelson_aalen_hazard",
+    "forecast_accuracy_report", "pinball_quantile_eval",
+    "croston_demand_forecast",
+    # round-4 waves 32-35
+    "jensen_shannon_drift", "cramer_von_mises_binned", "mood_median_test",
+    "atkinson_index_binned", "markov_stationary_distribution",
+    "markov_absorption_probabilities", "markov_entropy_rate",
+    "markov_mixing_curve", "unpivot_metrics", "order_lines_nested",
+    "median_polish_weekday_month", "kmv_set_algebra", "dagostino_k2",
+    "esd_outlier_rounds", "nmi_lang_source", "qq_deciles_halves",
+    # round-4 waves 36-39
+    "rake_keyphrases", "target_encoding_smoothed", "feature_scaling_stats",
+    "degree_attack_robustness", "ipf_raking_weights",
+    "ridge_regression_path", "energy_distance_halves",
+    "gini_gain_feature_ranking", "revenue_bridge_decomposition",
+    "adstock_grid_fit", "newsvendor_stock_levels", "power_iteration_top_pc",
+    "handshake_matching_stats", "december_effect_regression",
+    "dau_wau_stickiness", "queueing_mmc_whatif",
 ]
 
 SF_DIRS = {
