@@ -61,9 +61,28 @@ from federated_gcn_spark.plans import queries_wave39  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 3
-# (CORRECTNESS_r01.json ∪ r02 ∪ r03).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 4
+# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r04 ---
+    "acctbal_percentiles", "als_recommendations", "bfs_distances",
+    "bm25_search", "confusion_matrix", "customer_order_distribution",
+    "edit_distance_adjacent", "exact_dedup_clusters", "forecast_revenue",
+    "full_outer_match_stats", "gap_fill_daily", "hyperanf_reachable_pairs",
+    "incremental_dedup", "integrity_report", "kaplan_meier_churn",
+    "kfold_split_stats", "large_volume_customers", "linear_fit",
+    "local_clustering", "logistic_coeffs", "merge_upsert_segments",
+    "monthly_revenue", "multimodal_features", "negative_sampling_table",
+    "node2vec_walk_stats", "ntile_spend_quartiles", "orders_array_agg",
+    "price_band_join", "profile_documents", "promo_revenue_share",
+    "quality_weighted_sample", "readability_scores", "returned_item_report",
+    "revenue_share", "rolling_weekly_revenue", "salted_join_revenue",
+    "scd2_user_value_versions", "score_calibration", "session_stats",
+    "shipping_priority", "sketch_cardinalities", "sql_interface_orders",
+    "supplier_lift", "supplier_revenue_share", "unigram_nll",
+    "urgent_averse_rich", "value_anomalies", "waiting_suppliers",
+    "weekday_activity", "weighted_neighbor_value",
+    # --- recorded in r01-r03 ---
     "als_rank1_factors", "anf_register_supersteps", "ann_topk",
     "anti_join_no_orders", "asof_latest_update", "bigram_nll",
     "bpe_token_estimate", "chunk_docs", "connected_components",
@@ -97,17 +116,22 @@ _DRIVER_RECORDED = {
     "zipf_top_terms",
 }
 
-# Queries whose behavior changes this round (round-3 verdict + ADVICE fixes)
-# and therefore need a fresh official row, even if already recorded —
-# guaranteed front-of-line this round.
+# Queries whose official record is stale (round-4 verdict item 1): these ten
+# were driver-recorded as `no_oracle` in r01/r02 BEFORE their xxh64-replay /
+# ranking oracles landed, so without a re-promotion the official file would
+# show rows-only forever.  All ten now hash-match their DuckDB oracle in the
+# full local gate — front-of-line so CORRECTNESS_r05.json records that.
 _PROMOTED = [
-    "orders_array_agg",        # output reshaped to a hashable string column
-    "multimodal_features",     # converted rows-only -> oracle-checked
-    "als_recommendations",     # gained an oracle (frozen-factor ranking)
-    "negative_sampling_table", # ADVICE: pmod domain off-by-one fixed
-    "kaplan_meier_churn",      # ADVICE: exhausted-risk-set hazard guard
-    "merge_upsert_segments",   # ADVICE: updates-batch key dedup
-    "exact_dedup_clusters",    # star-edge pair emission (scale fix)
+    "random_walks",            # G2: xxh64 walk replay oracle (landed r03)
+    "fanout_sampling",         # G3: xxh64 fanout replay oracle
+    "edge_split_stats",        # G1: Borůvka forest split, hash-checked
+    "double_split_stats",      # G1: double split, hash-checked
+    "minhash_signatures",      # LSH core: xxh64 signature replay
+    "minhash_near_dup_pairs",  # LSH core: banded pair join replay
+    "simhash_fingerprints",    # SimHash fingerprint replay
+    "ann_topk",                # brute-force cosine top-k oracle
+    "ivf_ann_topk",            # IVF probe oracle (Lloyd replay)
+    "embedding_near_dup",      # hyperplane-LSH near-dup oracle
 ]
 
 
