@@ -60,43 +60,107 @@ _MATCH_MAX_DIST = 2
 )
 def part_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate matches over the part catalog:
-    (brand, type) multi-attribute blocking, then exact Levenshtein
-    verification at distance <= {d} — the blocking-then-verify shape of
-    every record-linkage pipeline (and of this repo's text dedups:
-    candidates only within blocks, never all-pairs).
+    clone contraction, then (brand, type) multi-attribute blocking with
+    a length-band conjunct, then exact Levenshtein verification at
+    distance <= {d} — the blocking-then-verify shape of every
+    record-linkage pipeline (and of this repo's text dedups: candidates
+    only within blocks, never all-pairs).
 
-    100 TB shape: the self-join key is the full blocking key, so the
-    shuffle is block-sized and a skewed block splits under AQE;
-    ``levenshtein`` is JVM codegen (no Python).  Blocking recall is the
-    usual caveat — records disagreeing on a blocking attribute are
-    never compared; production stacks union several blocking passes,
-    which is this same plan repeated with other keys.
+    100 TB shape (the round-4 fix for the measured x18-at-x10-data
+    blowup): records are first CONTRACTED to distinct (brand, type,
+    name) groups carrying their member-id arrays — the same move as
+    :func:`operators.ppjoin.contract_exact_clones` — so the Levenshtein
+    self-join runs on the DISTINCT-entity set, whose size grows with
+    data diversity, not data volume.  Duplication-heavy growth (exact
+    re-crawls, tiled benchmarks) leaves the join cost flat; only the
+    final pair expansion — which is Θ(output) and therefore irreducible
+    for an exact pair list — grows.  Within the join, the
+    ``|len(a)-len(b)| <= {d}`` conjunct (a necessary condition for
+    edit distance <= {d}) is evaluated before ``levenshtein``, pruning
+    most of the block cross-product at integer-compare cost; both
+    predicates are JVM codegen (no Python).  Intra-group pairs (exact
+    clones, distance 0) are emitted by output-bound array expansion,
+    never through the join.  Blocking recall is the usual caveat —
+    records disagreeing on a blocking attribute are never compared;
+    production stacks union several blocking passes, which is this same
+    plan repeated with other keys.
     """.format(d=_MATCH_MAX_DIST)
     part = load_table(spark, sf_dir, "part", parallel=True)
-    a = part.select(
-        F.col("p_partkey").alias("id_a"),
+    # Clone contraction: one row per distinct (brand, type, name) with the
+    # sorted member-id list.  Bounded by catalog diversity; checkpointed
+    # because three branches (join a/b sides + intra-group expansion)
+    # consume it, and without the checkpoint each branch re-runs the scan.
+    groups = (
+        part.groupBy("p_brand", "p_type", "p_name")
+        .agg(F.sort_array(F.collect_list("p_partkey")).alias("ids"))
+        .localCheckpoint(eager=True)
+    )
+    a = groups.select(
+        "p_brand",
+        "p_type",
         F.col("p_name").alias("name_a"),
+        F.col("ids").alias("ids_a"),
+    )
+    b = groups.select(
         "p_brand",
         "p_type",
-    )
-    b = part.select(
-        F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
-        "p_brand",
-        "p_type",
+        F.col("ids").alias("ids_b"),
     )
-    return (
+    matched = (
         a.join(b, ["p_brand", "p_type"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= _MATCH_MAX_DIST
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
         )
         .where(F.col("edit_dist") <= _MATCH_MAX_DIST)
     )
+    # Expand matched distinct-name pairs to member-id pairs, re-canonical-
+    # izing (id_a < id_b) and swapping names to follow the ids.
+    cross_pairs = (
+        matched.select(
+            "name_a", "name_b", "edit_dist", "ids_b",
+            F.explode("ids_a").alias("x"),
+        )
+        .select(
+            "name_a", "name_b", "edit_dist", "x",
+            F.explode("ids_b").alias("y"),
+        )
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            F.when(F.col("x") < F.col("y"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a"),
+            F.when(F.col("x") < F.col("y"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b"),
+            "edit_dist",
+        )
+    )
+    # Exact clones: every intra-group pair has distance 0.  ids is sorted,
+    # so pairing on array position keeps id_a < id_b without a comparison
+    # against re-exploded values.
+    intra_pairs = (
+        groups.where(F.size("ids") >= 2)
+        .select(F.col("p_name").alias("nm"), "ids")
+        .select("nm", "ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias(
+                "id_b"
+            ),
+            F.col("nm").alias("name_a"),
+            F.col("nm").alias("name_b"),
+            F.lit(0).cast("long").alias("edit_dist"),
+        )
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
+    return cross_pairs.unionByName(intra_pairs)
 
 
 # ---------------------------------------------------------------------------
