@@ -314,3 +314,158 @@ def exact_group_median(
         .where(F.col("__rn") == F.col("__k"))
         .select(group_col, F.col(value_col).alias("median"))
     )
+
+
+def exact_group_quantile_values(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ks_of,
+    n_buckets: int = 4096,
+    gstats: dict | None = None,
+) -> dict:
+    """Several exact order statistics for EVERY group in one shared
+    two-pass histogram selection — the grouped, multi-cutpoint
+    generalization of :func:`exact_group_median` /
+    :func:`exact_quantile_values`.
+
+    ``ks_of(n)`` maps a group's row count to the list of ranks wanted
+    for that group (e.g. ``lambda n: [(n + 1) // 2, -(-n // 4)]`` for
+    median + lower quartile).  Returns ``{(group, k): value}``.
+    ``gstats`` optionally supplies precomputed per-group
+    ``{group: (mn, mx, n)}`` — callers that already ran a per-group
+    moment aggregate (min/max/count ride along for free) skip this
+    function's pass-0 scan entirely.
+
+    Cost is flat in both the group count and len(ks): pass 1 is one
+    (group, bucket) (count, min, max) aggregate shared by all ranks;
+    the driver walks each group's cumulative histogram once, mapping
+    every rank to (boundary bucket, in-bucket offset) — and any rank
+    whose boundary bucket is SINGLE-VALUED (bucket min == max, the
+    common case for low-cardinality integerized features) resolves
+    right there with no second pass.  Pass 2, only if some rank lands
+    in a mixed-value bucket, is ONE job that keeps boundary-bucket rows
+    (~n/n_buckets per group), ranks them with a per-(group, bucket)
+    window, and collects the hit rows.  A naive per-(group, rank) loop
+    rescans the column 3·|groups|·|ks| times — the respelling that took
+    qq_deciles_halves from 18 jobs to 1 applies verbatim here.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if gstats is None:
+        gstats = {
+            r[group_col]: (r["mn"], r["mx"], r["n"])
+            for r in df.groupBy(group_col)
+            .agg(
+                F.min(value_col).alias("mn"),
+                F.max(value_col).alias("mx"),
+                F.count(value_col).alias("n"),
+            )
+            .collect()
+        }
+    ks_by_group = {}
+    for g, (_, _, n) in gstats.items():
+        ks = sorted(set(int(k) for k in ks_of(n)))
+        if any(k <= 0 or k > n for k in ks):
+            raise ValueError(f"ranks {ks} out of range for group {g!r}")
+        ks_by_group[g] = ks
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (g, float(mn), ((mx - mn) / n_buckets) or 1.0)
+                for g, (mn, mx, _) in gstats.items()
+            ],
+            StructType([
+                StructField(group_col, gtype),
+                StructField("__mn", DoubleType()),
+                StructField("__w", DoubleType()),
+            ]),
+        )
+    )
+    bucketed = df.join(wdf, group_col).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / F.col("__w")),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    per_group: dict = {}
+    for r in (
+        bucketed.groupBy(group_col, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(value_col).alias("bmn"),
+            F.max(value_col).alias("bmx"),
+        )
+        .collect()
+    ):
+        per_group.setdefault(r[group_col], []).append(
+            (r["__b"], r["c"], r["bmn"], r["bmx"])
+        )
+    got = {}  # (group, k) -> value, filled driver-side when possible
+    want = {}  # (group, boundary_bucket, in_bucket_rank) -> k
+    for g, ks in ks_by_group.items():
+        hist = sorted(per_group[g])
+        cum = 0
+        it = iter(hist)
+        b, c, bmn, bmx = next(it)
+        for k in ks:  # ascending: one forward walk per group
+            while cum + c < k:
+                cum += c
+                b, c, bmn, bmx = next(it)
+            if bmn == bmx:  # single-valued bucket: rank resolved here
+                got[(g, k)] = bmn
+            else:
+                want[(g, b, k - cum)] = k
+    if not want:
+        return got
+    # Survive only boundary-bucket rows (broadcast semi join on (g, b)),
+    # rank them per bucket, then keep ONLY the exact wanted (g, b, rank)
+    # triples distributed-side — a dense boundary bucket (low-cardinality
+    # value domain) must not ship its whole prefix to the driver.
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            sorted({(g, b) for g, b, _ in want}),
+            StructType([
+                StructField(group_col, gtype),
+                StructField("__b", LongType()),
+            ]),
+        )
+    )
+    hdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, b, rn) for g, b, rn in want],
+            StructType([
+                StructField(group_col, gtype),
+                StructField("__b", LongType()),
+                StructField("__rn", LongType()),
+            ]),
+        )
+    )
+    w = Window.partitionBy(group_col, "__b").orderBy(value_col)
+    # Literal group filter BEFORE the joins: when the input is a union of
+    # per-group projections (lit(name) branches), Catalyst constant-folds
+    # the predicate and prunes resolved groups' branches from the scan.
+    needed = sorted({g for g, _, _ in want})
+    hits = (
+        bucketed.where(F.col(group_col).isin(needed))
+        .join(bdf, [group_col, "__b"])
+        .withColumn("__rn", F.row_number().over(w))
+        .join(hdf, [group_col, "__b", "__rn"])
+        .select(group_col, "__b", "__rn", value_col)
+        .collect()
+    )
+    for r in hits:
+        key = (r[group_col], r["__b"], r["__rn"])
+        if key in want:
+            got[(r[group_col], want[key])] = r[value_col]
+    missing = [
+        (g, k) for g, ks in ks_by_group.items() for k in ks
+        if (g, k) not in got
+    ]
+    if missing:  # pragma: no cover - defensive
+        raise RuntimeError(f"grouped selection missed ranks {missing}")
+    return got

@@ -327,12 +327,17 @@ def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     price tail.
 
     100 TB shape: one union-of-projections pass for moments; the
-    median/quartiles come from the two-pass bounded histogram
-    selection per feature (operators/stats machinery — the oracle's
-    window spelling sorts, the Spark plan does not).  Determinism:
-    integerized values make every order statistic a selected exact
-    value; moments are exact DECIMAL sums."""
-    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+    median/quartiles come from ONE shared grouped multi-cutpoint
+    histogram selection (operators/stats.exact_group_quantile_values —
+    all three ranks of all three features in two scans + one micro-sort,
+    the qq_deciles_halves respelling; the round-3 per-(feature, rank)
+    loop re-scanned the union ~30 times).  The oracle's window spelling
+    sorts, the Spark plan does not.  Determinism: integerized values
+    make every order statistic a selected exact value; moments are
+    exact DECIMAL sums."""
+    from federated_gcn_spark.operators.stats import (
+        exact_group_quantile_values,
+    )
 
     lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
     feats = {
@@ -344,21 +349,35 @@ def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, expr in feats.items():
         part = lineitem.select(F.lit(name).alias("feature"), expr.alias("v"))
         f = part if f is None else f.unionByName(part)
-    f = f.localCheckpoint(eager=True)
-    mom = f.groupBy("feature").agg(
+    mom_agg = f.groupBy("feature").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("v").cast("long").alias("mn"),
         F.max("v").cast("long").alias("mx"),
         F.sum("v").cast("long").alias("s"),
         F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
     )
+    mom_rows = mom_agg.collect()  # 3 tiny rows; reused as gstats below
+    mom = spark.createDataFrame(mom_rows, mom_agg.schema)
+    ranks = {}  # rank formulas per observed group size, recorded in order
+
+    def _ks(n: int) -> list:
+        ks = [-(-n // 4), (n + 1) // 2, -(-3 * n // 4)]  # q1, median, q3
+        ranks[n] = ks
+        return ks
+
+    # min/max/count ride along in the moment rows — hand them to the
+    # selection so it skips its own pass-0 scan of the union.
+    sel = exact_group_quantile_values(
+        f, "feature", "v", _ks,
+        gstats={r["feature"]: (r["mn"], r["mx"], r["n"]) for r in mom_rows},
+    )
+    by_feat = {}
+    for (g, k), v in sel.items():
+        by_feat.setdefault(g, {})[k] = v
     rows = []
-    for name in feats:
-        part = f.where(F.col("feature") == name)
-        n = part.count()
-        med = float(exact_kth_smallest_value(part, "v", (n + 1) // 2))
-        q1 = float(exact_kth_smallest_value(part, "v", -(-n // 4)))
-        q3 = float(exact_kth_smallest_value(part, "v", -(-3 * n // 4)))
+    for name, got in by_feat.items():
+        n = next(n for n, ks in ranks.items() if set(ks) <= set(got))
+        q1, med, q3 = (float(got[k]) for k in ranks[n])
         rows.append((name, med, q3 - q1))
     quart = spark.createDataFrame(
         rows, "feature string, median_c double, iqr_c double"

@@ -91,3 +91,70 @@ def test_dsir_weights_sum_structure(spark):
     assert got[2] == (1, per)
     assert got[3][0] == 2
     assert math.isclose(got[3][1], 2 * per, abs_tol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Grouped multi-cutpoint selection
+# ---------------------------------------------------------------------------
+
+from federated_gcn_spark.operators.stats import exact_group_quantile_values
+
+
+def _grouped_df(spark, by_group):
+    rows = [(g, float(v)) for g, vals in by_group.items() for v in vals]
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_exact_group_quantile_values_match_sorted_lists(spark):
+    rng = random.Random(11)
+    by_group = {
+        "a": [round(rng.uniform(-10, 10), 2) for _ in range(401)],
+        "b": [round(rng.uniform(0, 1000), 1) for _ in range(173)],
+        # low-cardinality group: every boundary bucket is single-valued,
+        # exercising the driver-side resolution path
+        "c": [float(rng.randrange(5)) for _ in range(900)],
+    }
+    df = _grouped_df(spark, by_group)
+    ks_of = lambda n: [1, -(-n // 4), (n + 1) // 2, -(-3 * n // 4), n]
+    got = exact_group_quantile_values(df, "g", "x", ks_of, n_buckets=32)
+    for g, vals in by_group.items():
+        s = sorted(vals)
+        for k in ks_of(len(vals)):
+            assert got[(g, k)] == s[k - 1], (g, k)
+
+
+def test_exact_group_quantile_values_accepts_precomputed_gstats(spark):
+    by_group = {"p": [float(v) for v in range(100, 0, -1)], "q": [7.0, 3.0, 9.0]}
+    df = _grouped_df(spark, by_group)
+    gstats = {
+        g: (min(vals), max(vals), len(vals)) for g, vals in by_group.items()
+    }
+    ks_of = lambda n: [(n + 1) // 2]
+    got = exact_group_quantile_values(
+        df, "g", "x", ks_of, n_buckets=16, gstats=gstats
+    )
+    assert got[("p", 50)] == 50.0
+    assert got[("q", 2)] == 7.0
+
+
+def test_exact_group_quantile_values_matches_group_median(spark):
+    from federated_gcn_spark.operators.stats import exact_group_median
+
+    rng = random.Random(5)
+    by_group = {c: [round(rng.gauss(0, 3), 3) for _ in range(257)]
+                for c in "xyz"}
+    df = _grouped_df(spark, by_group)
+    med = {
+        r["g"]: r["median"]
+        for r in exact_group_median(df, "g", "x", n_buckets=64).collect()
+    }
+    got = exact_group_quantile_values(
+        df, "g", "x", lambda n: [(n + 1) // 2], n_buckets=64
+    )
+    assert med == {g: got[(g, 129)] for g in by_group}
+
+
+def test_exact_group_quantile_values_rejects_bad_ranks(spark):
+    df = _grouped_df(spark, {"a": [1.0, 2.0]})
+    with pytest.raises(ValueError):
+        exact_group_quantile_values(df, "g", "x", lambda n: [n + 1])
