@@ -47,10 +47,9 @@ def luby_coloring(
     """
     edges = graph.symmetrized_edges().select(SRC, DST).distinct()
     edges = edges.localCheckpoint(eager=True)
-    spark = graph.vertices.sparkSession
 
     remaining = iteration_barrier(graph.vertices.select(ID))
-    colored = spark.createDataFrame([], f"{ID} long, color int")
+    colored_layers: list[DataFrame] = []
 
     for color in range(n_colors):
         layer_seed = seed + color
@@ -62,32 +61,43 @@ def luby_coloring(
             )
 
         active = remaining
-        taken = spark.createDataFrame([], f"{ID} long")
+        # Only the true loop state (winners, active) is barriered — two
+        # eager jobs per round.  The taken/colored accumulators are lazy
+        # unions of the already-materialized winners frames: no recompute
+        # risk, and dropping their per-round barriers halves the driver
+        # roundtrips (the measured cost of this operator is scheduling
+        # latency, ~flat in data).
+        round_winners: list[DataFrame] = []
         for _ in range(rounds_per_color):
             act_e = edges.join(
                 active.withColumnRenamed(ID, SRC), SRC, "left_semi"
             ).join(active.withColumnRenamed(ID, DST), DST, "left_semi")
-            dominated = (
-                act_e.where(pri(SRC) > pri(DST))
-                .select(F.col(DST).alias(ID))
-                .distinct()
+            # no .distinct() on dominated/losers: left_anti is
+            # dup-insensitive, and the dedup would cost an extra
+            # shuffle-agg stage per round ahead of a join that shuffles
+            # the rows regardless (degree here is bounded, so the dup
+            # factor the distinct would remove is a small constant)
+            dominated = act_e.where(pri(SRC) > pri(DST)).select(
+                F.col(DST).alias(ID)
             )
             winners = iteration_barrier(active.join(dominated, ID, "left_anti"))
-            taken = iteration_barrier(taken.unionByName(winners))
-            losers = (
-                edges.join(winners.withColumnRenamed(ID, SRC), SRC, "left_semi")
-                .select(F.col(DST).alias(ID))
-                .distinct()
-            )
+            round_winners.append(winners)
+            losers = edges.join(
+                winners.withColumnRenamed(ID, SRC), SRC, "left_semi"
+            ).select(F.col(DST).alias(ID))
             active = iteration_barrier(
                 active.join(winners, ID, "left_anti").join(
                     losers, ID, "left_anti"
                 )
             )
-        colored = iteration_barrier(
-            colored.unionByName(taken.withColumn("color", F.lit(color)))
-        )
+        taken = round_winners[0]
+        for w in round_winners[1:]:
+            taken = taken.unionByName(w)
+        colored_layers.append(taken.withColumn("color", F.lit(color)))
         remaining = iteration_barrier(remaining.join(taken, ID, "left_anti"))
 
+    colored = colored_layers[0]
+    for layer in colored_layers[1:]:
+        colored = colored.unionByName(layer)
     leftover = remaining.withColumn("color", F.lit(-1))
     return colored.unionByName(leftover)

@@ -466,12 +466,21 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked cross-engine.
 
     100 TB shape: the covariance reduce is the one corpus pass
-    (pca_variance's shape); each superstep is a 64x64 join-agg.
-    Determinism: covariances round to 4 dp at construction; every
-    matrix-vector term rounds to 9 dp into exact DECIMAL sums; the
-    max-|v| normalizer is a scalar of identical doubles; top-8 ties
-    break by component index."""
-    from federated_gcn_spark.barrier import iteration_barrier
+    (pca_variance's shape).  The iteration state after that pass is a
+    64-vector against a 64x64 matrix — cluster-invisible — so the 15
+    supersteps are chained NARROW array-expression projections over a
+    single-row frame (zip_with / aggregate higher-order functions): one
+    task, zero shuffles, zero per-step driver roundtrips, where the
+    round-3 join-agg spelling paid 45 jobs of pure scheduling latency
+    (measured 12.2 s at sf0.1, ~flat in data — all driver overhead).
+    Catalyst keeps the stacked Projects un-collapsed because the
+    aggregate expressions are non-cheap, so the expression tree stays
+    linear in step count.  Determinism: covariances round to 4 dp at
+    construction; every matrix-vector term rounds to 9 dp into exact
+    DECIMAL(28,9) sums (array-order addition of exact decimals equals
+    the oracle's group-order addition); the max-|v| normalizer is a
+    scalar of identical doubles; top-8 ties break by component index.
+    """
     from federated_gcn_spark.operators.pca import gram_moments
 
     # one distributed Gram pass (covariance_matrix's machinery); the
@@ -479,66 +488,67 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's COVAR_POP
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     _, _, cov_np = gram_moments(emb, "embedding")
-    rows = [
-        (i, j, round(float(cov_np[i, j]), 4))
-        for i in range(cov_np.shape[0])
-        for j in range(cov_np.shape[1])
+    dim = cov_np.shape[0]
+    m = [
+        [round(float(cov_np[i, j]), 4) for j in range(dim)]
+        for i in range(dim)
     ]
-    cov = spark.createDataFrame(rows, "i long, j long, cov double")
-    v = cov.select(F.col("i").alias("j")).distinct().withColumn(
-        "v", F.lit(1.0)
-    )
-    v = iteration_barrier(v)
-    u = None
-    prev = v
-    for _ in range(_PI_STEPS):
-        prev = v
-        u = (
-            cov.join(v, cov.j == v.j)
-            .groupBy(F.col("i").alias("j2"))
-            .agg(
-                F.sum(
-                    F.round(F.col("cov") * F.col("v"), 9).cast(
-                        "decimal(28,9)"
-                    )
-                )
-                .cast("double")
-                .alias("v")
-            )
-            .select(F.col("j2").alias("j"), "v")
+    zero = F.lit(0).cast("decimal(28,9)")
+
+    def _dot9(a, b):
+        # sum_j round(a[j]*b[j], 9) as exact DECIMAL — the oracle's
+        # per-term resync, order-free because decimal addition is exact
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.round(x * y, 9).cast("decimal(28,9)")
+            ),
+            zero,
+            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        ).cast("double")
+
+    state = spark.createDataFrame(
+        [(m,)], "m array<array<double>>"
+    ).withColumn("v", F.array_repeat(F.lit(1.0), dim))
+    for step in range(_PI_STEPS):
+        if step % 3 == 0 and step:
+            # cap expression-tree depth: optimizer rules (alias
+            # substitution across stacked Projects) go super-linear past
+            # a few chained matvec steps; a 1-row checkpoint is ~free
+            state = state.localCheckpoint(eager=True)
+        # two Projects per step: u once, then (mx, v) by column REFERENCE
+        # so u's aggregate expression is never duplicated
+        state = state.select(
+            "m",
+            F.col("v").alias("prev"),
+            F.transform("m", lambda row: _dot9(row, F.col("v"))).alias("u"),
         )
-        u = iteration_barrier(u)
-        mx = u.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-        v = iteration_barrier(
-            u.crossJoin(F.broadcast(mx)).select(
-                "j", (F.col("v") / F.col("mx")).alias("v")
-            )
+        state = state.select(
+            "m",
+            "prev",
+            "u",
+            F.array_max(F.transform("u", F.abs)).alias("mx"),
         )
-    rq = (
-        prev.alias("a")
-        .join(u.alias("b"), F.col("a.j") == F.col("b.j"))
-        .agg(
-            (
-                F.sum(
-                    F.round(F.col("a.v") * F.col("b.v"), 9).cast(
-                        "decimal(28,9)"
-                    )
-                ).cast("double")
-                / F.sum(
-                    F.round(F.col("a.v") * F.col("a.v"), 9).cast(
-                        "decimal(28,9)"
-                    )
-                ).cast("double")
-            ).alias("lam")
+        state = state.select(
+            "m",
+            "prev",
+            "u",
+            F.transform("u", lambda x: x / F.col("mx")).alias("v"),
         )
+    # checkpoint before Generate: posexplode over the chained matvec plan
+    # sends the optimizer's project-substitution super-linear (measured
+    # hang); over the materialized 1-row state it is instant
+    state = state.localCheckpoint(eager=True)
+    final = state.select(
+        "v", (_dot9(F.col("prev"), F.col("u"))
+              / _dot9(F.col("prev"), F.col("prev"))).alias("lam")
     )
     return (
-        v.crossJoin(F.broadcast(rq))
+        final.select(F.posexplode("v").alias("component", "vraw"), "lam")
+        .orderBy(F.abs(F.col("vraw")).desc(), "component")
+        .limit(8)
         .select(
-            F.col("j").alias("component"),
-            F.round(F.col("v"), 6).alias("loading"),
+            F.col("component").cast("long").alias("component"),
+            F.round(F.col("vraw"), 6).alias("loading"),
             F.round(F.col("lam"), 4).alias("top_eigenvalue"),
         )
-        .orderBy(F.abs(F.col("loading")).desc(), "component")
-        .limit(8)
     )
