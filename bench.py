@@ -258,10 +258,12 @@ HEADLINE = [
     # round-4 wave 24: periodicity + serial dependence
     "epoch_folding_periodogram",
     "pacf_lags",
+    "turning_points_test",
     "cross_correlation_lags",
     # round-4 wave 25: multiple testing + variance homogeneity
     "benjamini_hochberg_fdr",
     "brown_forsythe_levene",
+    "bartlett_test",
     "tukey_hsd_pairs",
     # round-4 wave 26: spectral centrality, coloring, bipartite motifs
     "eigenvector_centrality",

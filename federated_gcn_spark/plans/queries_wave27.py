@@ -132,9 +132,12 @@ def _orders_row_hash_col():
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content fingerprint of the orders table,
     grouped by status: row count plus BIT_XOR/MIN/MAX of the full-row
-    xxhash64.  Two replicas (or a table before/after a rewrite,
-    compaction, or migration) are byte-equal in content iff their
-    fingerprints agree — no sort, no row-by-row compare.
+    xxhash64.  Differing fingerprints PROVE two replicas (or a table
+    before/after a rewrite, compaction, or migration) differ in
+    content; agreeing fingerprints are strong but probabilistic
+    evidence of equality (a count/XOR/MIN/MAX digest can collide —
+    e.g. multisets differing by paired duplicate rows, or a hash
+    collision) — no sort, no row-by-row compare.
 
     100 TB shape: one projection-only scan, one 3-row aggregate with
     map-side combine; XOR's commutativity is what makes the check

@@ -205,16 +205,21 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT brand, CAST(SUM(n) AS BIGINT) AS n_b,
                CAST(SUM(pos) AS BIGINT) AS pos_b
         FROM cell GROUP BY brand
+    ), fold_tot AS (
+        SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f,
+               CAST(SUM(pos) AS BIGINT) AS pos_f
+        FROM cell GROUP BY fold
     )
     SELECT c.brand, CAST(c.fold AS BIGINT) AS fold, c.n AS n_rows,
            ROUND((CAST(b.pos_b - c.pos AS DOUBLE)
-                  + {_TE_M} * (CAST(t.pos_all - c.pos AS DOUBLE)
-                               / (t.n_all - c.n)))
+                  + {_TE_M} * (CAST(t.pos_all - f.pos_f AS DOUBLE)
+                               / (t.n_all - f.n_f)))
                  / (CAST(b.n_b - c.n AS DOUBLE) + {_TE_M}), 6) AS encoding,
-           ROUND(CAST(t.pos_all - c.pos AS DOUBLE) / (t.n_all - c.n), 6)
+           ROUND(CAST(t.pos_all - f.pos_f AS DOUBLE) / (t.n_all - f.n_f), 6)
                AS oof_prior
     FROM cell c
     JOIN brand_tot b USING (brand)
+    JOIN fold_tot f USING (fold)
     CROSS JOIN tot t
     ORDER BY brand, fold
     """,
@@ -225,11 +230,15 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds — enc = (pos_oof + m * prior_oof) / (n_oof + m), m = 10 —
     the leakage-safe categorical encoder (the difference between a
     model that generalizes and one that memorizes its training keys).
+    Both the brand component (brand totals minus this fold's cell) and
+    the smoothing prior (global totals minus this WHOLE fold's tally —
+    not just this brand's cell; round-4 ADVICE fix) exclude every row
+    of the encoded fold.
 
     100 TB shape: one (brand, fold) tally (brands x 3 cells); the
-    out-of-fold arithmetic is complement subtraction from brand/global
-    totals — no per-fold rescan.  Determinism: tallies exact; the
-    encoding is one fixed expression."""
+    out-of-fold arithmetic is complement subtraction from brand/fold/
+    global totals — no per-fold rescan.  Determinism: tallies exact;
+    the encoding is one fixed expression."""
     lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
     part = load_table(spark, sf_dir, "part")
     base = lineitem.join(
@@ -252,11 +261,17 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_b"),
         F.sum("pos").cast("long").alias("pos_b"),
     )
-    j = cell.join(F.broadcast(brand_tot), "brand").crossJoin(
-        F.broadcast(tot)
+    fold_tot = cell.groupBy("fold").agg(
+        F.sum("n").cast("long").alias("n_f"),
+        F.sum("pos").cast("long").alias("pos_f"),
     )
-    prior = (F.col("pos_all") - F.col("pos")).cast("double") / (
-        F.col("n_all") - F.col("n")
+    j = (
+        cell.join(F.broadcast(brand_tot), "brand")
+        .join(F.broadcast(fold_tot), "fold")
+        .crossJoin(F.broadcast(tot))
+    )
+    prior = (F.col("pos_all") - F.col("pos_f")).cast("double") / (
+        F.col("n_all") - F.col("n_f")
     )
     enc = (
         (F.col("pos_b") - F.col("pos")).cast("double") + _TE_M * prior

@@ -70,9 +70,12 @@ def test_target_encoding_matches_python_and_leak_free(spark):
     n_all = sum(v[0] for v in cell.values())
     pos_all = sum(v[1] for v in cell.values())
     brand_tot = defaultdict(lambda: [0, 0])
-    for (brand, _), (n, p) in cell.items():
+    fold_tot = defaultdict(lambda: [0, 0])
+    for (brand, fold), (n, p) in cell.items():
         brand_tot[brand][0] += n
         brand_tot[brand][1] += p
+        fold_tot[fold][0] += n
+        fold_tot[fold][1] += p
     got = {
         (r["brand"], r["fold"]): r
         for r in QUERIES["target_encoding_smoothed"](spark, SF_DIR).collect()
@@ -80,7 +83,10 @@ def test_target_encoding_matches_python_and_leak_free(spark):
     assert set(got) == set(cell)
     for (brand, fold), (n, p) in cell.items():
         nb, pb = brand_tot[brand]
-        prior = (pos_all - p) / (n_all - n)
+        nf, pf = fold_tot[fold]
+        # prior excludes the WHOLE encoded fold (all brands), so the
+        # encoding touches no same-fold row anywhere
+        prior = (pos_all - pf) / (n_all - nf)
         enc = ((pb - p) + 10 * prior) / ((nb - n) + 10)
         r = got[(brand, fold)]
         assert r["n_rows"] == n
