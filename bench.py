@@ -379,6 +379,17 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL_latest.json"), "w") as fh:
         json.dump(payload, fh, sort_keys=True)
         fh.write("\n")
+    # Immutable per-round snapshot (round-4 verdict #6): when the round
+    # is known (SPARK_GRAFT_ROUND=5 or "r05"), also write
+    # BENCH_FULL_r{NN}.json so round-over-round diffs never depend on a
+    # mutable "latest".
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "").lstrip("rR")
+    if rnd.isdigit():
+        with open(
+            os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json"), "w"
+        ) as fh:
+            json.dump(payload, fh, sort_keys=True)
+            fh.write("\n")
     print(json.dumps(payload))
     spark.stop()
 

@@ -110,6 +110,95 @@ def _step_col(pi_col, prob_col):
     return F.round(pi_col * prob_col, 12).cast("decimal(24,12)")
 
 
+# ---------------------------------------------------------------------------
+# Dense-array chain machinery
+#
+# After the one LEAD shuffle the chain is a vocabulary-bounded matrix, so
+# (power_iteration_top_pc's lesson) the supersteps run as chained narrow
+# array expressions over a SINGLE-ROW frame — zero shuffles, zero per-step
+# driver jobs — instead of per-step join-aggs + iteration_barrier (measured:
+# the barriered spelling costs ~0.25 s/step of pure scheduling at ANY data
+# size; the whole 20-step recursion below executes in one task).
+#
+# Exactness vs the sparse join-agg semantics the oracles replay:
+# * VALUES: every per-term op (round(x*y, 12) -> DECIMAL(24,12) -> exact
+#   sum -> double) is the same Spark expression; dense zero entries add
+#   round(0*y, 12) = 0E-12 terms, which exact decimal addition ignores, so
+#   a dense cell equals the sparse group's sum wherever the group exists
+#   and is exactly 0.0 where it does not.
+# * ROW PRESENCE: a sparse group exists iff some join path produced a
+#   term.  That is purely STRUCTURAL (prob > 0 iff the transition row
+#   exists), so the presence masks are computed exactly on the driver by
+#   the same recursion over the adjacency pattern, and the final explode
+#   filters / NULL-fills by mask — bit-identical row sets and values.
+#
+# Collecting the transition matrix crosses the driver: bounded model
+# parameters, the gram_moments precedent (event-type vocabulary ~5).
+# ---------------------------------------------------------------------------
+
+
+def _dense_chain(trans: DataFrame):
+    """Collect the bounded (from, to, prob) table into dense row-major
+    matrix + exact structural metadata: (states, idx, m, exists,
+    from_set)."""
+    rows = trans.collect()
+    sts = sorted(
+        {r["from_type"] for r in rows} | {r["to_type"] for r in rows}
+    )
+    idx = {s: i for i, s in enumerate(sts)}
+    k = len(sts)
+    m = [[0.0] * k for _ in range(k)]
+    ex = [[False] * k for _ in range(k)]
+    for r in rows:
+        i, j = idx[r["from_type"]], idx[r["to_type"]]
+        m[i][j] = float(r["prob"])
+        ex[i][j] = True
+    return sts, idx, m, ex, {r["from_type"] for r in rows}
+
+
+def _dot12(a, b):
+    """sum_j round(a[j]*b[j], 12) as exact DECIMAL(24,12) -> double —
+    the array form of the _step_col group sum (order-free)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.round(x * y, 12).cast("decimal(24,12)")
+        ),
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, x: (acc + x).cast("decimal(24,12)"),
+    ).cast("double")
+
+
+def _pi_steps_dense(state: DataFrame, mt_col: str, pi_col: str, steps: int,
+                    keep_prev: bool = False) -> DataFrame:
+    """pi_{t+1} = pi_t P over the TRANSPOSED dense matrix column, as
+    chained single-row projections (checkpoint every 5 to cap plan
+    depth — the optimizer lesson from power_iteration_top_pc)."""
+    for t in range(steps):
+        if t % 5 == 0 and t:
+            state = state.localCheckpoint(eager=True)
+        cols = [F.col(c) for c in state.columns if c != pi_col]
+        if keep_prev:
+            cols = [
+                F.col(c) for c in state.columns
+                if c not in (pi_col, "__prev")
+            ] + [F.col(pi_col).alias("__prev")]
+        state = state.select(
+            *cols,
+            F.transform(
+                mt_col, lambda row: _dot12(row, F.col(pi_col))
+            ).alias(pi_col),
+        )
+    return state
+
+
+def _reach_step(pres: list, ex: list) -> list:
+    """presence mask recursion: next[j] = any(pres[i] and ex[i][j])."""
+    k = len(ex)
+    return [
+        any(pres[i] and ex[i][j] for i in range(k)) for j in range(k)
+    ]
+
+
 def _iterate_pi(spark, trans: DataFrame, pi: DataFrame, steps: int):
     """pi_{t+1}(j) = sum_i pi_t(i) P(i,j), terms rounded to 12 dp."""
     from federated_gcn_spark.barrier import iteration_barrier
@@ -170,25 +259,46 @@ def markov_stationary_distribution(
     'which surface do users end up on?' question.
 
     100 TB shape: the event stream reduces once to the per-user LEAD
-    shuffle; all 12 supersteps run on the vocabulary-bounded matrix.
-    Determinism: each term rounds to 12 dp into exact DECIMAL sums
-    (float-sum order never matters); the oracle replays every
-    superstep."""
+    shuffle; all 12 supersteps run on the vocabulary-bounded matrix as
+    single-row array expressions (see _dense_chain — one task, no
+    per-step jobs).  Determinism: each term rounds to 12 dp into exact
+    DECIMAL sums (float-sum order never matters); the oracle replays
+    every superstep."""
     trans = _transitions(spark, sf_dir)
-    states = trans.select(F.col("from_type").alias("s")).distinct()
-    nstates = states.agg(F.count(F.lit(1)).alias("k"))
-    pi = states.crossJoin(F.broadcast(nstates)).select(
-        "s", (F.lit(1.0) / F.col("k")).alias("pi")
+    sts, idx, m, ex, from_set = _dense_chain(trans)
+    k = len(sts)
+    mt = [[m[i][j] for i in range(k)] for j in range(k)]  # transposed
+    nfrom = len(from_set)
+    pi0 = [(1.0 / nfrom) if s in from_set else 0.0 for s in sts]
+    state = spark.createDataFrame(
+        [(mt, pi0)], "mt array<array<double>>, pi array<double>"
     )
-    prev = _iterate_pi(spark, trans, pi, _STAT_STEPS - 1)
-    last = _iterate_pi(spark, trans, prev, 1)
+    state = _pi_steps_dense(state, "mt", "pi", _STAT_STEPS, keep_prev=True)
+    # presence masks (structural, exact): sparse pi_t keeps a state iff
+    # some term reached it; output rows = pres(last) AND pres(prev)
+    pres = [s in from_set for s in sts]
+    for _ in range(_STAT_STEPS - 1):
+        pres = _reach_step(pres, ex)
+    prev_pres = pres
+    pres = _reach_step(pres, ex)
+    mask = [bool(a and b) for a, b in zip(pres, prev_pres)]
+    state = state.localCheckpoint(eager=True)  # depth cap pre-explode
+    out = state.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.lit(sts).alias("s"),
+                F.col("pi").alias("pi"),
+                F.col("__prev").alias("prev"),
+                F.lit(mask).alias("keep"),
+            )
+        ).alias("i", "z")
+    )
     return (
-        last.alias("a")
-        .join(F.broadcast(prev.alias("b")), F.col("a.s") == F.col("b.s"))
+        out.where(F.col("z.keep"))
         .select(
-            F.col("a.s").alias("event_type"),
-            F.round(F.col("a.pi"), 9).alias("stationary_prob"),
-            F.round(F.abs(F.col("a.pi") - F.col("b.pi")), 9).alias(
+            F.col("z.s").alias("event_type"),
+            F.round(F.col("z.pi"), 9).alias("stationary_prob"),
+            F.round(F.abs(F.col("z.pi") - F.col("z.prev")), 9).alias(
                 "last_step_delta"
             ),
         )
@@ -254,62 +364,91 @@ def markov_absorption_probabilities(
     p_total < 1 exposes the truncated tail).
 
     100 TB shape: everything after the one LEAD shuffle is a bounded
-    matrix recursion.  Determinism: 12-dp-rounded DECIMAL sums per
-    term; the oracle replays all 20 unrolled steps."""
-    from federated_gcn_spark.barrier import iteration_barrier
-
+    matrix recursion, run as single-row array expressions (see
+    _dense_chain — one task for all 20 terms).  Determinism:
+    12-dp-rounded DECIMAL sums per term; the oracle replays all 20
+    unrolled steps; row presence (a start state that cannot reach an
+    absorber within 20 terms yields NULL, exactly as the sparse union
+    does) is reproduced by the driver-side structural masks."""
     trans = _transitions(spark, sf_dir)
     a0, a1 = _ABSORBING
-    absorbing = list(_ABSORBING)
-    q = trans.where(
-        ~F.col("from_type").isin(absorbing) & ~F.col("to_type").isin(absorbing)
-    ).localCheckpoint(eager=True)
-    r = trans.where(
-        ~F.col("from_type").isin(absorbing) & F.col("to_type").isin(absorbing)
-    ).localCheckpoint(eager=True)
-    b = r.select(
-        F.col("from_type").alias("s"),
-        F.col("to_type").alias("a"),
-        F.col("prob").alias("b"),
+    sts, idx, m, ex, from_set = _dense_chain(trans)
+    tr = sorted(s for s in from_set if s not in _ABSORBING)
+    tidx = {s: i for i, s in enumerate(tr)}
+    kt = len(tr)
+    # Q over transient x transient, R over transient x (a0, a1)
+    qm = [[m[idx[s]][idx[t]] for t in tr] for s in tr]
+    qex = [[ex[idx[s]][idx[t]] for t in tr] for s in tr]
+    rm = {a: [m[idx[s]][idx[a]] if idx.get(a) is not None else 0.0
+              for s in tr] for a in (a0, a1)}
+    rex = {a: [ex[idx[s]][idx[a]] if idx.get(a) is not None else False
+               for s in tr] for a in (a0, a1)}
+    state = spark.createDataFrame(
+        [(qm, rm[a0], rm[a1], rm[a0], rm[a1])],
+        "q array<array<double>>, r0 array<double>, r1 array<double>, "
+        "b0 array<double>, b1 array<double>",
     )
+    add12 = lambda rv, sv: (
+        F.round(rv, 12).cast("decimal(24,12)")
+        + F.round(sv, 12).cast("decimal(24,12)")
+    ).cast("double")
+    for t in range(_ABS_TERMS):
+        if t % 5 == 0 and t:
+            state = state.localCheckpoint(eager=True)
+        # stepped_a[s] = sum_t' round(q[s][t'] * b_a[t'], 12) exactly as
+        # the sparse join-agg; then b_a = round(r,12) + round(stepped,12)
+        # summed as decimals (the sparse union's two-term group sum)
+        state = state.select(
+            "q", "r0", "r1",
+            F.transform(
+                "q", lambda row: _dot12(row, F.col("b0"))
+            ).alias("s0"),
+            F.transform(
+                "q", lambda row: _dot12(row, F.col("b1"))
+            ).alias("s1"),
+        )
+        state = state.select(
+            "q", "r0", "r1",
+            F.zip_with("r0", "s0", add12).alias("b0"),
+            F.zip_with("r1", "s1", add12).alias("b1"),
+        )
+    # structural presence of bb_t rows: (s, a) exists iff r has it or a
+    # q-path reaches an r row of a within t more steps
+    pres = {a: list(rex[a]) for a in (a0, a1)}
     for _ in range(_ABS_TERMS):
-        stepped = (
-            q.join(b, b.s == q.to_type)
-            .groupBy(F.col("from_type").alias("s2"), "a")
-            .agg(
-                F.sum(_step_col(F.col("prob"), F.col("b")))
-                .cast("double")
-                .alias("b")
+        pres = {
+            a: [
+                rex[a][i]
+                or any(qex[i][j] and pres[a][j] for j in range(kt))
+                for i in range(kt)
+            ]
+            for a in (a0, a1)
+        }
+    state = state.localCheckpoint(eager=True)  # depth cap pre-explode
+    out = state.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.lit(tr).alias("s"),
+                F.col("b0").alias("b0"),
+                F.col("b1").alias("b1"),
+                F.lit(pres[a0]).alias("k0"),
+                F.lit(pres[a1]).alias("k1"),
             )
-            .select(F.col("s2").alias("s"), "a", "b")
-        )
-        b = (
-            r.select(
-                F.col("from_type").alias("s"),
-                F.col("to_type").alias("a"),
-                F.col("prob").alias("b"),
-            )
-            .unionByName(stepped)
-            .groupBy("s", "a")
-            .agg(
-                F.sum(F.round(F.col("b"), 12).cast("decimal(24,12)"))
-                .cast("double")
-                .alias("b")
-            )
-        )
-        b = iteration_barrier(b)
+        ).alias("i", "z")
+    )
     return (
-        b.groupBy(F.col("s").alias("start_state"))
-        .agg(
-            F.round(F.max(F.when(F.col("a") == a1, F.col("b"))), 6).alias(
-                "p_purchase"
-            ),
-            F.round(F.max(F.when(F.col("a") == a0, F.col("b"))), 6).alias(
-                "p_error"
-            ),
+        out.where(F.col("z.k0") | F.col("z.k1"))
+        .select(
+            F.col("z.s").alias("start_state"),
             F.round(
-                F.max(F.when(F.col("a") == a1, F.col("b")))
-                + F.max(F.when(F.col("a") == a0, F.col("b"))),
+                F.when(F.col("z.k1"), F.col("z.b1")), 6
+            ).alias("p_purchase"),
+            F.round(
+                F.when(F.col("z.k0"), F.col("z.b0")), 6
+            ).alias("p_error"),
+            F.round(
+                F.when(F.col("z.k1"), F.col("z.b1"))
+                + F.when(F.col("z.k0"), F.col("z.b0")),
                 6,
             ).alias("p_total"),
         )
@@ -350,33 +489,61 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     'how predictable is the next event?' number that caps any
     next-action model's accuracy.
 
-    Shares the stationary machinery (12 rounded-decimal supersteps);
-    row entropies are per-BUCKET transcendentals rounded to 12 dp."""
+    Shares the stationary machinery (12 rounded-decimal supersteps, now
+    single-row array expressions — see _dense_chain); row entropies are
+    per-BUCKET transcendentals rounded to 12 dp, summed over EXISTING
+    transitions only (the dense zeros are filtered out — 0*ln(0) must
+    never enter the sum)."""
     trans = _transitions(spark, sf_dir)
-    states = trans.select(F.col("from_type").alias("s")).distinct()
-    nstates = states.agg(F.count(F.lit(1)).alias("k"))
-    pi = states.crossJoin(F.broadcast(nstates)).select(
-        "s", (F.lit(1.0) / F.col("k")).alias("pi")
+    sts, idx, m, ex, from_set = _dense_chain(trans)
+    k = len(sts)
+    mt = [[m[i][j] for i in range(k)] for j in range(k)]
+    nfrom = len(from_set)
+    pi0 = [(1.0 / nfrom) if s in from_set else 0.0 for s in sts]
+    state = spark.createDataFrame(
+        [(m, mt, pi0)],
+        "m array<array<double>>, mt array<array<double>>, pi array<double>",
     )
-    pi = _iterate_pi(spark, trans, pi, _STAT_STEPS)
+    state = _pi_steps_dense(state, "mt", "pi", _STAT_STEPS)
     ln2 = 0.6931471805599453
-    rowent = trans.groupBy(F.col("from_type").alias("s")).agg(
-        F.sum(
-            F.round(
-                -F.col("prob") * F.log(F.col("prob")) / F.lit(ln2), 12
-            ).cast("decimal(24,12)")
-        )
-        .cast("double")
-        .alias("h_row")
+    hrow = F.transform(
+        "m",
+        lambda row: F.aggregate(
+            F.transform(
+                F.filter(row, lambda x: x > 0),
+                lambda p: F.round(
+                    -p * F.log(p) / F.lit(ln2), 12
+                ).cast("decimal(24,12)"),
+            ),
+            F.lit(0).cast("decimal(24,12)"),
+            lambda acc, x: (acc + x).cast("decimal(24,12)"),
+        ).cast("double"),
+    )
+    pres = [s in from_set for s in sts]
+    for _ in range(_STAT_STEPS):
+        pres = _reach_step(pres, ex)
+    mask = [bool(p and s in from_set) for p, s in zip(pres, sts)]
+    state = state.localCheckpoint(eager=True).select(
+        "pi", hrow.alias("h")
+    )
+    out = state.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.lit(sts).alias("s"),
+                F.col("pi").alias("pi"),
+                F.col("h").alias("h"),
+                F.lit(mask).alias("keep"),
+            )
+        ).alias("i", "z")
     )
     return (
-        rowent.join(pi, "s")
+        out.where(F.col("z.keep"))
         .select(
-            F.col("s").alias("event_type"),
-            F.round(F.col("pi"), 9).alias("stationary_prob"),
-            F.round(F.col("h_row"), 6).alias("row_entropy_bits"),
+            F.col("z.s").alias("event_type"),
+            F.round(F.col("z.pi"), 9).alias("stationary_prob"),
+            F.round(F.col("z.h"), 6).alias("row_entropy_bits"),
             F.round(
-                F.round(F.col("pi") * F.col("h_row"), 12).cast("double"), 6
+                F.round(F.col("z.pi") * F.col("z.h"), 12).cast("double"), 6
             ).alias("contribution_bits"),
         )
         .orderBy("event_type")
@@ -441,42 +608,76 @@ def markov_mixing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     point mass at 'signup' — how many events until a new user's
     behavior is indistinguishable from the steady state?
 
-    Shares the stationary machinery; each curve point is a bounded
-    5-term TV sum of 12-dp-rounded DECIMALs."""
+    Shares the stationary machinery (single-row array supersteps — see
+    _dense_chain); each curve point is a bounded 5-term TV sum of
+    12-dp-rounded DECIMALs over the states BOTH iterates reach (the
+    sparse join's intersection, reproduced by structural masks)."""
     trans = _transitions(spark, sf_dir)
-    states = trans.select(F.col("from_type").alias("s")).distinct()
-    nstates = states.agg(F.count(F.lit(1)).alias("k"))
-    pi = states.crossJoin(F.broadcast(nstates)).select(
-        "s", (F.lit(1.0) / F.col("k")).alias("pi")
+    sts, idx, m, ex, from_set = _dense_chain(trans)
+    k = len(sts)
+    mt = [[m[i][j] for i in range(k)] for j in range(k)]
+    nfrom = len(from_set)
+    pi0 = [(1.0 / nfrom) if s in from_set else 0.0 for s in sts]
+    m0 = [
+        (1.0 if s == "signup" else 0.0) if s in from_set else 0.0
+        for s in sts
+    ]
+    state = spark.createDataFrame(
+        [(mt, pi0, m0)],
+        "mt array<array<double>>, pi array<double>, mv array<double>",
     )
-    stat = _iterate_pi(spark, trans, pi, _STAT_STEPS).select(
-        "s", F.col("pi").alias("pi_stat")
-    )
-    m = states.select(
-        "s",
-        F.when(F.col("s") == "signup", F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("pi"),
-    )
-    rows = None
+    state = _pi_steps_dense(state, "mt", "pi", _STAT_STEPS)
+    state = state.localCheckpoint(eager=True)
+    # stationary presence after 12 steps; walk presence after t steps
+    stat_pres = [s in from_set for s in sts]
+    for _ in range(_STAT_STEPS):
+        stat_pres = _reach_step(stat_pres, ex)
+    walk_pres = [s in from_set for s in sts]  # m0 support: states rows
+    tv_cols = []
     for t in range(1, _MIX_STEPS + 1):
-        m = _iterate_pi(spark, trans, m, 1)
-        tv = (
-            m.join(F.broadcast(stat), "s")
-            .agg(
-                F.round(
-                    0.5
-                    * F.sum(
-                        F.round(
-                            F.abs(F.col("pi") - F.col("pi_stat")), 12
-                        ).cast("decimal(24,12)")
-                    ),
-                    9,
-                )
-                .cast("double")
-                .alias("tv_distance")
-            )
-            .select(F.lit(t).cast("long").alias("step"), "tv_distance")
+        state = state.select(
+            "mt", "pi", *[f"tv{u}" for u in range(1, t)],
+            F.transform(
+                "mt", lambda row: _dot12(row, F.col("mv"))
+            ).alias("mv"),
         )
-        rows = tv if rows is None else rows.unionByName(tv)
-    return rows.orderBy("step")
+        walk_pres = _reach_step(walk_pres, ex)
+        both = [bool(a and b) for a, b in zip(walk_pres, stat_pres)]
+        # TV over the intersection only: a masked-out term is EXCLUDED
+        # (replaced by an exact decimal zero), matching the sparse join
+        tv = F.round(
+            0.5
+            * F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        "mv", "pi",
+                        lambda x, y: F.round(F.abs(x - y), 12).cast(
+                            "decimal(24,12)"
+                        ),
+                    ),
+                    F.lit(both),
+                    lambda term, keep: F.when(keep, term).otherwise(
+                        F.lit(0).cast("decimal(24,12)")
+                    ),
+                ),
+                F.lit(0).cast("decimal(24,12)"),
+                lambda acc, x: (acc + x).cast("decimal(24,12)"),
+            ),
+            9,
+        ).cast("double")
+        state = state.select(
+            "mt", "pi", "mv",
+            *[f"tv{u}" for u in range(1, t)],
+            tv.alias(f"tv{t}"),
+        )
+        tv_cols.append(f"tv{t}")
+        if t % 4 == 0:
+            state = state.localCheckpoint(eager=True)
+    out = state.select(
+        F.posexplode(F.array(*[F.col(c) for c in tv_cols])).alias(
+            "i", "tv_distance"
+        )
+    )
+    return out.select(
+        (F.col("i") + 1).cast("long").alias("step"), "tv_distance"
+    ).orderBy("step")

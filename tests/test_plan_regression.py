@@ -296,7 +296,7 @@ PLAN_BUDGET = {
     "qq_deciles_halves": (1, 0),
     # round-4 wave 36
     "rake_keyphrases": (4, 0),
-    "target_encoding_smoothed": (5, 0),
+    "target_encoding_smoothed": (7, 0),  # +2: fold_tot agg + its broadcast (r04 ADVICE out-of-fold prior fix)
     "feature_scaling_stats": (3, 0),
     "degree_attack_robustness": (11, 0),
     # round-4 wave 37 (gini ranking's SMJ is the cells-x-candidates
