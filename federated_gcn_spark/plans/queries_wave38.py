@@ -17,13 +17,14 @@ decisions, and a declarative spectral step.
   stock and its empirical service level.
 - ``power_iteration_top_pc``: the top principal component of the
   embedding covariance matrix via 15 power-iteration supersteps run
-  DECLARATIVELY over the (i, j, cov) table — the SQL-expressible
-  spectral twin of the LAPACK-backed pca_variance (rows-only), so the
-  dominant eigenpair is hash-checked cross-engine.
+  as single-row array expressions after the one Gram pass — the
+  SQL-expressible spectral twin of the LAPACK-backed pca_variance
+  (rows-only), so the dominant eigenpair is hash-checked cross-engine.
 
 Cross-engine determinism: bridge terms are exact integer cents
-tallies; ad-stock decayed terms and correlation moments are 6/9-dp
-rounded DECIMAL sums; newsvendor quantiles are SELECTED values;
+tallies; ad-stock weights are shared 1e12-scaled integer literals
+(POWER() drifts by ulps between engines) with exact DECIMAL moments;
+newsvendor quantiles are SELECTED values;
 power-iteration terms round to 9 dp per (i,j) entry with L-infinity
 normalization (argmax |v| ties by index).
 
@@ -166,8 +167,24 @@ def revenue_bridge_decomposition(
 # Geometric ad-stock grid fit
 # ---------------------------------------------------------------------------
 
+def _adstock_pw_rows():
+    """(decay, lag, scaled weight) — the 80 geometric weights
+    round(decay^lag * 1e12), computed ONCE driver-side and injected as
+    integer literals into BOTH engines: POWER() is a transcendental the
+    two engines evaluate with different ulp error (observed: a 1-ulp
+    pow drift crossing a 6-dp rounding boundary at sf0.001), while a
+    shared integer literal table cannot drift."""
+    return [
+        (d, k, int(round(d ** k * 10 ** 12)))
+        for d in _ADSTOCK_DECAYS
+        for k in range(_ADSTOCK_TERMS)
+    ]
+
+
 def _adstock_oracle() -> str:
-    decays = ", ".join(str(d) for d in _ADSTOCK_DECAYS)
+    pw_vals = ", ".join(
+        f"({d}, {k}, {w})" for d, k, w in _adstock_pw_rows()
+    )
     return f"""
     WITH daily AS MATERIALIZED (
         SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -176,24 +193,29 @@ def _adstock_oracle() -> str:
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS y
         FROM orders GROUP BY 1
+    ), pw AS (
+        SELECT * FROM (VALUES {pw_vals}) w(decay, lag, pw)
     ), ad AS (
-        SELECT d.decay, cur.t,
-               CAST(SUM(CAST(ROUND(POWER(d.decay, cur.t - past.t) * past.x,
-                                   6) AS DECIMAL(28,6))) AS DOUBLE) AS stock
-        FROM (SELECT UNNEST([{decays}]) AS decay) d
-        JOIN daily cur ON TRUE
+        SELECT w.decay, cur.t,
+               CAST(SUM(CAST(w.pw AS DECIMAL(18,0)) * past.x)
+                    AS DECIMAL(18,0)) AS stock
+        FROM daily cur
         JOIN daily past
           ON past.t BETWEEN cur.t - {_ADSTOCK_TERMS - 1} AND cur.t
-        GROUP BY d.decay, cur.t
+        JOIN pw w ON w.lag = cur.t - past.t
+        GROUP BY w.decay, cur.t
     ), scored AS (
         SELECT a.decay,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(ROUND(a.stock, 4) AS DECIMAL(28,4))) AS sx,
-               SUM(CAST(ROUND(a.stock * a.stock, 4) AS DECIMAL(28,4)))
-                   AS sxx,
-               SUM(CAST(nxt.y AS DECIMAL(38,0))) AS sy,
-               SUM(CAST(nxt.y AS DECIMAL(38,0)) * nxt.y) AS syy,
-               SUM(CAST(ROUND(a.stock * nxt.y, 4) AS DECIMAL(38,4))) AS sxy
+               CAST(SUM(a.stock) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(a.stock AS DECIMAL(19,0)) * a.stock)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(nxt.y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sy,
+               CAST(SUM(CAST(nxt.y AS DECIMAL(19,0)) * nxt.y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(a.stock * CAST(nxt.y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxy
         FROM ad a JOIN daily nxt ON nxt.t = a.t + 1
         GROUP BY a.decay
     ), corr AS (
@@ -207,7 +229,7 @@ def _adstock_oracle() -> str:
         FROM scored
     )
     SELECT decay, n AS n_days, ROUND(r, 6) AS corr_next_day_revenue,
-           CAST(CASE WHEN ROUND(r, 9) = (SELECT MAX(ROUND(r, 9)) FROM corr)
+           CAST(CASE WHEN r = (SELECT MAX(r) FROM corr)
                      THEN 1 ELSE 0 END AS BIGINT) AS is_best
     FROM corr ORDER BY decay
     """
@@ -219,13 +241,19 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order count with a 20-day truncated geometric convolution at decay
     in {0.3, 0.5, 0.7, 0.9} and grade each by Pearson correlation with
     NEXT-day revenue — the marketing-mix preprocessing step, chosen by
-    exact argmax over 9-dp-rounded correlations.
+    exact argmax.
 
     100 TB shape: the ses_gridsearch window trick — one calendar-
-    bounded banded self-join carries all four decay columns; adding a
-    grid point adds a column, not a pass.  Determinism: decayed terms
-    and cross-moments round to 6/4 dp into exact DECIMAL sums; the
-    winner flag compares 9-dp-rounded values."""
+    bounded banded self-join; the 80 geometric weights join in as a
+    broadcast literal table, so adding a grid point adds rows to a
+    constant dim, not a pass.  Determinism (the round-5 sf0.001 fix):
+    weights are 1e12-scaled INTEGER literals computed once driver-side
+    (POWER() drifts by ulps between engines — observed crossing a
+    rounding boundary), every moment is an exact integer DECIMAL sum,
+    and r is the only float op chain (IEEE mul/sub/sqrt/div over
+    identical decimals — bit-identical cross-engine); the argmax
+    compares those raw doubles.  The 1e12 weight scale cancels in r.
+    """
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     daily = (
         orders.groupBy(
@@ -239,27 +267,22 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    decays = spark.createDataFrame(
-        [(d,) for d in _ADSTOCK_DECAYS], "decay double"
+    pw = spark.createDataFrame(
+        _adstock_pw_rows(), "decay double, lag long, pw long"
     )
     past = daily.select(F.col("t").alias("pt"), F.col("x").alias("px"))
     ad = (
-        daily.crossJoin(F.broadcast(decays))
-        .join(
+        daily.join(
             past,
             (F.col("pt") >= F.col("t") - (_ADSTOCK_TERMS - 1))
             & (F.col("pt") <= F.col("t")),
         )
+        .withColumn("lag", F.col("t") - F.col("pt"))
+        .join(F.broadcast(pw), "lag")
         .groupBy("decay", "t")
         .agg(
-            F.sum(
-                F.round(
-                    F.pow(F.col("decay"), F.col("t") - F.col("pt"))
-                    * F.col("px"),
-                    6,
-                ).cast("decimal(28,6)")
-            )
-            .cast("double")
+            F.sum(F.col("pw").cast("decimal(18,0)") * F.col("px"))
+            .cast("decimal(18,0)")
             .alias("stock")
         )
     )
@@ -267,15 +290,19 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ad.join(nxt, "t")
     scored = j.groupBy("decay").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("stock"), 4).cast("decimal(28,4)")).alias("sx"),
-        F.sum(
-            F.round(F.col("stock") * F.col("stock"), 4).cast("decimal(28,4)")
-        ).alias("sxx"),
-        F.sum(F.col("ny").cast("decimal(38,0)")).alias("sy"),
-        F.sum(F.col("ny").cast("decimal(38,0)") * F.col("ny")).alias("syy"),
-        F.sum(
-            F.round(F.col("stock") * F.col("ny"), 4).cast("decimal(38,4)")
-        ).alias("sxy"),
+        F.sum("stock").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("stock") * F.col("stock"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ny").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(F.col("ny").cast("decimal(19,0)") * F.col("ny"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("stock") * F.col("ny").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
     )
     r = (
         F.col("n") * F.col("sxy").cast("double")
@@ -295,14 +322,14 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         r.alias("r"),
     ).localCheckpoint(eager=True)
-    best = corr.agg(F.max(F.round(F.col("r"), 9)).alias("best_r"))
+    best = corr.agg(F.max(F.col("r")).alias("best_r"))
     return (
         corr.crossJoin(F.broadcast(best))
         .select(
             "decay",
             F.col("n").alias("n_days"),
             F.round(F.col("r"), 6).alias("corr_next_day_revenue"),
-            F.when(F.round(F.col("r"), 9) == F.col("best_r"), 1)
+            F.when(F.col("r") == F.col("best_r"), 1)
             .otherwise(0)
             .cast("long")
             .alias("is_best"),
