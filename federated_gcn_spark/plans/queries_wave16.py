@@ -219,11 +219,15 @@ def _ses_sql(alphas=(0.2, 0.4, 0.6, 0.8)) -> str:
     for a in alphas:
         d = round(1 - a, 1)
         tag = f"a{int(a*10):02d}"
+        # decay weights as a shared literal list computed ONCE here:
+        # POWER() drifts by ulps between engines (the adstock lesson),
+        # a literal table cannot; lists are 1-based in DuckDB
+        pw = "[" + ", ".join(repr(d ** k) for k in range(20)) + "]"
         cols.append(
             f"""ROUND(CAST(SUM(CAST(ROUND(rev_c
-                        * POWER(CAST({d} AS DOUBLE), lag), 6)
+                        * ({pw})[lag + 1], 6)
                         AS DECIMAL(28,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(ROUND(POWER(CAST({d} AS DOUBLE), lag), 6)
+                 / CAST(SUM(CAST(ROUND(({pw})[lag + 1], 6)
                         AS DECIMAL(28,6))) AS DOUBLE), 4) AS {tag}"""
         )
     fits = ",\n               ".join(cols)
@@ -311,7 +315,11 @@ def ses_gridsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for a in (0.2, 0.4, 0.6, 0.8):
         d = round(1 - a, 1)
-        decay = F.pow(F.lit(d), F.col("lag"))
+        # same literal weight table as the oracle (never engine POWER)
+        decay = F.element_at(
+            F.lit([d ** k for k in range(20)]),
+            (F.col("lag") + 1).cast("int"),
+        )
         tag = f"a{int(a*10):02d}"
         aggs.append(
             F.round(

@@ -406,6 +406,11 @@ def pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CR_ALPHA = 0.2
 _CR_TERMS = 20
+# Croston smoothing weights alpha*(1-alpha)^k as SHARED literals:
+# engine POWER() drifts by ulps (the adstock lesson); a literal
+# table computed once here is bit-identical in both engines.
+_CR_W = tuple(_CR_ALPHA * (1 - _CR_ALPHA) ** k for k in range(_CR_TERMS))
+_cr_w_sql = '([' + ', '.join(repr(w) for w in _CR_W) + '])'
 _CR_MOD = 199
 
 
@@ -441,15 +446,15 @@ _CR_MOD = 199
         JOIN iv v ON v.part = l.part AND v.idx = l.mx - k.k
     ), lev AS (
         SELECT part, n_events,
-               SUM(CAST(ROUND({_CR_ALPHA} * POWER(1 - {_CR_ALPHA}, k) * s_k,
+               SUM(CAST(ROUND({_cr_w_sql}[k + 1] * s_k,
                               6) AS DECIMAL(28,6))) AS size_num,
-               SUM(CAST(ROUND({_CR_ALPHA} * POWER(1 - {_CR_ALPHA}, k), 9)
+               SUM(CAST(ROUND({_cr_w_sql}[k + 1], 9)
                         AS DECIMAL(28,9))) AS size_den,
                SUM(CASE WHEN tau_k IS NOT NULL THEN
-                   CAST(ROUND({_CR_ALPHA} * POWER(1 - {_CR_ALPHA}, k) * tau_k,
+                   CAST(ROUND({_cr_w_sql}[k + 1] * tau_k,
                               6) AS DECIMAL(28,6)) END) AS tau_num,
                SUM(CASE WHEN tau_k IS NOT NULL THEN
-                   CAST(ROUND({_CR_ALPHA} * POWER(1 - {_CR_ALPHA}, k), 9)
+                   CAST(ROUND({_cr_w_sql}[k + 1], 9)
                         AS DECIMAL(28,9)) END) AS tau_den
         FROM terms GROUP BY part, n_events
     )
@@ -521,7 +526,9 @@ def croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tau").alias("tau_k"),
         )
     )
-    wgt = _CR_ALPHA * F.pow(1 - _CR_ALPHA, F.col("k"))
+    wgt = F.element_at(
+        F.lit(list(_CR_W)), (F.col("k") + 1).cast("int")
+    )
     lev = terms.groupBy("part", "n_events").agg(
         F.sum(F.round(wgt * F.col("s_k"), 6).cast("decimal(28,6)")).alias(
             "size_num"
