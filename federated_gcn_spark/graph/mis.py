@@ -40,9 +40,13 @@ def luby_mis(graph: Graph, max_rounds: int = 8, seed: int = 42) -> DataFrame:
             F.col(col).alias("i"),
         )
 
-    spark = graph.vertices.sparkSession
     active = iteration_barrier(graph.vertices.select(ID))
-    mis = spark.createDataFrame([], f"{ID} long")
+    # Only the true loop state (winners, active) is barriered; the MIS
+    # accumulator is a lazy union of the already-materialized winners
+    # frames, and the dup-insensitive anti-join inputs skip their
+    # distinct — the luby_coloring round-5 thinning (per-round cost is
+    # scheduling latency, ~flat in data).
+    round_winners: list[DataFrame] = []
     for _ in range(max_rounds):
         if active.isEmpty():
             break
@@ -54,17 +58,21 @@ def luby_mis(graph: Graph, max_rounds: int = 8, seed: int = 42) -> DataFrame:
         # (hash, id); winners = active minus dominated
         dominated = act_e.where(pri(SRC) > pri(DST)).select(
             F.col(DST).alias(ID)
-        ).distinct()
-        winners = active.join(dominated, ID, "left_anti")
-        winners = iteration_barrier(winners)
-        mis = iteration_barrier(mis.unionByName(winners))
-        # deactivate winners and their whole neighborhoods
-        losers = (
-            edges.join(winners.withColumnRenamed(ID, SRC), SRC, "left_semi")
-            .select(F.col(DST).alias(ID))
-            .distinct()
         )
+        winners = iteration_barrier(active.join(dominated, ID, "left_anti"))
+        round_winners.append(winners)
+        # deactivate winners and their whole neighborhoods
+        losers = edges.join(
+            winners.withColumnRenamed(ID, SRC), SRC, "left_semi"
+        ).select(F.col(DST).alias(ID))
         active = iteration_barrier(
             active.join(winners, ID, "left_anti").join(losers, ID, "left_anti")
         )
+    if not round_winners:  # empty graph: no rounds ran
+        return graph.vertices.sparkSession.createDataFrame(
+            [], f"{ID} long"
+        )
+    mis = round_winners[0]
+    for w in round_winners[1:]:
+        mis = mis.unionByName(w)
     return mis
