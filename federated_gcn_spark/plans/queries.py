@@ -5270,25 +5270,30 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "acctbal_percentiles",
     """
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
-                                      ORDER BY c_acctbal, c_custkey), 6)
-               AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal, c_custkey), 6)
-               AS cume
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal, c_custkey) AS cume
     FROM customer
     """,
 )
 def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per nation with a unique order key (ties
     would make both engine-dependent otherwise) — the rank-statistics
-    window family the AUC computation builds on, exposed directly."""
+    window family the AUC computation builds on, exposed directly.
+
+    Unrounded on purpose: both statistics are single divisions of exact
+    integers ((rank-1)/(n-1), rank/n), bit-identical cross-engine —
+    while ROUND(double, 6) hits STRUCTURAL half-ties on such rationals
+    (k/n with n | 2*10^6 lands exactly on .5) where the engines' double
+    rounding disagrees (caught by the round-5 sf0.1 off-design gate).
+    """
     customer = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return customer.select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

@@ -1630,7 +1630,7 @@ _SQL_TOP_SPENDERS = """
         GROUP BY o_custkey
     )
     SELECT o_custkey,
-           ROUND(spend_c / 100.0, 2) AS spend,
+           ROUND(CAST(spend_c AS DOUBLE) / 100, 2) AS spend,
            CAST(n_orders AS BIGINT) AS n_orders
     FROM cust
     ORDER BY spend_c DESC, o_custkey
@@ -1646,7 +1646,10 @@ def sql_interface_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     written scale-safe: ranking is ORDER BY + LIMIT (Spark compiles it
     to TakeOrderedAndProject, per-partition partial top-k), spend
     accumulates in exact integer cents so the ordering cannot drift
-    cross-engine."""
+    cross-engine; spend casts through DOUBLE explicitly because the two
+    engines type a bare `/ 100.0` differently (Spark: DECIMAL division,
+    prints trailing zeros; DuckDB: DOUBLE) — caught by the round-5
+    sf0.1 off-design gate on a .x0 total."""
     from federated_gcn_spark.catalog import run_sql
 
     return run_sql(spark, sf_dir, _SQL_TOP_SPENDERS)
