@@ -90,14 +90,18 @@ def luby_coloring(
                     losers, ID, "left_anti"
                 )
             )
+        if not round_winners:  # rounds_per_color=0: layer colors nothing
+            continue
         taken = round_winners[0]
         for w in round_winners[1:]:
             taken = taken.unionByName(w)
         colored_layers.append(taken.withColumn("color", F.lit(color)))
         remaining = iteration_barrier(remaining.join(taken, ID, "left_anti"))
 
+    leftover = remaining.withColumn("color", F.lit(-1))
+    if not colored_layers:  # n_colors=0 or rounds_per_color=0
+        return leftover  # everything uncolored, same (id, color) schema
     colored = colored_layers[0]
     for layer in colored_layers[1:]:
         colored = colored.unionByName(layer)
-    leftover = remaining.withColumn("color", F.lit(-1))
     return colored.unionByName(leftover)

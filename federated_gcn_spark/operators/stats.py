@@ -323,6 +323,8 @@ def exact_group_quantile_values(
     ks_of,
     n_buckets: int = 4096,
     gstats: dict | None = None,
+    hist: dict | None = None,
+    bucket_of=None,
 ) -> dict:
     """Several exact order statistics for EVERY group in one shared
     two-pass histogram selection — the grouped, multi-cutpoint
@@ -335,7 +337,12 @@ def exact_group_quantile_values(
     ``gstats`` optionally supplies precomputed per-group
     ``{group: (mn, mx, n)}`` — callers that already ran a per-group
     moment aggregate (min/max/count ride along for free) skip this
-    function's pass-0 scan entirely.
+    function's pass-0 scan entirely.  ``n`` must be the NON-NULL count
+    of ``value_col`` (``count(value_col)``, not ``count(1)``): NULL
+    values are filtered from both passes here, so a null-inclusive n
+    would shift every rank.  A gstats group absent from ``df`` raises
+    ``ValueError``; a group with n = 0 is allowed only when
+    ``ks_of(0)`` asks for no ranks (empty list).
 
     Cost is flat in both the group count and len(ks): pass 1 is one
     (group, bucket) (count, min, max) aggregate shared by all ranks;
@@ -349,11 +356,39 @@ def exact_group_quantile_values(
     window, and collects the hit rows.  A naive per-(group, rank) loop
     rescans the column 3·|groups|·|ks| times — the respelling that took
     qq_deciles_halves from 18 jobs to 1 applies verbatim here.
+
+    ``hist`` + ``bucket_of`` is the ZERO-extra-scan fast path: a caller
+    that already ran its own (group, bucket) aggregate (e.g. fused with
+    a moment pass over the same scan) supplies the collected histogram
+    ``{group: [(b, count, bucket_min, bucket_max), ...]}`` plus the
+    Column function ``bucket_of(value_col_Column) -> bucket Column``
+    that produced the ``b`` values — any per-group MONOTONE bucketing
+    works (it need not be equi-width).  Pass 0 and pass 1 are skipped
+    entirely; per-group n is derived from the histogram counts; pass 2
+    (only for ranks landing in mixed-value buckets) re-derives ``__b``
+    with ``bucket_of``.  ``gstats`` is ignored when ``hist`` is given.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    if gstats is None:
+    # Order statistics are over non-null values only; filtering here
+    # covers both passes (bucketed derives from df) and keeps pass-0's
+    # count(value_col) consistent with pass-1's count(1).
+    df = df.where(F.col(value_col).isNotNull())
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    if hist is not None:
+        if bucket_of is None:
+            raise ValueError("hist requires bucket_of (the bucket Column fn)")
+        gstats = {
+            g: (
+                min((bmn for _, _, bmn, _ in h), default=None),
+                max((bmx for _, _, _, bmx in h), default=None),
+                sum(c for _, c, _, _ in h),
+            )
+            for g, h in hist.items()
+        }
+    elif gstats is None:
         gstats = {
             r[group_col]: (r["mn"], r["mx"], r["n"])
             for r in df.groupBy(group_col)
@@ -367,47 +402,68 @@ def exact_group_quantile_values(
     ks_by_group = {}
     for g, (_, _, n) in gstats.items():
         ks = sorted(set(int(k) for k in ks_of(n)))
+        if n == 0:
+            if ks:
+                raise ValueError(
+                    f"group {g!r} has no non-null {value_col!r} rows but "
+                    f"ks_of(0) requested ranks {ks}"
+                )
+            continue  # empty group, no ranks wanted: nothing to select
         if any(k <= 0 or k > n for k in ks):
             raise ValueError(f"ranks {ks} out of range for group {g!r}")
         ks_by_group[g] = ks
-    spark = df.sparkSession
-    gtype = df.schema[group_col].dataType
-    wdf = F.broadcast(
-        spark.createDataFrame(
-            [
-                (g, float(mn), ((mx - mn) / n_buckets) or 1.0)
-                for g, (mn, mx, _) in gstats.items()
-            ],
-            StructType([
-                StructField(group_col, gtype),
-                StructField("__mn", DoubleType()),
-                StructField("__w", DoubleType()),
-            ]),
+    if hist is not None:
+        bucketed = df.withColumn(
+            "__b", bucket_of(F.col(value_col)).cast("long")
         )
-    )
-    bucketed = df.join(wdf, group_col).withColumn(
-        "__b",
-        F.least(
-            F.floor((F.col(value_col) - F.col("__mn")) / F.col("__w")),
-            F.lit(n_buckets - 1),
-        ),
-    )
-    per_group: dict = {}
-    for r in (
-        bucketed.groupBy(group_col, "__b")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.min(value_col).alias("bmn"),
-            F.max(value_col).alias("bmx"),
+        per_group = {
+            g: [(int(b), c, bmn, bmx) for b, c, bmn, bmx in h]
+            for g, h in hist.items()
+            if g in ks_by_group
+        }
+    else:
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (g, float(mn), ((mx - mn) / n_buckets) or 1.0)
+                    for g, (mn, mx, _) in gstats.items()
+                    if g in ks_by_group  # skip empty / rank-free groups
+                ],
+                StructType([
+                    StructField(group_col, gtype),
+                    StructField("__mn", DoubleType()),
+                    StructField("__w", DoubleType()),
+                ]),
+            )
         )
-        .collect()
-    ):
-        per_group.setdefault(r[group_col], []).append(
-            (r["__b"], r["c"], r["bmn"], r["bmx"])
+        bucketed = df.join(wdf, group_col).withColumn(
+            "__b",
+            F.least(
+                F.floor((F.col(value_col) - F.col("__mn")) / F.col("__w")),
+                F.lit(n_buckets - 1),
+            ),
         )
+        per_group = {}
+        for r in (
+            bucketed.groupBy(group_col, "__b")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min(value_col).alias("bmn"),
+                F.max(value_col).alias("bmx"),
+            )
+            .collect()
+        ):
+            per_group.setdefault(r[group_col], []).append(
+                (r["__b"], r["c"], r["bmn"], r["bmx"])
+            )
     got = {}  # (group, k) -> value, filled driver-side when possible
     want = {}  # (group, boundary_bucket, in_bucket_rank) -> k
     for g, ks in ks_by_group.items():
+        if g not in per_group:
+            raise ValueError(
+                f"gstats group {g!r} (n={gstats[g][2]}) has no rows in df "
+                f"— stale or mismatched precomputed stats"
+            )
         hist = sorted(per_group[g])
         cum = 0
         it = iter(hist)

@@ -61,9 +61,25 @@ from federated_gcn_spark.plans import queries_wave39  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 4
-# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 5
+# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r05 (all 50 green; the 10 promoted stale names were
+    # already listed below from their r01/r02 rows) ---
+    "abc_revenue_classes", "bloom_prejoin_stats", "bpe_corpus_tokenization",
+    "bpe_learned_merges", "brand_supplier_distribution", "burst_detection",
+    "chi2_top_terms", "cms_heavy_hitters", "cohort_retention_matrix",
+    "disjunctive_promo_revenue", "dsir_importance_logweights",
+    "dup_span_removal", "duplicated_span_fraction", "equidepth_price_buckets",
+    "event_transition_matrix", "exact_group_medians", "grouping_sets_lineitem",
+    "incremental_agg_refresh", "join_key_skew_report", "ktruss_supersteps",
+    "link_prediction_scores", "mis_members", "naive_bayes_lang",
+    "nation_volume_trade", "new_vs_returning_users", "ohlc_daily",
+    "part_skyline", "pmi_top_pairs", "postings_index", "price_band_revenue",
+    "price_histogram", "quality_classifier_filter",
+    "returnflag_priority_counts", "semantic_dedup_stats",
+    "set_similarity_pairs", "ship_lag_percentiles", "small_quantity_revenue",
+    "trending_event_types", "winsorized_price_stats", "zorder_curve_sample",
     # --- recorded in r04 ---
     "acctbal_percentiles", "als_recommendations", "bfs_distances",
     "bm25_search", "confusion_matrix", "customer_order_distribution",
@@ -116,23 +132,12 @@ _DRIVER_RECORDED = {
     "zipf_top_terms",
 }
 
-# Queries whose official record is stale (round-4 verdict item 1): these ten
-# were driver-recorded as `no_oracle` in r01/r02 BEFORE their xxh64-replay /
-# ranking oracles landed, so without a re-promotion the official file would
-# show rows-only forever.  All ten now hash-match their DuckDB oracle in the
-# full local gate — front-of-line so CORRECTNESS_r05.json records that.
-_PROMOTED = [
-    "random_walks",            # G2: xxh64 walk replay oracle (landed r03)
-    "fanout_sampling",         # G3: xxh64 fanout replay oracle
-    "edge_split_stats",        # G1: Borůvka forest split, hash-checked
-    "double_split_stats",      # G1: double split, hash-checked
-    "minhash_signatures",      # LSH core: xxh64 signature replay
-    "minhash_near_dup_pairs",  # LSH core: banded pair join replay
-    "simhash_fingerprints",    # SimHash fingerprint replay
-    "ann_topk",                # brute-force cosine top-k oracle
-    "ivf_ann_topk",            # IVF probe oracle (Lloyd replay)
-    "embedding_near_dup",      # hyperplane-LSH near-dup oracle
-]
+# Queries re-promoted to the front of the line despite an existing official
+# row.  Round 5 used this for the ten stale no_oracle rows; all ten landed
+# green in CORRECTNESS_r05.json, so the list is empty again (round-5 verdict
+# item 1: every slot goes to never-recorded names until the official union
+# covers the registry).
+_PROMOTED: list = []
 
 
 def _rotated(reg: dict) -> dict:

@@ -341,20 +341,32 @@ def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream transform; robust params make the scaler immune to the
     price tail.
 
-    100 TB shape: one union-of-projections pass for moments; the
-    median/quartiles come from ONE shared grouped multi-cutpoint
-    histogram selection (operators/stats.exact_group_quantile_values —
-    all three ranks of all three features in two scans + one micro-sort,
-    the qq_deciles_halves respelling; the round-3 per-(feature, rank)
-    loop re-scanned the union ~30 times).  The oracle's window spelling
-    sorts, the Spark plan does not.  Determinism: integerized values
-    make every order statistic a selected exact value; moments are
-    exact DECIMAL sums."""
+    100 TB shape: ONE fused pass over the union-of-projections computes
+    the per-(feature, bucket) histogram AND the moments (count/min/max/
+    sum/sum-of-squares per bucket; the driver folds buckets into exact
+    feature moments with arbitrary-precision Python ints) — the
+    round-5 spelling ran a separate moment job ahead of the selection's
+    histogram job.  Median/quartiles come from the shared grouped
+    multi-cutpoint selection (operators/stats.exact_group_quantile_values
+    via its hist fast path — pass 0 AND pass 1 skipped), so the whole
+    query is 1 scan + at most 1 boundary-bucket scan.  Buckets: raw v
+    for the two small-domain features (every bucket single-valued →
+    resolved driver-side), v >> 10 (~$10 cents bands, domain-bounded
+    count) for extendedprice.  The oracle's window spelling sorts, the
+    Spark plan does not.  Determinism: integerized values make every
+    order statistic a selected exact value; moments are exact DECIMAL
+    sums folded exactly on the driver.  No parallel= guard: the per-row
+    work is two integer mults feeding a map-side combine, so the
+    small-file repartition shuffle costs more than the skew it prevents
+    (measured 3.1 s vs 1.5 s fresh-lineage at sf0.1); at cluster scale
+    the scan parallelizes by splits regardless."""
+    from decimal import Decimal
+
     from federated_gcn_spark.operators.stats import (
         exact_group_quantile_values,
     )
 
-    lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    lineitem = load_table(spark, sf_dir, "lineitem")
     feats = {
         "quantity": (F.col("l_quantity") * 100).cast("long"),
         "extendedprice": F.round(F.col("l_extendedprice") * 100).cast("long"),
@@ -364,35 +376,56 @@ def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, expr in feats.items():
         part = lineitem.select(F.lit(name).alias("feature"), expr.alias("v"))
         f = part if f is None else f.unionByName(part)
-    mom_agg = f.groupBy("feature").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("v").cast("long").alias("mn"),
-        F.max("v").cast("long").alias("mx"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+
+    def _bucket(v):
+        # monotone per feature: identity where the domain is tiny
+        # (quantity ≤ 50 distinct, discount ≤ 11), 1024-cent bands for
+        # the wide price domain (bounded bucket count at any SF)
+        return F.when(
+            F.col("feature") == "extendedprice", F.shiftright(v, 10)
+        ).otherwise(v)
+
+    agg_rows = (
+        f.withColumn("__b", _bucket(F.col("v")))
+        .groupBy("feature", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("v").cast("long").alias("bmn"),
+            F.max("v").cast("long").alias("bmx"),
+            F.sum("v").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+        )
+        .collect()
     )
-    mom_rows = mom_agg.collect()  # 3 tiny rows; reused as gstats below
-    mom = spark.createDataFrame(mom_rows, mom_agg.schema)
-    ranks = {}  # rank formulas per observed group size, recorded in order
+    hist: dict = {}
+    acc: dict = {}  # feature -> [n, mn, mx, s, q] (exact Python ints)
+    for r in agg_rows:
+        hist.setdefault(r["feature"], []).append(
+            (r["__b"], r["c"], r["bmn"], r["bmx"])
+        )
+        a = acc.setdefault(r["feature"], [0, r["bmn"], r["bmx"], 0, 0])
+        a[0] += r["c"]
+        a[1] = min(a[1], r["bmn"])
+        a[2] = max(a[2], r["bmx"])
+        a[3] += int(r["s"])
+        a[4] += int(r["q"])
+    mom = spark.createDataFrame(
+        [
+            (g, n, mn, mx, s, Decimal(q))
+            for g, (n, mn, mx, s, q) in acc.items()
+        ],
+        "feature string, n long, mn long, mx long, s long, q decimal(38,0)",
+    )
 
     def _ks(n: int) -> list:
-        ks = [-(-n // 4), (n + 1) // 2, -(-3 * n // 4)]  # q1, median, q3
-        ranks[n] = ks
-        return ks
+        return [-(-n // 4), (n + 1) // 2, -(-3 * n // 4)]  # q1, median, q3
 
-    # min/max/count ride along in the moment rows — hand them to the
-    # selection so it skips its own pass-0 scan of the union.
     sel = exact_group_quantile_values(
-        f, "feature", "v", _ks,
-        gstats={r["feature"]: (r["mn"], r["mx"], r["n"]) for r in mom_rows},
+        f, "feature", "v", _ks, hist=hist, bucket_of=_bucket
     )
-    by_feat = {}
-    for (g, k), v in sel.items():
-        by_feat.setdefault(g, {})[k] = v
     rows = []
-    for name, got in by_feat.items():
-        n = next(n for n, ks in ranks.items() if set(ks) <= set(got))
-        q1, med, q3 = (float(got[k]) for k in ranks[n])
+    for name, (n, *_rest) in acc.items():  # ranks looked up PER FEATURE
+        q1, med, q3 = (float(sel[(name, k)]) for k in _ks(n))
         rows.append((name, med, q3 - q1))
     quart = spark.createDataFrame(
         rows, "feature string, median_c double, iqr_c double"

@@ -169,13 +169,24 @@ def revenue_bridge_decomposition(
 
 def _adstock_pw_rows():
     """(decay, lag, scaled weight) — the 80 geometric weights
-    round(decay^lag * 1e12), computed ONCE driver-side and injected as
+    round(decay^lag * 1e9), computed ONCE driver-side and injected as
     integer literals into BOTH engines: POWER() is a transcendental the
     two engines evaluate with different ulp error (observed: a 1-ulp
     pow drift crossing a 6-dp rounding boundary at sf0.001), while a
-    shared integer literal table cannot drift."""
+    shared integer literal table cannot drift.
+
+    Scale choice (round-6 overflow fix): at 1e12 the DECIMAL(18,0)
+    stock accumulator silently nulled (Spark non-ANSI cast) once the
+    21-day weighted daily order count passed ~1.1e5 (≈ sf 150), and
+    the exact second moments capped stock at DECIMAL(19,0) anyway
+    (DuckDB requires product widths w1+w2 ≤ 38).  At 1e9 with a
+    DECIMAL(19,0) stock, stock holds to ~1e9 orders/day and
+    sxx = Σ stock² stays under DECIMAL(38,0) to ~2e8 orders/day
+    (≈ sf 3×10⁵ ≈ 300 TB).  Cost: weights below 0.5e-9 (d=0.3,
+    lag ≥ 18) round to 0 — a ≤1e-9 relative perturbation of stock,
+    identical in both engines, far below the 6-dp output rounding."""
     return [
-        (d, k, int(round(d ** k * 10 ** 12)))
+        (d, k, int(round(d ** k * 10 ** 9)))
         for d in _ADSTOCK_DECAYS
         for k in range(_ADSTOCK_TERMS)
     ]
@@ -198,7 +209,7 @@ def _adstock_oracle() -> str:
     ), ad AS (
         SELECT w.decay, cur.t,
                CAST(SUM(CAST(w.pw AS DECIMAL(18,0)) * past.x)
-                    AS DECIMAL(18,0)) AS stock
+                    AS DECIMAL(19,0)) AS stock
         FROM daily cur
         JOIN daily past
           ON past.t BETWEEN cur.t - {_ADSTOCK_TERMS - 1} AND cur.t
@@ -247,12 +258,15 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded banded self-join; the 80 geometric weights join in as a
     broadcast literal table, so adding a grid point adds rows to a
     constant dim, not a pass.  Determinism (the round-5 sf0.001 fix):
-    weights are 1e12-scaled INTEGER literals computed once driver-side
+    weights are 1e9-scaled INTEGER literals computed once driver-side
     (POWER() drifts by ulps between engines — observed crossing a
     rounding boundary), every moment is an exact integer DECIMAL sum,
     and r is the only float op chain (IEEE mul/sub/sqrt/div over
     identical decimals — bit-identical cross-engine); the argmax
-    compares those raw doubles.  The 1e12 weight scale cancels in r.
+    compares those raw doubles.  The 1e9 weight scale cancels in r;
+    with the DECIMAL(19,0) stock it keeps every moment inside
+    DECIMAL(38,0) up to ~2e8 orders/day (≈ sf 3×10⁵) — see
+    ``_adstock_pw_rows`` for the overflow analysis.
     """
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     daily = (
@@ -282,7 +296,7 @@ def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decay", "t")
         .agg(
             F.sum(F.col("pw").cast("decimal(18,0)") * F.col("px"))
-            .cast("decimal(18,0)")
+            .cast("decimal(19,0)")
             .alias("stock")
         )
     )

@@ -158,3 +158,37 @@ def test_exact_group_quantile_values_rejects_bad_ranks(spark):
     df = _grouped_df(spark, {"a": [1.0, 2.0]})
     with pytest.raises(ValueError):
         exact_group_quantile_values(df, "g", "x", lambda n: [n + 1])
+
+
+def test_exact_group_quantile_values_ignores_nulls(spark):
+    """NULL values are excluded from ranks in both passes (round-5
+    ADVICE regression guard: NULLs used to land in a NULL bucket and
+    break the sorted() histogram walk with a TypeError)."""
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = exact_group_quantile_values(
+        df, "g", "x", lambda n: [(n + 1) // 2], n_buckets=8
+    )
+    assert got == {("a", 5): 5.0}  # median of 1..9, nulls ignored
+
+
+def test_exact_group_quantile_values_gstats_edge_cases(spark):
+    df = _grouped_df(spark, {"a": [1.0, 2.0, 3.0]})
+    # a gstats group absent from df: clear ValueError, not a KeyError
+    with pytest.raises(ValueError, match="no rows in df"):
+        exact_group_quantile_values(
+            df, "g", "x", lambda n: [1],
+            gstats={"a": (1.0, 3.0, 3), "ghost": (0.0, 1.0, 2)},
+        )
+    # an n=0 group is fine when ks_of(0) wants nothing...
+    got = exact_group_quantile_values(
+        df, "g", "x", lambda n: [(n + 1) // 2] if n else [],
+        gstats={"a": (1.0, 3.0, 3), "empty": (None, None, 0)},
+    )
+    assert got == {("a", 2): 2.0}
+    # ...and a clear error when it does ask for ranks
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_group_quantile_values(
+            df, "g", "x", lambda n: [max(n, 1)],
+            gstats={"empty": (None, None, 0)},
+        )

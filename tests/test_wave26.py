@@ -76,6 +76,23 @@ def test_coloring_is_proper_and_total(spark):
     assert got == dict(hist)
 
 
+def test_coloring_degenerate_budgets(spark):
+    """n_colors=0 / rounds_per_color=0 return everything uncolored (-1)
+    instead of raising (round-5 ADVICE regression guard)."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.coloring import luby_coloring
+
+    edges = spark.createDataFrame(
+        [(o, s) for o, s in _edges(10)], "src long, dst long"
+    )
+    g = Graph.from_edges(edges)
+    verts = {v for e in _edges(10) for v in e}
+    for kwargs in ({"n_colors": 0}, {"rounds_per_color": 0}):
+        colored = luby_coloring(g, seed=42, **kwargs).collect()
+        assert {r["id"] for r in colored} == verts
+        assert all(r["color"] == -1 for r in colored)
+
+
 def test_butterfly_count_matches_bruteforce(spark):
     ed = _edges(10)
     by_order = defaultdict(set)
