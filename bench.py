@@ -334,6 +334,9 @@ HEADLINE = [
     "december_effect_regression",
     "dau_wau_stickiness",
     "queueing_mmc_whatif",
+    # round-6 wave 40: bounded exact-similarity front doors
+    "set_similarity_topk",
+    "set_similarity_counts",
 ]
 
 

@@ -38,7 +38,7 @@ runs inside LSH buckets or on suspect cohorts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,5 +163,214 @@ def set_similarity_join(
             "n_a",
             "n_b",
             F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def _contracted(
+    sets_df: DataFrame, id_col: str, set_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(membership, reps): clone contraction WITH the member mapping.
+
+    membership = (sid, rep, grp_n); reps = (id_col, set_col, grp_n) with
+    one row per distinct element set, id = the group's min member id.
+    Empty sets are excluded (they have no similarity neighbors).
+
+    Both outputs are localCheckpoint'ed: every consumer branches off
+    them at least twice (heads + sibling + cross expansion), and without
+    the cut each branch would re-run the contraction shuffle — the
+    multiply-consumed-intermediate lesson (plan audit showed 70
+    exchanges for the uncut top-k plan, 14 after).
+    """
+    base = sets_df.select(
+        F.col(id_col).alias("sid"),
+        F.array_sort(F.array_distinct(F.col(set_col))).alias("key"),
+    ).where(F.size("key") > 0)
+    grp = base.groupBy("key").agg(
+        F.min("sid").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+    )
+    membership = (
+        base.join(grp, "key")
+        .select("sid", "rep", "grp_n")
+        .localCheckpoint(eager=True)
+    )
+    reps = grp.select(
+        F.col("rep").alias(id_col), F.col("key").alias(set_col), "grp_n"
+    ).localCheckpoint(eager=True)
+    return membership, reps
+
+
+def _group_heads(membership: DataFrame, k: int) -> DataFrame:
+    """(rep, head): the k+1 SMALLEST member ids of each clone group —
+    enough to hand any member its k best same-group neighbors after
+    excluding itself.  Two-phase top-k (salted row_number, then merge)
+    so a pathological 10⁸-clone group never lands in one sort partition.
+    """
+    w1 = Window.partitionBy("rep", "salt").orderBy("sid")
+    w2 = Window.partitionBy("rep").orderBy("sid")
+    return (
+        membership.withColumn(
+            "salt", F.pmod(F.abs(F.hash("sid")), F.lit(64))
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k + 1)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= k + 1)
+        .groupBy("rep")
+        .agg(F.sort_array(F.collect_list("sid")).alias("head"))
+    )
+
+
+def _rep_neighbors(
+    reps: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """(g, h, jaccard, mh): directed rep-level similarity edges with the
+    neighbor group's size — :func:`set_similarity_join` over the
+    CONTRACTED sets (linear in distinct sets, never Θ(duplication²)),
+    then symmetrized."""
+    pairs = set_similarity_join(
+        reps.select(id_col, set_col), id_col, set_col, threshold
+    )
+    nbrs = pairs.select(
+        F.col("id_a").alias("g"), F.col("id_b").alias("h"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("g"), F.col("id_a").alias("h"), "jaccard"
+        )
+    )
+    sizes = reps.select(F.col(id_col).alias("h"), F.col("grp_n").alias("mh"))
+    return nbrs.join(sizes, "h")
+
+
+def set_similarity_topk(
+    sets_df: DataFrame,
+    id_col: str = "id",
+    set_col: str = "elems",
+    threshold: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """Per record: its k most similar OTHER records with exact Jaccard
+    >= threshold — the BOUNDED front door next to
+    :func:`set_similarity_join`, for consumers who need answers rather
+    than the full Θ(duplication²) pair list.
+
+    Returns ``(id_col, nbr_id, jaccard, rank)``; records with no
+    qualifying neighbor emit no rows.  Ordering (and the exactness
+    contract) is the deterministic tie-break **(jaccard desc,
+    neighbor's clone-group representative asc, neighbor id asc)** —
+    rounded-to-6dp jaccard, the same display rounding as the pair join.
+
+    Scale shape (100 TB): clone groups are contracted FIRST
+    (:func:`contract_exact_clones` semantics), so a group of m
+    identical sets costs one node, never C(m,2) pairs.  The similarity
+    join runs on representatives; per representative only the best
+    groups covering k members survive a running-sum cut (≤ k groups);
+    each kept group contributes only its k+1 smallest member ids
+    (pre-trimmed, salted top-k — no giant-group sort partition).  Every
+    intermediate after the rep join is Θ(N·k); the final per-record
+    window ranks ≤ ~3k candidate rows per record.  Exact under the
+    documented tie-break: a trimmed group is preceded by ≥ k members
+    that outrank all of its members, and a trimmed member id is
+    preceded by ≥ k smaller ids in its own group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    membership, reps = _contracted(sets_df, id_col, set_col)
+    nbrs = _rep_neighbors(reps, id_col, set_col, threshold)
+    wg = Window.partitionBy("g").orderBy(F.col("jaccard").desc(), "h")
+    cum_prev = F.coalesce(
+        F.sum("mh").over(
+            wg.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    trimmed = (
+        nbrs.withColumn("cum_prev", cum_prev)
+        .where(F.col("cum_prev") < k)
+        .select("g", "h", "jaccard")
+    )
+    heads = _group_heads(membership, k).localCheckpoint(eager=True)
+    # same-group neighbors: exact Jaccard 1.0, the k smallest sibling ids
+    sib = (
+        membership.join(heads, "rep")
+        .select(
+            "sid",
+            F.explode("head").alias("nbr"),
+            F.col("rep").alias("nbr_rep"),
+        )
+        .where(F.col("nbr") != F.col("sid"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    # cross-group neighbors: kept groups expanded to their k+1 head ids
+    cross = (
+        trimmed.join(
+            heads.select(F.col("rep").alias("h"), "head"), "h"
+        )
+        .select(
+            "g",
+            F.col("h").alias("nbr_rep"),
+            "jaccard",
+            F.explode("head").alias("nbr"),
+        )
+        .join(membership.select("sid", F.col("rep").alias("g")), "g")
+        .select("sid", "nbr", "nbr_rep", "jaccard")
+    )
+    wf = Window.partitionBy("sid").orderBy(
+        F.col("jaccard").desc(), "nbr_rep", "nbr"
+    )
+    return (
+        sib.select("sid", "nbr", "nbr_rep", "jaccard")
+        .unionByName(cross)
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("sid").alias(id_col),
+            F.col("nbr").alias("nbr_id"),
+            F.col("jaccard"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def set_similarity_counts(
+    sets_df: DataFrame,
+    id_col: str = "id",
+    set_col: str = "elems",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per record: HOW MANY other records have exact Jaccard >=
+    threshold, and the best similarity — the aggregate-shaped bounded
+    front door next to :func:`set_similarity_join` (Θ(N) output, never
+    the Θ(duplication²) pair list).
+
+    Returns ``(id_col, n_similar, max_jaccard)`` for every record with
+    a non-empty set; ``n_similar`` = 0 and ``max_jaccard`` NULL when
+    nothing qualifies.  Exact: a member of an m-clone group counts its
+    m-1 siblings (Jaccard 1.0) plus every member of each group whose
+    rep-level Jaccard meets the threshold (identical sets have
+    identical similarity to everything, so the rep-level join loses
+    nothing).
+
+    Scale shape (100 TB): clone contraction → prefix-filtered rep join
+    → one groupBy per rep → one broadcastable-rep-keyed join back to
+    members.  Work is Θ(N + distinct-set pairs); duplication never
+    squares.
+    """
+    membership, reps = _contracted(sets_df, id_col, set_col)
+    nbrs = _rep_neighbors(reps, id_col, set_col, threshold)
+    agg = nbrs.groupBy("g").agg(
+        F.sum("mh").alias("cn"), F.max("jaccard").alias("mj")
+    )
+    return (
+        membership.join(agg, membership.rep == agg.g, "left")
+        .select(
+            F.col("sid").alias(id_col),
+            (F.col("grp_n") - 1 + F.coalesce("cn", F.lit(0)))
+            .cast("long")
+            .alias("n_similar"),
+            F.when(F.col("grp_n") > 1, F.lit(1.0))
+            .otherwise(F.col("mj"))
+            .alias("max_jaccard"),
         )
     )

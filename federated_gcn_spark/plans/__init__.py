@@ -58,6 +58,7 @@ from federated_gcn_spark.plans import queries_wave36  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave37  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave38  # noqa: F401  (registers)
 from federated_gcn_spark.plans import queries_wave39  # noqa: F401  (registers)
+from federated_gcn_spark.plans import queries_wave40  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 

@@ -95,7 +95,11 @@ def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bulk dedup/clustering consumers must NOT consume this list; they
     route through exact_dedup_clusters, which contracts exact clone
     groups first (operators/ppjoin.contract_exact_clones) and stays
-    linear in |distinct duplicated sets|."""
+    linear in |distinct duplicated sets|.  Consumers who need ANSWERS
+    rather than the pair list have bounded exact twins: per-record
+    top-k (set_similarity_topk query / operators/ppjoin.py) and
+    per-record neighbor counts (set_similarity_counts query) — both
+    Θ(N·k) / Θ(N) regardless of duplication."""
     from federated_gcn_spark.operators.ppjoin import set_similarity_join
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)

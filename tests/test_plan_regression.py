@@ -66,6 +66,11 @@ PLAN_BUDGET = {
     # LocalTableScan — the per-round shuffle shape is pinned by the
     # unrolled oracle instead.
     "set_similarity_pairs": (15, 0),
+    # round-6 wave 40 (measured under the same fixture).  The bounded
+    # top-k/count twins checkpoint the contraction, heads and rep sets,
+    # so the visible plan is the rep-level join + the Θ(N·k) assembly.
+    "set_similarity_topk": (24, 0),
+    "set_similarity_counts": (21, 1),
     "ktruss_supersteps": (0, 0),
     "postings_index": (2, 0),
     "winsorized_price_stats": (1, 0),
