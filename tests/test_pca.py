@@ -57,3 +57,46 @@ def test_pca_layout_invariant(spark, emb_df):
 def test_pca_dim_mismatch_raises(spark, emb_df):
     with pytest.raises(Exception, match="dim"):
         gram_moments(emb_df, dim=5)
+
+
+def test_deflated_power_spectrum_matches_lapack(spark):
+    """The cross-engine-replayable spectrum (matrix squaring + Rayleigh)
+    agrees with LAPACK eigh on the SAME 4-dp-rounded covariance — on a
+    well-separated spectrum and on a nearly-flat one (the embeddings
+    table's regime, where plain 15-step power iteration is useless)."""
+    from federated_gcn_spark.operators.pca import deflated_power_spectrum
+
+    rng = np.random.default_rng(3)
+    for scales in (
+        np.array([5, 3, 1, 1, 0.5, 0.5, 0.1, 0.1]),   # separated
+        1.0 + 0.02 * np.arange(8)[::-1],               # nearly flat
+    ):
+        X = rng.normal(size=(400, 8)) * scales
+        cov = np.cov(X.T, bias=True)
+        lams, trace = deflated_power_spectrum(cov, k=5, squarings=10)
+        m0 = np.round(cov, 4)
+        want = np.linalg.eigvalsh(m0)[::-1][:5]
+        np.testing.assert_allclose(lams, want, atol=5e-7)
+        assert trace == pytest.approx(float(np.trace(m0)), abs=1e-9)
+
+
+def test_pca_variance_query_matches_lapack(spark):
+    """The registered query's estimates equal LAPACK on the rounded
+    covariance of the real embeddings table (the flat-spectrum case)."""
+    from federated_gcn_spark.operators.pca import gram_moments
+    from federated_gcn_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["component"]: (r["eigenvalue"], r["explained_ratio"])
+        for r in QUERIES["pca_variance"](spark, sf).collect()
+    }
+    from federated_gcn_spark.catalog import load_table
+
+    _, _, cov = gram_moments(load_table(spark, sf, "embeddings"))
+    m0 = np.round(cov, 4)
+    ev = np.linalg.eigvalsh(m0)[::-1][:8]
+    tr = float(np.trace(m0))
+    for c in range(8):
+        assert got[c][0] == pytest.approx(ev[c], abs=1e-5)
+        assert got[c][1] == pytest.approx(ev[c] / tr, abs=1e-5)
