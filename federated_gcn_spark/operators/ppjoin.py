@@ -176,28 +176,31 @@ def _contracted(
     one row per distinct element set, id = the group's min member id.
     Empty sets are excluded (they have no similarity neighbors).
 
-    Both outputs are localCheckpoint'ed: every consumer branches off
-    them at least twice (heads + sibling + cross expansion), and without
-    the cut each branch would re-run the contraction shuffle — the
-    multiply-consumed-intermediate lesson (plan audit showed 70
-    exchanges for the uncut top-k plan, 14 after).
+    One shuffle total: a window over the sorted-array key attaches
+    (rep = min member id, grp_n) to every row, so the member mapping
+    needs no join back against a grouped table (the round-6 respelling;
+    the groupBy+join spelling shuffled the key arrays twice).  The
+    windowed frame is localCheckpoint'ed once and both outputs derive
+    from it: every consumer branches off them at least twice (heads +
+    sibling + cross expansion), and without the cut each branch would
+    re-run the contraction shuffle — the multiply-consumed-intermediate
+    lesson (plan audit showed 70 exchanges for the uncut top-k plan).
     """
-    base = sets_df.select(
-        F.col(id_col).alias("sid"),
-        F.array_sort(F.array_distinct(F.col(set_col))).alias("key"),
-    ).where(F.size("key") > 0)
-    grp = base.groupBy("key").agg(
-        F.min("sid").alias("rep"),
-        F.count(F.lit(1)).cast("long").alias("grp_n"),
-    )
-    membership = (
-        base.join(grp, "key")
-        .select("sid", "rep", "grp_n")
+    w = Window.partitionBy("key")
+    base = (
+        sets_df.select(
+            F.col(id_col).alias("sid"),
+            F.array_sort(F.array_distinct(F.col(set_col))).alias("key"),
+        )
+        .where(F.size("key") > 0)
+        .withColumn("rep", F.min("sid").over(w))
+        .withColumn("grp_n", F.count(F.lit(1)).over(w).cast("long"))
         .localCheckpoint(eager=True)
     )
-    reps = grp.select(
-        F.col("rep").alias(id_col), F.col("key").alias(set_col), "grp_n"
-    ).localCheckpoint(eager=True)
+    membership = base.select("sid", "rep", "grp_n")
+    reps = base.where(F.col("sid") == F.col("rep")).select(
+        F.col("sid").alias(id_col), F.col("key").alias(set_col), "grp_n"
+    )
     return membership, reps
 
 
