@@ -219,6 +219,10 @@ ROSTER = [
     "adstock_grid_fit", "newsvendor_stock_levels", "power_iteration_top_pc",
     "handshake_matching_stats", "december_effect_regression",
     "dau_wau_stickiness", "queueing_mmc_whatif",
+    # round-6 wave 40: the bounded exact-similarity surfaces — their
+    # whole reason to exist is the scale curve (vs set_similarity_pairs'
+    # Θ(duplication²) pair list)
+    "set_similarity_topk", "set_similarity_counts",
 ]
 
 SF_DIRS = {
