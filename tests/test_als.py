@@ -168,3 +168,30 @@ def test_als_rank2_matches_numpy_solve(spark, ratings):
         got_v = {r2["item"]: (r2["v1"], r2["v2"]) for r2 in itf.collect()}
         assert got_v[i][0] == pytest.approx(round(sol[0], 4), abs=2e-4)
         assert got_v[i][1] == pytest.approx(round(sol[1], 4), abs=2e-4)
+
+
+def test_half_step_broadcasts_factors_and_single_agg_exchange(spark, ratings):
+    """The normal-equation join must be a broadcast hash join (ratings
+    never re-exchanged for the join); the only Exchange in a half-step
+    is the partial-agg shuffle after the map-side combine.  With
+    broadcast_factors=False the SMJ fallback path is exercised."""
+    from federated_gcn_spark.operators.als import _init_factors, _solve_half
+
+    r = ratings.localCheckpoint(eager=True)
+    item_f = _init_factors(r.select("item").distinct(), "item", 2)
+    item_f = item_f.localCheckpoint(eager=True)  # as als_fit does
+
+    half = _solve_half(r, item_f, "user", "item", 2, 0.1)
+    plan = half._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    smj = _solve_half(r, item_f, "user", "item", 2, 0.1,
+                      broadcast_factors=False)
+    plan2 = smj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" in plan2
+    got = {row["user"]: row["vec"] for row in half.collect()}
+    got2 = {row["user"]: row["vec"] for row in smj.collect()}
+    assert set(got) == set(got2)
+    for u in got:
+        np.testing.assert_allclose(got[u], got2[u], rtol=1e-9)
