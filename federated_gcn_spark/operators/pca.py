@@ -227,6 +227,12 @@ def deflated_power_spectrum(
         vraw = _nanos9(p).sum(axis=1) / 1e9  # Σ_j round9(p[i][j])
         v = vraw / max(float(np.abs(vraw).max()), 1e-300)
         vtv = float(_nanos9(v * v).sum()) / 1e9
+        if vtv == 0.0:
+            # fully-deflated / all-zero base (k > rank, or a constant
+            # embedding column): the remaining spectrum is exactly 0 —
+            # emit zeros instead of dividing by the zero Rayleigh norm
+            lams.extend([0.0] * (k - len(lams)))
+            break
         mv = _nanos9(mc * v[None, :]).sum(axis=1) / 1e9
         vmv = float(_nanos9(v * mv).sum()) / 1e9
         lam = vmv / vtv

@@ -100,3 +100,19 @@ def test_pca_variance_query_matches_lapack(spark):
     for c in range(8):
         assert got[c][0] == pytest.approx(ev[c], abs=1e-5)
         assert got[c][1] == pytest.approx(ev[c] / tr, abs=1e-5)
+
+
+def test_deflated_power_spectrum_degenerate_bases():
+    """Zero covariance (constant embedding column) and k > rank must not
+    divide by the zero Rayleigh norm — the residual spectrum is 0."""
+    import numpy as np
+    from federated_gcn_spark.operators.pca import deflated_power_spectrum
+
+    lams, trace = deflated_power_spectrum(np.zeros((4, 4)), k=3)
+    assert lams == [0.0, 0.0, 0.0] and trace == 0.0
+
+    rank1 = np.outer([1.0, 2.0, 0.0], [1.0, 2.0, 0.0])  # rank 1, d=3
+    lams, trace = deflated_power_spectrum(rank1, k=3)
+    assert abs(lams[0] - 5.0) < 1e-6
+    assert all(abs(x) < 1e-6 for x in lams[1:])
+    assert abs(trace - 5.0) < 1e-12
