@@ -228,11 +228,27 @@ def deflated_power_spectrum(
         v = vraw / max(float(np.abs(vraw).max()), 1e-300)
         vtv = float(_nanos9(v * v).sum()) / 1e9
         if vtv == 0.0:
-            # fully-deflated / all-zero base (k > rank, or a constant
-            # embedding column): the remaining spectrum is exactly 0 —
-            # emit zeros instead of dividing by the zero Rayleigh norm
-            lams.extend([0.0] * (k - len(lams)))
-            break
+            if float(np.abs(mc).max()) == 0.0:
+                # truly-zero deflated base (k > rank): the remaining
+                # spectrum is exactly 0 — emit zeros instead of dividing
+                # by the zero Rayleigh norm.  The SQL twin reaches the
+                # same values through its CASE WHEN vtv = 0 guard (an
+                # all-zero base stays zero through squaring, so every
+                # later component also lands in this branch).
+                lams.extend([0.0] * (k - len(lams)))
+                break
+            # vtv == 0 on a NONZERO base means vraw cancelled: the
+            # dominant eigenvector of the residual has zero row-sum
+            # (orthogonal to the implicit all-ones start vector), e.g.
+            # [[1,-1],[-1,1]].  Zero-filling here would be silently
+            # wrong (the true spectrum is nonzero); fail loudly so the
+            # caller can restart with a different start vector.
+            raise ValueError(
+                "deflated_power_spectrum: power iterate has zero "
+                "row-sums on a nonzero base (dominant eigenvector "
+                "orthogonal to the all-ones start vector); restart "
+                "with a perturbed start vector"
+            )
         mv = _nanos9(mc * v[None, :]).sum(axis=1) / 1e9
         vmv = float(_nanos9(v * mv).sum()) / 1e9
         lam = vmv / vtv

@@ -3406,11 +3406,19 @@ def _pca_deflate_oracle(k: int = _PCA_K, sq: int = _PCA_SQ) -> str:
                             AS DOUBLE)
                 FROM vn{c} x JOIN mv{c} t ON t.i = x.i) AS vmv
     ), lam{c} AS MATERIALIZED (
-        SELECT vmv / vtv AS lam FROM sc{c}
+        -- zero-vtv guard mirroring operators/pca.deflated_power_spectrum:
+        -- a truly-zero deflated base stays zero through squaring, so
+        -- vtv = 0 there and every later component emits lam = 0.0 — the
+        -- exact zero-fill the Python estimator performs.  (The other
+        -- vtv = 0 cause, row-sum cancellation on a nonzero base, makes
+        -- the Python side raise, so no hash comparison happens.)
+        SELECT CASE WHEN vtv = 0 THEN 0.0 ELSE vmv / vtv END AS lam
+        FROM sc{c}
     ), m{c + 1} AS MATERIALIZED (
         SELECT m.i, m.j,
-               m.v - (SELECT lam FROM lam{c}) * a.v * b.v
-                     / (SELECT vtv FROM sc{c}) AS v
+               m.v - CASE WHEN (SELECT vtv FROM sc{c}) = 0 THEN 0.0
+                          ELSE (SELECT lam FROM lam{c}) * a.v * b.v
+                               / (SELECT vtv FROM sc{c}) END AS v
         FROM m{c} m
         JOIN vn{c} a ON a.i = m.i
         JOIN vn{c} b ON b.i = m.j

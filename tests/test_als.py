@@ -189,7 +189,11 @@ def test_half_step_broadcasts_factors_and_single_agg_exchange(spark, ratings):
     smj = _solve_half(r, item_f, "user", "item", 2, 0.1,
                       broadcast_factors=False)
     plan2 = smj._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" in plan2
+    # broadcast_factors=False must actually fall back to a sort-merge
+    # join: assert both directions, otherwise a regression to broadcast
+    # would slip through whenever any SMJ appears elsewhere in the plan.
+    assert "SortMergeJoin" in plan2
+    assert "BroadcastHashJoin" not in plan2
     got = {row["user"]: row["vec"] for row in half.collect()}
     got2 = {row["user"]: row["vec"] for row in smj.collect()}
     assert set(got) == set(got2)

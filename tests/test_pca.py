@@ -116,3 +116,16 @@ def test_deflated_power_spectrum_degenerate_bases():
     assert abs(lams[0] - 5.0) < 1e-6
     assert all(abs(x) < 1e-6 for x in lams[1:])
     assert abs(trace - 5.0) < 1e-12
+
+
+def test_deflated_power_spectrum_row_sum_cancellation_raises():
+    """vtv == 0 on a NONZERO base (dominant eigenvector orthogonal to
+    the implicit all-ones start vector) must raise, not silently emit
+    0.0 — [[1,-1],[-1,1]] has true spectrum [2, 0] but zero row sums."""
+    import numpy as np
+    import pytest
+    from federated_gcn_spark.operators.pca import deflated_power_spectrum
+
+    base = np.array([[1.0, -1.0], [-1.0, 1.0]])
+    with pytest.raises(ValueError, match="zero row-sums on a nonzero"):
+        deflated_power_spectrum(base, k=2)
