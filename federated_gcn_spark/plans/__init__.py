@@ -62,9 +62,29 @@ from federated_gcn_spark.plans import queries_wave40  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 5
-# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 6
+# (CORRECTNESS_r01.json ∪ … ∪ r06).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r06 (all 50 green, all first-ever names) ---
+    "adaboost_stumps", "ann_recall_report", "attribution_credit_split",
+    "audience_venn", "benford_first_digit", "bootstrap_revenue_ci",
+    "cohort_ltv_curve", "community_modularity", "conformal_price_interval",
+    "contingency_association", "corpus_drift_report",
+    "corpus_health_report", "cuped_adjusted_lift", "cusum_changepoint",
+    "degree_assortativity", "degree_powerlaw_fit", "ewma_smoothed_revenue",
+    "gains_lift_table", "gini_customer_spend", "hellinger_price_drift",
+    "hits_authorities", "hybrid_search_rrf", "interevent_burstiness",
+    "isotonic_calibration", "k_anonymity_report", "kruskal_wallis_priority",
+    "ks_two_sample_price", "mann_kendall_trend", "mann_whitney_halves",
+    "moving_median_revenue", "odds_ratio_urgent_building",
+    "part_entity_matches", "price_elasticity_by_brand", "psi_price_drift",
+    "revenue_autocorrelation", "rfm_segmentation",
+    "rolling_correlation_revenue_orders", "rolling_distinct_users_hll",
+    "runs_test_revenue", "scd2_point_in_time_join", "source_lang_entropy",
+    "spearman_qty_price", "sql_interface_top_spenders", "theil_sen_trend",
+    "time_to_convert_percentiles", "vocab_growth_heaps",
+    "wasserstein_price_drift", "weekday_seasonal_profile",
+    "wilcoxon_wow_revenue", "zipf_exponent_fit",
     # --- recorded in r05 (all 50 green; the 10 promoted stale names were
     # already listed below from their r01/r02 rows) ---
     "abc_revenue_classes", "bloom_prejoin_stats", "bpe_corpus_tokenization",
@@ -134,11 +154,12 @@ _DRIVER_RECORDED = {
 }
 
 # Queries re-promoted to the front of the line despite an existing official
-# row.  Round 5 used this for the ten stale no_oracle rows; all ten landed
-# green in CORRECTNESS_r05.json, so the list is empty again (round-5 verdict
-# item 1: every slot goes to never-recorded names until the official union
-# covers the registry).
-_PROMOTED: list = []
+# row.  Round 7: `pca_variance`'s only driver row (r03) predates its
+# cross-engine oracle twin and still reads `no_oracle`; it now
+# hash-matches at three SFs, so round-6 verdict task 2 orders one slot
+# spent re-recording it green.  The other 49 slots stay on never-recorded
+# names.
+_PROMOTED: list = ["pca_variance"]
 
 
 def _rotated(reg: dict) -> dict:
