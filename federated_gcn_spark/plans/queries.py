@@ -2913,7 +2913,12 @@ def federated_round_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas training → FedAvg → broadcast; Adam, dropout 0.1), then
     infer embeddings with the averaged weights. One row of invariants:
     layer count, finite weight norm, full embedding coverage. Seeded —
-    identical on any layout."""
+    identical on any layout. Rows-only floor (SCALE.md round 7): Adam's
+    v-state compounds thousands of sequential multiply-adds through
+    (1-b2)=0.001 discounting plus a per-step sqrt/divide, so the
+    round-9dp exact-decimal replay that converted pca_variance does not
+    transfer; determinism is pinned the strong way instead
+    (bit-identical rerun/wave tests + numpy kernel parity)."""
     from federated_gcn_spark.ml.federated import federated_fit, gen_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
@@ -4202,8 +4207,12 @@ def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch surface (operators/sketch.py): per-event-type
     exact vs DataSketches-HLL distinct users + the merged incremental
     estimate. Error bounds (≤5%) and sketch mergeability are pinned in
-    test_sketch.py; the estimates themselves are library-specific so
-    this stays a rows-only check."""
+    test_sketch.py; the estimates themselves are library-specific AND
+    partition-layout-dependent (measured round 7, SCALE.md: 1494 vs
+    1488 for the same sf0.1 data under different partitioning — HIP vs
+    composite estimator paths), so no SQL oracle can replay them and
+    this stays a rows-only check. ``hll_replay_cardinality`` is the
+    hash-replayable from-scratch twin of the same construction."""
     from federated_gcn_spark.operators.sketch import (
         cardinality_report,
         incremental_hll,
@@ -4412,7 +4421,12 @@ def hyperanf_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF (graph/anf.py): per-hop reachable-pair estimates of the
     order→supplier graph via per-vertex mergeable HLL sketches — the
     only way ball sizes exist at 100 TB (exact needs O(Σ ball) pair
-    state). Pinned within 2% of the exact count in test_anf.py."""
+    state). Pinned within 2% of the exact count in test_anf.py.
+    Rows-only floor (measured round 7, SCALE.md): the DataSketches
+    estimate is partition-layout-dependent out of sparse mode, so no
+    SQL twin exists at any cost; ``anf_register_supersteps`` is the
+    integer-exact hash-replayable twin of the same superstep machinery
+    and ``neighborhood_function`` (exact) anchors values."""
     from federated_gcn_spark.graph import Graph
     from federated_gcn_spark.graph.anf import neighborhood_function
 
