@@ -76,6 +76,26 @@ def test_coloring_is_proper_and_total(spark):
     assert got == dict(hist)
 
 
+def test_coloring_early_exit_skips_converged_layers(spark):
+    """Two disjoint edges: layer 0 colors one endpoint per edge, layer 1
+    colors the remaining two, layers 2-3 are skipped by the round-7
+    early exit — output must be identical to the fixed unroll (a proper
+    2-coloring, nothing uncolored, nothing double-colored)."""
+    from federated_gcn_spark.graph import Graph
+    from federated_gcn_spark.graph.coloring import luby_coloring
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    colored = luby_coloring(
+        Graph.from_edges(edges), n_colors=4, rounds_per_color=5, seed=42
+    ).collect()
+    color = {r["id"]: r["color"] for r in colored}
+    assert len(colored) == 4 and set(color) == {1, 2, 3, 4}
+    assert set(color.values()) == {0, 1}  # exactly two layers used
+    assert color[1] != color[2] and color[3] != color[4]
+
+
 def test_coloring_degenerate_budgets(spark):
     """n_colors=0 / rounds_per_color=0 return everything uncolored (-1)
     instead of raising (round-5 ADVICE regression guard)."""
