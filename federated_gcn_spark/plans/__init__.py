@@ -159,6 +159,11 @@ _DRIVER_RECORDED = {
 # hash-matches at three SFs, so round-6 verdict task 2 orders one slot
 # spent re-recording it green.  The other 49 slots stay on never-recorded
 # names.
+#
+# Round-8 bookkeeping (do this first): absorb CORRECTNESS_r07.json's 50
+# names into _DRIVER_RECORDED above, empty _PROMOTED, and verify with
+# tests/test_registry_rotation.py — after r07 the never-recorded pool is
+# ~85 names, so rounds 8-9 finish the registry at 50 slots/round.
 _PROMOTED: list = ["pca_variance"]
 
 
