@@ -41,6 +41,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Default ceiling on the emitted pair list (see
+#: :class:`PairListOverflowError`).  Chosen far above any declared-SF
+#: output (sf0.1 emits ~10^4 pairs) but small enough that a shuffle of
+#: ``max_pairs`` rows cannot OOM an executor.
+DEFAULT_MAX_PAIRS = 10_000_000
+
+
+class PairListOverflowError(RuntimeError):
+    """The exact pair list would exceed ``max_pairs``.
+
+    :func:`set_similarity_join` output is Θ(duplication²) BY CONTRACT: a
+    clone group of m identical sets alone emits C(m,2) pairs, so on a
+    duplication-heavy corpus the pair list squares long before anyone
+    reads it.  Rather than OOM the shuffle at scale, the join fails fast
+    when a cheap exact LOWER bound on the output already exceeds the
+    cap.  Consumers who need answers rather than the raw pair list
+    should use the bounded front doors — :func:`set_similarity_topk`
+    (per-record k best neighbors) or :func:`set_similarity_counts`
+    (per-record neighbor count), both Θ(N)-output by construction — or
+    contract clones first (:func:`contract_exact_clones`).  Pass
+    ``max_pairs=None`` to opt out explicitly.
+    """
+
 
 def contract_exact_clones(
     sets_df: DataFrame, id_col: str = "id", set_col: str = "elems"
@@ -84,20 +107,55 @@ def set_similarity_join(
     id_col: str = "id",
     set_col: str = "elems",
     threshold: float = 0.5,
+    max_pairs: int | None = DEFAULT_MAX_PAIRS,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(elems_a, elems_b) >= threshold.
 
     ``set_col`` must hold DISTINCT elements (callers pass
     ``array_distinct``/``list_distinct`` output). Returns
     ``(id_a, id_b, inter, n_a, n_b, jaccard)`` — exact, not approximate.
+
+    ``max_pairs`` guards the one quadratic contract in this module: the
+    OUTPUT itself is Θ(duplication²) (a clone group of m identical sets
+    emits C(m,2) pairs at any threshold).  When set (the default), a
+    pre-flight aggregate computes the clone-pair count — an EXACT lower
+    bound on the emitted pairs, since identical non-empty sets have
+    Jaccard 1 — and raises :class:`PairListOverflowError` if it exceeds
+    the cap, BEFORE the quadratic candidate shuffle runs.  The bound is
+    one linear groupBy on the sorted element arrays (the same shuffle
+    shape as :func:`contract_exact_clones`) and runs as an eager Spark
+    job at call time; it never changes the returned plan or its rows.
+    Pass ``max_pairs=None`` to opt out (e.g. when the input is already
+    clone-contracted — :func:`_rep_neighbors` does exactly this).
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
+    if max_pairs is not None and max_pairs < 1:
+        raise ValueError(f"max_pairs must be >= 1 or None, got {max_pairs}")
 
     base = sets_df.select(
         F.col(id_col).alias("sid"), F.col(set_col).alias("elems")
     ).where(F.size("elems") > 0)
+
+    if max_pairs is not None:
+        clone_pairs = (
+            base.groupBy(F.array_sort("elems").alias("k"))
+            .agg(F.count(F.lit(1)).alias("m"))
+            .where(F.col("m") > 1)
+            .agg(F.sum(F.expr("m * (m - 1) DIV 2")).alias("p"))
+            .first()["p"]
+        ) or 0
+        if clone_pairs > max_pairs:
+            raise PairListOverflowError(
+                f"set_similarity_join would emit >= {clone_pairs} pairs "
+                f"from identical-set clone groups alone (max_pairs="
+                f"{max_pairs}). The pair list is quadratic in duplication "
+                "by contract; use the bounded front doors "
+                "set_similarity_topk / set_similarity_counts, contract "
+                "clones first (contract_exact_clones), or pass "
+                "max_pairs=None to opt out explicitly."
+            )
 
     tok = base.select("sid", F.explode("elems").alias("elem"))
     dfc = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
@@ -232,8 +290,12 @@ def _rep_neighbors(
     neighbor group's size — :func:`set_similarity_join` over the
     CONTRACTED sets (linear in distinct sets, never Θ(duplication²)),
     then symmetrized."""
+    # max_pairs=None: reps are one-per-distinct-set by construction, so
+    # the clone-pair lower bound the guard measures is identically zero —
+    # running it would spend a shuffle to learn nothing.
     pairs = set_similarity_join(
-        reps.select(id_col, set_col), id_col, set_col, threshold
+        reps.select(id_col, set_col), id_col, set_col, threshold,
+        max_pairs=None,
     )
     nbrs = pairs.select(
         F.col("id_a").alias("g"), F.col("id_b").alias("h"), "jaccard"

@@ -62,9 +62,29 @@ from federated_gcn_spark.plans import queries_wave40  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 6
-# (CORRECTNESS_r01.json ∪ … ∪ r06).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 7
+# (CORRECTNESS_r01.json ∪ … ∪ r07).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r07 (all 50 green; `pca_variance` was the ordered
+    # re-promotion and is already listed in the r01-r03 block below) ---
+    "ann_ndcg_report", "anova_oneway", "bollinger_bands",
+    "brier_calibration_report", "clustering_silhouette", "cochran_q_test",
+    "cohen_kappa", "community_conductance", "copurchase_pairs",
+    "davies_bouldin_index", "diff_in_diff_revenue",
+    "double_smoothing_forecast", "embedding_int8_quant_report",
+    "embedding_truncation_fidelity", "event_path_trigrams", "friedman_test",
+    "gopher_quality_rules", "graph_degree_gini", "grubbs_outlier_test",
+    "harmonic_centrality", "herfindahl_index", "hll_error_report",
+    "hurst_exponent", "jarque_bera_price", "kendall_tau_daily",
+    "kmv_error_report", "ljung_box_test", "max_drawdown", "mcc_score",
+    "mcnemar_test", "neighbor_degree_curve", "pettitt_changepoint",
+    "rich_club_coefficient", "rsi_indicator", "seasonal_decompose",
+    "sequence_support_pairs", "ses_gridsearch",
+    "session_entropy_distribution", "session_window_stats",
+    "sprt_conversion_monitor", "srm_assignment_check",
+    "stratified_adjusted_lift", "systematic_weighted_sample",
+    "temperature_mixture_weights", "theil_index", "trimmed_mean_prices",
+    "unseen_vocab_mass", "value_at_risk", "woe_iv_binning",
     # --- recorded in r06 (all 50 green, all first-ever names) ---
     "adaboost_stumps", "ann_recall_report", "attribution_credit_split",
     "audience_venn", "benford_first_digit", "bootstrap_revenue_ci",
@@ -154,24 +174,33 @@ _DRIVER_RECORDED = {
 }
 
 # Queries re-promoted to the front of the line despite an existing official
-# row.  Round 7: `pca_variance`'s only driver row (r03) predates its
-# cross-engine oracle twin and still reads `no_oracle`; it now
-# hash-matches at three SFs, so round-6 verdict task 2 orders one slot
-# spent re-recording it green.  The other 49 slots stay on never-recorded
-# names.
+# row.  Round 8: empty — all 50 slots go to never-recorded names (round-7
+# verdict task 1), pushing the official union from 288/373 to >=338.
 #
-# Round-8 bookkeeping (do this first): absorb CORRECTNESS_r07.json's 50
-# names into _DRIVER_RECORDED above, empty _PROMOTED, and verify with
-# tests/test_registry_rotation.py — after r07 the never-recorded pool is
-# ~85 names, so rounds 8-9 finish the registry at 50 slots/round.
-_PROMOTED: list = ["pca_variance"]
+# Round-9 bookkeeping (do this first): absorb CORRECTNESS_r08.json's 50
+# names into _DRIVER_RECORDED above and verify with
+# tests/test_registry_rotation.py — after r08 the never-recorded pool is
+# ~35 names, so round 9's rotation finishes the registry.
+_PROMOTED: list = []
+
+# Never-recorded names ordered to the very front of the fresh block
+# (round-7 verdict task 1: the bounded set-similarity front doors are the
+# engine's scale-safe answer to the one `weak` row and must not risk
+# falling outside the 50-slot window).  These spend no slot on an
+# already-recorded name — they are themselves fresh.
+_FRESH_FIRST: list = ["set_similarity_topk", "set_similarity_counts"]
 
 
 def _rotated(reg: dict) -> dict:
     promoted = [n for n in _PROMOTED if n in reg]
-    fresh = [n for n in reg if n not in _DRIVER_RECORDED and n not in promoted]
-    recorded = [n for n in reg if n in _DRIVER_RECORDED and n not in promoted]
-    return {n: reg[n] for n in promoted + fresh + recorded}
+    first = [
+        n for n in _FRESH_FIRST
+        if n in reg and n not in _DRIVER_RECORDED and n not in promoted
+    ]
+    head = set(promoted) | set(first)
+    fresh = [n for n in reg if n not in _DRIVER_RECORDED and n not in head]
+    recorded = [n for n in reg if n in _DRIVER_RECORDED and n not in head]
+    return {n: reg[n] for n in promoted + first + fresh + recorded}
 
 
 QUERIES = _rotated(_QUERIES)

@@ -3412,12 +3412,22 @@ def _pca_deflate_oracle(k: int = _PCA_K, sq: int = _PCA_SQ) -> str:
                 FROM vn{c} x JOIN mv{c} t ON t.i = x.i) AS vmv
     ), lam{c} AS MATERIALIZED (
         -- zero-vtv guard mirroring operators/pca.deflated_power_spectrum:
-        -- a truly-zero deflated base stays zero through squaring, so
-        -- vtv = 0 there and every later component emits lam = 0.0 — the
-        -- exact zero-fill the Python estimator performs.  (The other
-        -- vtv = 0 cause, row-sum cancellation on a nonzero base, makes
-        -- the Python side raise, so no hash comparison happens.)
-        SELECT CASE WHEN vtv = 0 THEN 0.0 ELSE vmv / vtv END AS lam
+        -- a truly-zero deflated base (MAX(ABS(m)) = 0) stays zero through
+        -- squaring, so vtv = 0 there and every later component emits
+        -- lam = 0.0 — the exact zero-fill the Python estimator performs.
+        -- The other vtv = 0 cause, row-sum cancellation on a NONZERO
+        -- base, makes the Python side raise; error() mirrors that raise
+        -- so the SQL cannot silently emit a wrong 0.0 spectrum if ever
+        -- executed standalone (round-7 advice).
+        SELECT CASE
+                 WHEN vtv = 0
+                      AND (SELECT MAX(ABS(v)) FROM m{c}) = 0 THEN 0.0
+                 WHEN vtv = 0 THEN error(
+                     'pca_variance oracle: vtv = 0 on a nonzero deflated '
+                     'base (row-sum cancellation) — the Python estimator '
+                     'raises here too')
+                 ELSE vmv / vtv
+               END AS lam
         FROM sc{c}
     ), m{c + 1} AS MATERIALIZED (
         SELECT m.i, m.j,

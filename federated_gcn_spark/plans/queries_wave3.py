@@ -99,7 +99,13 @@ def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than the pair list have bounded exact twins: per-record
     top-k (set_similarity_topk query / operators/ppjoin.py) and
     per-record neighbor counts (set_similarity_counts query) — both
-    Θ(N·k) / Θ(N) regardless of duplication."""
+    Θ(N·k) / Θ(N) regardless of duplication.
+
+    The escape hatch is now also GUARDED: the default ``max_pairs``
+    ceiling makes the join fail fast (PairListOverflowError, naming the
+    bounded twins) when the clone-pair lower bound alone would exceed
+    10M pairs — at 100 TB a skewed near-dup corpus aborts in one linear
+    pre-flight aggregate instead of OOMing the candidate shuffle."""
     from federated_gcn_spark.operators.ppjoin import set_similarity_join
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)

@@ -1580,8 +1580,11 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = contract_exact_clones(sets, "doc_id", "elems").localCheckpoint(
         eager=False
     )  # consumed by the join, the anti-join, and the size expansion
+    # max_pairs=None: reps are already clone-contracted above, so the
+    # guard's clone-pair lower bound is identically zero here.
     pairs = set_similarity_join(
-        reps.select("doc_id", "elems"), "doc_id", "elems", threshold=0.5
+        reps.select("doc_id", "elems"), "doc_id", "elems", threshold=0.5,
+        max_pairs=None,
     )
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")

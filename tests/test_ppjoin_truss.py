@@ -129,6 +129,52 @@ def test_ppjoin_threshold_validation(spark):
         set_similarity_join(df, "id", "elems", threshold=0.0)
 
 
+def test_ppjoin_max_pairs_guard_fails_fast_on_high_duplication(spark):
+    """A duplication-heavy corpus must abort with the bounded-twin
+    pointer BEFORE the quadratic shuffle: 200 clones alone imply
+    C(200,2) = 19900 pairs > max_pairs=100."""
+    from federated_gcn_spark.operators.ppjoin import PairListOverflowError
+
+    rows = [(i, ["a", "b", "c"]) for i in range(200)]
+    rows += [(1000, ["x", "y"]), (1001, ["x", "z"])]
+    df = spark.createDataFrame(rows, "id long, elems array<string>")
+    with pytest.raises(PairListOverflowError) as exc:
+        set_similarity_join(df, "id", "elems", threshold=0.5, max_pairs=100)
+    msg = str(exc.value)
+    assert "set_similarity_topk" in msg and "set_similarity_counts" in msg
+    assert "19900" in msg
+    # explicit opt-out emits the full contract output
+    n = set_similarity_join(
+        df, "id", "elems", threshold=0.9, max_pairs=None
+    ).count()
+    assert n == 19900
+    # validation: the cap itself must be positive
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "id", "elems", threshold=0.5, max_pairs=0)
+
+
+def test_ppjoin_default_guard_leaves_output_unchanged(spark):
+    """With the default cap the guard passes silently and the rows are
+    bit-identical to the explicit opt-out plan."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    sets = {i: set(rng.sample(vocab, rng.randint(3, 10))) for i in range(40)}
+    sets[50] = set(sets[2])  # one clone group of 2: bound 1 <= default cap
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "id long, elems array<string>",
+    )
+
+    def snap(**kw):
+        return sorted(
+            tuple(r) for r in set_similarity_join(
+                df, "id", "elems", threshold=0.5, **kw
+            ).collect()
+        )
+
+    assert snap() == snap(max_pairs=None)
+
+
 # ---------------------------------------------------------------------------
 # k-truss
 # ---------------------------------------------------------------------------

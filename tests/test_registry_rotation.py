@@ -8,8 +8,13 @@ without an ``oracle_sql`` entry burns a slot on a weaker rows-only row.
 Pure-Python checks — no Spark session.
 """
 
-from federated_gcn_spark.plans import ORACLE, QUERIES
-from federated_gcn_spark.plans.__init__ import _DRIVER_RECORDED, _PROMOTED
+from federated_gcn_spark.plans import (
+    ORACLE,
+    QUERIES,
+    _DRIVER_RECORDED,
+    _FRESH_FIRST,
+    _PROMOTED,
+)
 from federated_gcn_spark.plans.queries import QUERIES as _RAW
 
 
@@ -41,6 +46,17 @@ def test_first_50_slots_are_promoted_or_never_recorded_and_oracle_paired():
         assert n in ORACLE, (
             f"slot weakened: {n!r} would record rows-only (no oracle)"
         )
+
+
+def test_fresh_first_names_lead_the_window():
+    # round-7 verdict task 1: the bounded set-similarity front doors must
+    # land at the head of the fresh block, not risk slipping past slot 50
+    names = list(QUERIES)
+    head = names[: len(_PROMOTED) + len(_FRESH_FIRST)]
+    for n in _FRESH_FIRST:
+        if n in _RAW and n not in _DRIVER_RECORDED:
+            assert n in head, f"{n!r} not at the head of the fresh block"
+        assert n in _RAW, f"_FRESH_FIRST {n!r} is not a declared query"
 
 
 def test_no_fresh_query_sorts_after_a_recorded_one():
