@@ -343,6 +343,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Record host conditions BEFORE the JVM starts: on a shared host,
+    # hypervisor CPU steal (measured 18.5% under load in round 8) moves
+    # totals far more than any plan change — the artifact must say what
+    # machine it ran on or round-over-round diffs are noise-reading.
+    try:
+        from tools.machine_health import probe
+
+        machine = probe(seconds=8.0)
+    except Exception:  # probe is diagnostic only — never fail the bench
+        machine = {}
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -366,12 +376,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    # second probe AFTER the sweep: steal varies minute-to-minute on this
+    # host, so bracketing the run bounds the conditions it actually saw
+    try:
+        from tools.machine_health import probe as _probe_end
+
+        machine_end = _probe_end(seconds=8.0)
+    except Exception:
+        machine_end = {}
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "machine": machine,
+        "machine_end": machine_end,
     }
     # Sidecar artifact: the driver's BENCH_r{N}.json wrapper truncates
     # stdout to a ~2000-char tail, which silently drops most per-query

@@ -1,9 +1,21 @@
 """Scaling-curve bench: the same queries at sf0.1 and sf1 (gen_scale
-tiling), one session, best-of-2 each — turns the catalog's 100 TB design
-claims into measured sf0.1→sf1 ratios. A scale-safe plan should grow
-~linearly (ratio ≈ data factor, here 10) or sub-linearly when the output
-side is fixed (top-k, aggregates); super-linear growth flags a plan that
-would not survive 100×.
+tiling), best-of-2 each — turns the catalog's 100 TB design claims into
+measured sf0.1→sf1 ratios. A scale-safe plan should grow ~linearly
+(ratio ≈ data factor, here 10) or sub-linearly when the output side is
+fixed (top-k, aggregates); super-linear growth flags a plan that would
+not survive 100×.
+
+Noise-resistant methodology (round-8 rework; see SCALE.md):
+- FRESH-SESSION SEGMENTS: the roster runs in segments of ~40 queries,
+  each in its own SparkSession.  The old single-session sweep ran the
+  whole sf0.1 leg, then the whole sf1 leg; by the sf1 tail the session
+  had accumulated ~27k stages and late-roster queries read 2-6x slow,
+  which manufactured fake >5x ratios every round and forced a manual
+  re-probe triage (round-7 verdict task 4).
+- ADJACENT LEGS: within a segment each query measures sf0.1 then sf1
+  back-to-back, so both legs of a ratio see the same session age and
+  ambient state — aging cancels out of the quotient instead of landing
+  entirely on the numerator.
 
     python tools/bench_scale.py [out_json]
 """
@@ -234,27 +246,46 @@ SF_DIRS = {
 }
 
 
+SEGMENT = 40  # queries per fresh session
+
+
+def _fresh_session(tag: str):
+    spark = get_spark(tag)
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen/datasource warm-up at BOTH scale factors so neither
+    # leg of the first query is charged for one-time init
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for sf_dir in SF_DIRS.values():
+        spark.read.parquet(
+            os.path.join(sf_dir, "region.parquet")
+        ).write.format("noop").mode("overwrite").save()
+    return spark
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1.json"
-    spark = get_spark("bench-scale")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(
-        os.path.join(SF_DIRS["0.1"], "region.parquet")
-    ).write.format("noop").mode("overwrite").save()
+    try:
+        from tools.machine_health import probe
 
+        machine = probe(seconds=8.0)
+    except Exception:  # diagnostic only
+        machine = {}
     results: dict[str, dict[str, float]] = {sf: {} for sf in SF_DIRS}
-    for sf, sf_dir in SF_DIRS.items():
-        for name in ROSTER:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            results[sf][name] = round(best, 3)
-            print(f"sf{sf} {name}: {results[sf][name]:.3f}s", flush=True)
+    for seg_start in range(0, len(ROSTER), SEGMENT):
+        segment = ROSTER[seg_start:seg_start + SEGMENT]
+        spark = _fresh_session(f"bench-scale-seg{seg_start // SEGMENT}")
+        for name in segment:
+            for sf, sf_dir in SF_DIRS.items():  # adjacent legs per query
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                results[sf][name] = round(best, 3)
+                print(f"sf{sf} {name}: {results[sf][name]:.3f}s", flush=True)
+        spark.stop()
 
     ratios = {
         n: round(results["1"][n] / results["0.1"][n], 2) for n in ROSTER
@@ -262,16 +293,20 @@ def main() -> int:
     payload = {
         "metric": "scale_curve_sf0.1_to_sf1",
         "data_factor": 10,
+        "method": (
+            f"fresh-session segments of {SEGMENT} queries, sf0.1/sf1 legs "
+            "adjacent per query, best-of-2 per leg"
+        ),
         "times_sf0.1": results["0.1"],
         "times_sf1": results["1"],
         "ratio": ratios,
         "total_sf0.1": round(sum(results["0.1"].values()), 3),
         "total_sf1": round(sum(results["1"].values()), 3),
+        "machine": machine,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({"total_sf1": payload["total_sf1"], "ratios": ratios}))
-    spark.stop()
     return 0
 
 
