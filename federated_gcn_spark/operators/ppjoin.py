@@ -122,9 +122,11 @@ def set_similarity_join(
     bound on the emitted pairs, since identical non-empty sets have
     Jaccard 1 — and raises :class:`PairListOverflowError` if it exceeds
     the cap, BEFORE the quadratic candidate shuffle runs.  The bound is
-    one linear groupBy on the sorted element arrays (the same shuffle
-    shape as :func:`contract_exact_clones`) and runs as an eager Spark
-    job at call time; it never changes the returned plan or its rows.
+    one linear groupBy on the xxhash64 of each sorted element array
+    (8-byte shuffle keys, not the arrays; a collision can only MERGE
+    groups and raise the bound, so the fail-fast stays sound) and runs
+    as an eager Spark job at call time; it never changes the returned
+    plan or its rows.
     Pass ``max_pairs=None`` to opt out (e.g. when the input is already
     clone-contracted — :func:`_rep_neighbors` does exactly this).
     """
@@ -139,8 +141,15 @@ def set_similarity_join(
     ).where(F.size("elems") > 0)
 
     if max_pairs is not None:
+        # Group on the 64-bit xxhash of the sorted set, not the set
+        # itself: the guard only needs group COUNTS, and hashing shrinks
+        # the shuffle from full element arrays (KBs/row at 100 TB) to 8
+        # bytes/row.  A hash collision can only MERGE groups, i.e. only
+        # raise the bound — the fail-fast stays sound, with a ~2^-40
+        # spurious-trip probability at 10^6 rows (same family of
+        # fingerprint the MinHash stack already trusts).
         clone_pairs = (
-            base.groupBy(F.array_sort("elems").alias("k"))
+            base.groupBy(F.xxhash64(F.array_sort("elems")).alias("k"))
             .agg(F.count(F.lit(1)).alias("m"))
             .where(F.col("m") > 1)
             .agg(F.sum(F.expr("m * (m - 1) DIV 2")).alias("p"))
