@@ -65,6 +65,19 @@ class PairListOverflowError(RuntimeError):
     """
 
 
+def _guard_tripped(clone_pairs: int, max_pairs: int) -> bool:
+    """True when the clone-pair lower bound exceeds the cap.
+
+    A clone group of m > ~4.3e9 (or a total beyond int64) overflows the
+    bigint SUM.  Under Spark's ANSI default that raises loudly, but with
+    ANSI disabled the sum wraps NEGATIVE and a plain ``>`` check would
+    silently pass — disabling the guard exactly on the pathological
+    input it exists for.  A wrapped (negative) bound therefore trips the
+    guard too (round-8 advice).
+    """
+    return clone_pairs > max_pairs or clone_pairs < 0
+
+
 def contract_exact_clones(
     sets_df: DataFrame, id_col: str = "id", set_col: str = "elems"
 ) -> DataFrame:
@@ -155,9 +168,11 @@ def set_similarity_join(
             .agg(F.sum(F.expr("m * (m - 1) DIV 2")).alias("p"))
             .first()["p"]
         ) or 0
-        if clone_pairs > max_pairs:
+        if _guard_tripped(clone_pairs, max_pairs):
+            bound = "an int64-overflowing number of" if clone_pairs < 0 \
+                else f">= {clone_pairs}"
             raise PairListOverflowError(
-                f"set_similarity_join would emit >= {clone_pairs} pairs "
+                f"set_similarity_join would emit {bound} pairs "
                 f"from identical-set clone groups alone (max_pairs="
                 f"{max_pairs}). The pair list is quadratic in duplication "
                 "by contract; use the bounded front doors "

@@ -62,9 +62,30 @@ from federated_gcn_spark.plans import queries_wave40  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 7
-# (CORRECTNESS_r01.json ∪ … ∪ r07).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 8
+# (CORRECTNESS_r01.json ∪ … ∪ r08).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r08 (49 green; `chow_break_test` was RED — hash
+    # mismatch from a sub-ulp rounding contract + POWER() drift, fixed
+    # in round 9 and re-promoted via _PROMOTED below) ---
+    "anderson_darling_gap_test", "bartlett_test", "benjamini_hochberg_fdr",
+    "breusch_pagan", "brown_forsythe_levene", "butterfly_count",
+    "capture_recapture_estimate", "cart_depth2_tree", "chow_break_test",
+    "clustering_null_model", "cooks_distance_report",
+    "cross_correlation_lags", "dispersion_index", "durbin_watson",
+    "eigenvector_centrality", "epoch_folding_periodogram",
+    "exponential_gap_fit", "feature_hash_collisions", "fleiss_kappa",
+    "g_test_priority_segment", "gmm_em_1d", "granger_causality_1lag",
+    "greedy_coloring_stats", "growth_streaks", "gumbel_extreme_fit",
+    "hill_tail_index", "hoover_index", "jl_projection_fidelity",
+    "knn_loo_accuracy", "laspeyres_paasche_index", "log_return_volatility",
+    "mojibake_stats", "nelson_aalen_hazard", "ngram_novelty_scan",
+    "pacf_lags", "page_hinkley_drift", "poisson_rate_test",
+    "set_similarity_counts", "set_similarity_topk",
+    "shard_assignment_balance", "simpson_diversity", "snapshot_diff_stats",
+    "somers_d_priority_late", "table_fingerprint", "tukey_fences_report",
+    "tukey_hsd_pairs", "turning_points_test", "xyz_demand_classes",
+    "youden_threshold", "zone_map_skipping_report",
     # --- recorded in r07 (all 50 green; `pca_variance` was the ordered
     # re-promotion and is already listed in the r01-r03 block below) ---
     "ann_ndcg_report", "anova_oneway", "bollinger_bands",
@@ -174,21 +195,21 @@ _DRIVER_RECORDED = {
 }
 
 # Queries re-promoted to the front of the line despite an existing official
-# row.  Round 8: empty — all 50 slots go to never-recorded names (round-7
-# verdict task 1), pushing the official union from 288/373 to >=338.
-#
-# Round-9 bookkeeping (do this first): absorb CORRECTNESS_r08.json's 50
-# names into _DRIVER_RECORDED above and verify with
-# tests/test_registry_rotation.py — after r08 the never-recorded pool is
-# ~35 names, so round 9's rotation finishes the registry.
-_PROMOTED: list = []
+# row.  Round 9: `chow_break_test`'s r08 row is RED (hash mismatch — the
+# contract rounded a ~1.16e15 double to 2 dp, below one ulp at that
+# magnitude, and the oracle used engine-libm POWER()); the round-9 fix
+# (plain-multiplication squarings + 10^9-eur^2 rescale) needs a fresh
+# official green row, so it leads the window.  With the 35 never-recorded
+# names behind it, round 9's 36 slots complete the registry: the official
+# union becomes 373/373 and from round 10 this rotation is a no-op.
+_PROMOTED: list = ["chow_break_test"]
 
-# Never-recorded names ordered to the very front of the fresh block
-# (round-7 verdict task 1: the bounded set-similarity front doors are the
-# engine's scale-safe answer to the one `weak` row and must not risk
-# falling outside the 50-slot window).  These spend no slot on an
-# already-recorded name — they are themselves fresh.
-_FRESH_FIRST: list = ["set_similarity_topk", "set_similarity_counts"]
+# Never-recorded names ordered to the very front of the fresh block.
+# Round 9: empty — both round-7 front doors (`set_similarity_topk`,
+# `set_similarity_counts`) got their green rows in r08 slots 1-2 and are
+# now in _DRIVER_RECORDED; no fresh name needs priority over plain
+# registration order because all 35 remaining fit in the window.
+_FRESH_FIRST: list = []
 
 
 def _rotated(reg: dict) -> dict:

@@ -396,21 +396,31 @@ def granger_causality_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Chow structural-break test at the sample midpoint
 # ---------------------------------------------------------------------------
 
-_CHOW_RSS_SQL = """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               (CAST(COUNT(*) AS DOUBLE)
-                  * CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
-                - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
-                  * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
-                - POWER(CAST(COUNT(*) AS DOUBLE)
-                          * CAST(SUM(CAST(t AS DECIMAL(38,0)) * y) AS DOUBLE)
-                        - CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)
-                          * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE), 2)
-                  / (CAST(COUNT(*) AS DOUBLE)
-                       * CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DOUBLE)
-                     - CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)
-                       * CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)))
-               / CAST(COUNT(*) AS DOUBLE) AS rss
+# RSS of the OLS trend fit over `src`, in n-cleared central-moment form.
+# NO POWER(): squarings are plain multiplications (exactly-rounded IEEE,
+# identical across engines), because engine-libm POWER() carries the 1-ulp
+# cross-engine drift class that turned chow_break_test red in round 8
+# (same fix as round 5's adstock/ses/croston sweep).
+def _chow_rss_sql(src: str) -> str:
+    return f"""
+        SELECT n,
+               (cyy - cty * cty / ctt) / CAST(n AS DOUBLE) AS rss
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
+                   - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                     * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS cyy,
+                   CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(t AS DECIMAL(38,0)) * y) AS DOUBLE)
+                   - CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)
+                     * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS cty,
+                   CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DOUBLE)
+                   - CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)
+                     * CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE) AS ctt
+            FROM {src}
+        )
 """
 
 
@@ -421,12 +431,14 @@ _CHOW_RSS_SQL = """
     mid AS (
         SELECT (MIN(t) + MAX(t)) // 2 AS midt FROM daily
     ),
-    pooled AS ({_CHOW_RSS_SQL} FROM daily),
-    h1 AS ({_CHOW_RSS_SQL} FROM daily CROSS JOIN mid WHERE t <= midt),
-    h2 AS ({_CHOW_RSS_SQL} FROM daily CROSS JOIN mid WHERE t > midt)
+    pooled AS ({_chow_rss_sql("daily")}),
+    h1 AS ({_chow_rss_sql("(SELECT daily.* FROM daily"
+                          " CROSS JOIN mid WHERE t <= midt)")}),
+    h2 AS ({_chow_rss_sql("(SELECT daily.* FROM daily"
+                          " CROSS JOIN mid WHERE t > midt)")})
     SELECT p.n AS n_days, h1.n AS n_first, h2.n AS n_second,
-           ROUND(p.rss / 10000, 2) AS rss_pooled_eur2,
-           ROUND((h1.rss + h2.rss) / 10000, 2) AS rss_split_eur2,
+           ROUND(p.rss / 1e13, 2) AS rss_pooled_geur2,
+           ROUND((h1.rss + h2.rss) / 1e13, 2) AS rss_split_geur2,
            ROUND(((p.rss - h1.rss - h2.rss) / 2)
                  / ((h1.rss + h2.rss) / (p.n - 4)), 4) AS f_stat
     FROM pooled p CROSS JOIN h1 CROSS JOIN h2
@@ -439,9 +451,16 @@ def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     change between the halves?
 
     100 TB shape: three 6-number moment reduces over the daily
-    aggregate (the midpoint is a broadcast scalar).  Determinism: each
-    RSS is a fixed expression of exact DECIMAL(38) moments; the
-    midpoint is integer arithmetic."""
+    aggregate (the midpoint is a broadcast scalar).  Determinism: the
+    moments are exact DECIMAL(38) integer sums and every squaring is a
+    plain multiplication (exactly-rounded IEEE — no engine-libm
+    ``POWER()``, the round-8 red-row cause); the double intermediates
+    may still drift by a few ulp across engines (decimal→double cast
+    paths differ), so the OUTPUT contract carries the slack: the RSS
+    columns are reported in 10^9-eur^2 units, putting the 2-dp rounding
+    grid ~10^6 ulp above any intermediate drift (the round-8 contract
+    rounded a ~1.16e15 value to 2 dp — digits below one double ulp,
+    unstable by construction).  Midpoint is integer arithmetic."""
     daily = _daily(spark, sf_dir).localCheckpoint(eager=True)
     mid = daily.agg(
         F.floor((F.min("t") + F.max("t")) / 2).cast("long").alias("midt")
@@ -460,7 +479,7 @@ def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return mm.select(
             F.col("n").cast("long").alias("n"),
-            ((cyy - F.pow(cty, 2) / ctt) / F.col("n").cast("double")).alias(
+            ((cyy - cty * cty / ctt) / F.col("n").cast("double")).alias(
                 "rss"
             ),
         )
@@ -483,9 +502,9 @@ def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_days"),
         F.col("n1").alias("n_first"),
         F.col("n2").alias("n_second"),
-        F.round(F.col("rssp") / 10000, 2).alias("rss_pooled_eur2"),
-        F.round((F.col("rss1") + F.col("rss2")) / 10000, 2).alias(
-            "rss_split_eur2"
+        F.round(F.col("rssp") / 1e13, 2).alias("rss_pooled_geur2"),
+        F.round((F.col("rss1") + F.col("rss2")) / 1e13, 2).alias(
+            "rss_split_geur2"
         ),
         F.round(fstat, 4).alias("f_stat"),
     )

@@ -153,6 +153,20 @@ def test_ppjoin_max_pairs_guard_fails_fast_on_high_duplication(spark):
         set_similarity_join(df, "id", "elems", threshold=0.5, max_pairs=0)
 
 
+def test_ppjoin_guard_trips_on_int64_wrapped_bound():
+    """If ANSI is off and the bigint clone-pair SUM wraps negative, the
+    guard must still trip — a wrapped bound means the true bound is
+    astronomically over any cap (round-8 advice)."""
+    from federated_gcn_spark.operators.ppjoin import _guard_tripped
+
+    assert _guard_tripped(101, 100)
+    assert not _guard_tripped(100, 100)
+    assert not _guard_tripped(0, 100)
+    # int64 wrap: true total ~9.3e18 pairs showed up as a negative sum
+    assert _guard_tripped(-9223372036854775808, 10_000_000)
+    assert _guard_tripped(-1, 10_000_000)
+
+
 def test_ppjoin_default_guard_leaves_output_unchanged(spark):
     """With the default cap the guard passes silently and the rows are
     bit-identical to the explicit opt-out plan."""

@@ -35,27 +35,54 @@ def test_rotation_preserves_the_full_registry():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def test_first_50_slots_are_promoted_or_never_recorded_and_oracle_paired():
+def _expected_head():
+    """Recompute the rotation head with the SAME filters ``_rotated``
+    applies (round-8 advice: a naive ``len(_PROMOTED)+len(_FRESH_FIRST)``
+    slice overcounts once promoted/fresh-first names drop out of the
+    registry or get recorded, silently weakening the assertions)."""
+    promoted = [n for n in _PROMOTED if n in _RAW]
+    first = [
+        n for n in _FRESH_FIRST
+        if n in _RAW and n not in _DRIVER_RECORDED and n not in promoted
+    ]
+    return promoted, first
+
+
+def test_first_50_slots_spend_every_fresh_name_and_are_oracle_paired():
+    # Every promoted / never-recorded name must land inside the driver's
+    # 50-slot window while any remain; recorded fillers may pad the tail
+    # only once the fresh pool is smaller than the window (round 9: 36
+    # fresh+promoted, 14 fillers).
     names = list(QUERIES)
-    first = names[: min(50, len(names))]
-    for n in first:
-        assert n in _PROMOTED or n not in _DRIVER_RECORDED, (
-            f"slot wasted: {n!r} already has an official row and is not "
-            "promoted"
+    promoted, first = _expected_head()
+    fresh = [
+        n for n in names
+        if n in promoted or n in first or n not in _DRIVER_RECORDED
+    ]
+    window = names[: min(50, len(names))]
+    for n in fresh[:50]:
+        assert n in window, (
+            f"slot wasted: never-recorded {n!r} fell outside the 50-slot "
+            "window while a recorded filler occupied a slot"
         )
+    for n in window:
+        if n not in fresh:
+            assert len(fresh) < 50, (
+                f"slot wasted: {n!r} already has an official row and is "
+                "not promoted, yet fresh names remain outside the window"
+            )
         assert n in ORACLE, (
             f"slot weakened: {n!r} would record rows-only (no oracle)"
         )
 
 
 def test_fresh_first_names_lead_the_window():
-    # round-7 verdict task 1: the bounded set-similarity front doors must
-    # land at the head of the fresh block, not risk slipping past slot 50
+    # head length computed with _rotated's own filters (round-8 advice)
     names = list(QUERIES)
-    head = names[: len(_PROMOTED) + len(_FRESH_FIRST)]
+    promoted, first = _expected_head()
+    head = names[: len(promoted) + len(first)]
+    assert head == promoted + first
     for n in _FRESH_FIRST:
-        if n in _RAW and n not in _DRIVER_RECORDED:
-            assert n in head, f"{n!r} not at the head of the fresh block"
         assert n in _RAW, f"_FRESH_FIRST {n!r} is not a declared query"
 
 

@@ -116,8 +116,26 @@ def test_chow_matches_python(spark):
     r = QUERIES["chow_break_test"](spark, SF_DIR).collect()[0]
     assert r["n_days"] == n
     assert r["n_first"] == len(t1) and r["n_second"] == len(t2)
-    assert r["rss_pooled_eur2"] == pytest.approx(rssp / 10000, rel=1e-6)
-    assert r["rss_split_eur2"] == pytest.approx((rss1 + rss2) / 10000, rel=1e-6)
+    # displayed values are ROUND(x, 2): slack is the rounding grid
+    assert r["rss_pooled_geur2"] == pytest.approx(rssp / 1e13, abs=0.006)
+    assert r["rss_split_geur2"] == pytest.approx((rss1 + rss2) / 1e13, abs=0.006)
     assert r["f_stat"] == pytest.approx(f, abs=1e-2)
     # split fit can never be worse than pooled
-    assert r["rss_split_eur2"] <= r["rss_pooled_eur2"]
+    assert r["rss_split_geur2"] <= r["rss_pooled_geur2"]
+
+
+def test_chow_exact_displayed_values(spark):
+    """Pin the EXACT displayed values (round-8 verdict task 7).
+
+    The driver's official gate hashes full-precision output strings, so
+    an ``approx(rel=1e-6)`` test is the wrong instrument for a
+    hash-gated 1-row contract — round 8's red row passed such a test
+    while failing the driver.  These literals are the cross-engine
+    agreed values (Spark == DuckDB under repr-strict normalization,
+    verified at sf0.001/0.01/0.1); any 1-ulp output drift fails here.
+    """
+    r = QUERIES["chow_break_test"](spark, SF_DIR).collect()[0]
+    assert (
+        r["n_days"], r["n_first"], r["n_second"],
+        r["rss_pooled_geur2"], r["rss_split_geur2"], r["f_stat"],
+    ) == (1094, 556, 538, 57322.56, 56666.03, 6.3143)

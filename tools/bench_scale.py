@@ -287,9 +287,9 @@ def main() -> int:
                 print(f"sf{sf} {name}: {results[sf][name]:.3f}s", flush=True)
         spark.stop()
 
-    ratios = {
-        n: round(results["1"][n] / results["0.1"][n], 2) for n in ROSTER
-    }
+    # Persist the raw timings BEFORE any derived arithmetic: a bad ratio
+    # (e.g. a sub-millisecond sf0.1 leg rounding to 0.0) must not lose a
+    # multi-hour sweep (round-8 advice).
     payload = {
         "metric": "scale_curve_sf0.1_to_sf1",
         "data_factor": 10,
@@ -299,11 +299,22 @@ def main() -> int:
         ),
         "times_sf0.1": results["0.1"],
         "times_sf1": results["1"],
-        "ratio": ratios,
         "total_sf0.1": round(sum(results["0.1"].values()), 3),
         "total_sf1": round(sum(results["1"].values()), 3),
         "machine": machine,
     }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+    # round(x, 3) can floor a sub-ms leg to 0.0; clamp the denominator to
+    # one timer tick instead of dividing by zero (the ratio is then an
+    # upper bound, flagged so triage knows it is saturated).
+    ratios = {
+        n: round(results["1"][n] / max(results["0.1"][n], 0.001), 2)
+        for n in ROSTER
+    }
+    payload["ratio"] = ratios
+    payload["ratio_denominator_floor_s"] = 0.001
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({"total_sf1": payload["total_sf1"], "ratios": ratios}))

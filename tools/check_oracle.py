@@ -32,7 +32,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(rows, columns):
-    """Sort columns by name, stringify cells (floats via repr of rounded)."""
+    """Sort columns by name, stringify cells.
+
+    Floats are stringified with ``repr`` — the full shortest-roundtrip
+    representation (up to 17 significant digits), NOT a truncated
+    ``%.9g``.  The driver's official gate hashes full-precision values;
+    round 8 proved that a 9-significant-digit local normalization is
+    blind to sub-ulp contract bugs (``chow_break_test`` was 373/373
+    green locally and red officially).  The local gate must be exactly
+    as strict as the driver's hash: two doubles that differ in ANY bit
+    (other than NaN) must normalize differently.
+    """
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
@@ -43,7 +53,7 @@ def normalize(rows, columns):
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(f"{v:.9g}")
+                    vals.append(repr(v))
             elif v is None:
                 vals.append("NULL")
             else:

@@ -33,12 +33,23 @@ def _cpu_ticks() -> list[int]:
         return [int(v) for v in fh.readline().split()[1:9]]
 
 
-def probe(seconds: float = 10.0, nprocs: int | None = None) -> dict:
+def probe(
+    seconds: float = 10.0,
+    nprocs: int | None = None,
+    cooldown_s: float = 2.0,
+) -> dict:
     """Measure steal%% under full load and a single-core loop time.
 
     Returns {"steal_pct_under_load", "idle_pct_under_load",
-    "py_loop_s", "nprocs", "probe_s"} — cheap (~seconds+1 wall) and
-    side-effect-free; safe to run before a bench without perturbing it.
+    "py_loop_s", "nprocs", "probe_s"} — cheap (~seconds+3 wall).
+
+    NOT side-effect-free: steal is only observable under load, so the
+    probe PINS every core at 100%% for ``seconds`` — on a thermally- or
+    hypervisor-throttled host that can itself shift turbo/steal state
+    for the moments after it returns (round-8 advice).  A short
+    ``cooldown_s`` sleep after the burn lets the scheduler drain before
+    a timed run starts; bump it if the first benched query looks
+    suspiciously slow.
     """
     n = nprocs or mp.cpu_count()
     # single-core throughput first (quiet reference point)
@@ -56,6 +67,8 @@ def probe(seconds: float = 10.0, nprocs: int | None = None) -> dict:
     for p in procs:
         p.join()
     s1 = _cpu_ticks()
+    if cooldown_s:
+        time.sleep(cooldown_s)
     d = [b - a for a, b in zip(s0, s1)]
     tot = sum(d) or 1
     return {
