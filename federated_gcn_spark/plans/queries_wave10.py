@@ -61,7 +61,7 @@ from federated_gcn_spark.plans.queries import register
                    * CAST(member_c AS DECIMAL(38,0))) AS q
         FROM win GROUP BY day
     ), stats AS (
-        SELECT day, own_c, n_members,
+        SELECT day, own_c, n_members, s,
                CAST(s AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_c,
                SQRT(CAST(n_members * q - CAST(s AS DECIMAL(38,0))
                                          * CAST(s AS DECIMAL(38,0))
@@ -71,7 +71,8 @@ from federated_gcn_spark.plans.queries import register
     )
     SELECT day, n_members,
            ROUND(CAST(own_c AS DOUBLE) / 100, 2) AS revenue,
-           ROUND(mean_c / 100, 4) AS sma_revenue,
+           CAST((200 * s + n_members) // (2 * n_members) AS DOUBLE) / 10000
+               AS sma_revenue,
            ROUND((mean_c + 2 * sd_c) / 100, 4) AS upper_band,
            ROUND((mean_c - 2 * sd_c) / 100, 4) AS lower_band
     FROM stats
@@ -88,7 +89,11 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny broadcastable join no matter how many raw orders feed it.
     Determinism: variance = (n*Q - S^2)/n^2 over exact integer-cents
     power sums (Q as DECIMAL(38,0)); SQRT is IEEE exactly-rounded, so
-    both engines emit bit-identical doubles."""
+    both engines emit bit-identical doubles.  The sma's 4-dp rounding
+    happens in exact integer arithmetic ((200s+n) DIV 2n) because the
+    float-ROUND path hits exact decimal midpoints on sparse calendars
+    (round-9 strict-gate find at sf0.001) where the engines' rounding
+    rules diverge."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     daily = orders.groupBy(
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
@@ -118,13 +123,27 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(38,0)")
     sd_c = F.sqrt(var_num.cast("double") / (n * n).cast("double"))
     stats = agg.select(
-        "day", "own_c", "n_members", mean_c.alias("mean_c"), sd_c.alias("sd_c")
+        "day", "own_c", "n_members", "s",
+        mean_c.alias("mean_c"), sd_c.alias("sd_c"),
     )
+    # sma is rounded to 4 dp in EXACT integer arithmetic before the one
+    # float division: round_half_up(100*s/n) = (200s + n) DIV 2n.  The
+    # float path ROUND(s/n/100, 4) hits EXACT decimal midpoints whenever
+    # the window's member count n divides 100*s with a 5-digit
+    # termination (sparse calendars make n=8 windows common, and s/800
+    # ends in ...5 for every odd s) — and the engines disagree there:
+    # Spark HALF_UPs the double's exact binary expansion while DuckDB's
+    # multiply-based ROUND snaps to the true midpoint and rounds away.
+    # Integer DIV + one exactly-rounded division is bit-identical.
+    # 200*s stays inside int64 up to ~4.6e16 cents/window (~sf1000).
     return stats.select(
         "day",
         "n_members",
         F.round(F.col("own_c").cast("double") / 100, 2).alias("revenue"),
-        F.round(F.col("mean_c") / 100, 4).alias("sma_revenue"),
+        (
+            F.expr("(200 * s + n_members) DIV (2 * n_members)")
+            .cast("double") / 10000
+        ).alias("sma_revenue"),
         F.round((F.col("mean_c") + 2 * F.col("sd_c")) / 100, 4).alias(
             "upper_band"
         ),
