@@ -254,8 +254,8 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k - 1 AS BIGINT) AS df_between,
            CAST(n - k AS BIGINT) AS df_within,
            ROUND((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                       / CAST(n AS DOUBLE)) / 10000, 4) AS ss_between,
-           ROUND(ssw / 10000, 4) AS ss_within,
+                       / CAST(n AS DOUBLE)) / 1e13, 4) AS ss_between_gusd2,
+           ROUND(ssw / 1e13, 4) AS ss_within_gusd2,
            ROUND(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                         / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                  / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
@@ -274,8 +274,11 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 5-row reduction — no shuffle beyond the tally.  Determinism:
     per-group terms come from exact integer/decimal power sums, are
     rounded to 6 dp and summed as DECIMAL(38,6) (order-independent);
-    the F emit is one fixed double expression.  SS columns are scaled
-    /10000 back to dollars^2."""
+    the F emit is one fixed double expression.  SS columns are
+    reported in 10^9-dollars^2 units (/1e13 from cents^2): at sf0.1
+    the raw dollars^2 SSW is ~3e15, where a 4-dp round would promise
+    digits below one double ulp (~0.5) — the chow_break_test red-row
+    class, caught by tools/audit_rounding.py in round 9."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     c = F.round(F.col("o_totalprice") * 100).cast("long")
     cd = c.cast("decimal(38,0)")
@@ -311,8 +314,8 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_total"),
         (k - 1).cast("long").alias("df_between"),
         (n - k).cast("long").alias("df_within"),
-        F.round(ssb / 10000, 4).alias("ss_between"),
-        F.round(F.col("ssw") / 10000, 4).alias("ss_within"),
+        F.round(ssb / 1e13, 4).alias("ss_between_gusd2"),
+        F.round(F.col("ssw") / 1e13, 4).alias("ss_within_gusd2"),
         F.round(
             (ssb / (k - 1).cast("double"))
             / (F.col("ssw") / (n - k).cast("double")),

@@ -366,7 +366,7 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT kk AS n_groups, n AS n_rows,
-           ROUND(CAST(pooled_num AS DOUBLE) / (n - kk), 4) AS pooled_var,
+           ROUND(CAST(pooled_num AS DOUBLE) / (n - kk), 0) AS pooled_var,
            ROUND((CAST(n - kk AS DOUBLE)
                   * LN(CAST(pooled_num AS DOUBLE) / (n - kk))
                   - CAST(sum_df_ln AS DOUBLE))
@@ -387,7 +387,9 @@ def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents sums; the (ng-1)*ln(s2) terms, pooled-variance
     numerator, and 1/(ng-1) terms are 9/4/12-dp-rounded DECIMAL sums
     over 5 groups (the entropy-term pattern); the chi-square emit is
-    one fixed expression."""
+    one fixed expression.  pooled_var is rounded to WHOLE dollars^2:
+    its ~2e10 magnitude leaves a 4-dp grid only ~26 ulp of slack
+    (round-9 audit_rounding find)."""
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -439,7 +441,12 @@ def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         F.col("kk").alias("n_groups"),
         F.col("n").alias("n_rows"),
-        F.round(pooled, 4).alias("pooled_var"),
+        # whole-dollars^2 round: pooled is ~2e10 at every SF (price
+        # variance is SF-independent), where a 4-dp grid sits only ~26
+        # ulp above double resolution — inside plausible cross-engine
+        # cast drift (round-9 audit_rounding find); at 0 dp the grid is
+        # ~2.6e5 ulp wide
+        F.round(pooled, 0).alias("pooled_var"),
         F.round(chi2, 4).alias("chi2_stat"),
     )
 

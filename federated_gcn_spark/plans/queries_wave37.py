@@ -212,7 +212,7 @@ _RIDGE_DAILY_SQL = """
                  / ((ctt + lam.lam) * (cxx + lam.lam) - ctx * ctx) / 100, 8)
                AS beta_day_eur,
            ROUND(((ctt + lam.lam) * cxy - ctx * cty)
-                 / ((ctt + lam.lam) * (cxx + lam.lam) - ctx * ctx) / 100, 8)
+                 / ((ctt + lam.lam) * (cxx + lam.lam) - ctx * ctx) / 100, 4)
                AS beta_count_eur,
            ROUND(SQRT((POWER(((cxx + lam.lam) * cty - ctx * cxy), 2)
                        + POWER(((ctt + lam.lam) * cxy - ctx * cty), 2)))
@@ -299,7 +299,11 @@ def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("lam").alias("lambda"),
         F.round(bt / 100, 8).alias("beta_day_eur"),
-        F.round(bx / 100, 8).alias("beta_count_eur"),
+        # 4 dp, not 8: beta_count is the mean order value (~2.5e5 eur
+        # at sf0.1), where an 8-dp grid has only ~340 ulp of slack
+        # (round-9 audit_rounding find); beta_day stays 8 dp (its
+        # magnitude is O(1e2))
+        F.round(bx / 100, 4).alias("beta_count_eur"),
         F.round(shrink, 6).alias("shrinkage"),
     ).orderBy("lambda")
 

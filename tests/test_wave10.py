@@ -92,11 +92,14 @@ def test_anova_oneway_matches_python(spark):
     assert r["df_between"] == len(groups) - 1
     assert r["df_within"] == r["n_total"] - len(groups)
     assert r["f_stat"] == pytest.approx(f_ref, rel=1e-6)
-    # SS identity: SSB + SSW == total sum of squares (in dollars^2)
+    # SS identity: SSB + SSW == total sum of squares (in 1e9 dollars^2)
     all_v = [v for vs in groups.values() for v in vs]
     mean = sum(all_v) / len(all_v)
-    sst = sum((v - mean) ** 2 for v in all_v) / 10000
-    assert r["ss_between"] + r["ss_within"] == pytest.approx(sst, rel=1e-9)
+    sst = sum((v - mean) ** 2 for v in all_v) / 1e13
+    # each term is displayed at 4 dp, so the identity holds to the grid
+    assert r["ss_between_gusd2"] + r["ss_within_gusd2"] == pytest.approx(
+        sst, abs=1.1e-4
+    )
 
 
 def test_jarque_bera_matches_python(spark):
