@@ -40,6 +40,22 @@ from federated_gcn_spark.catalog import TABLES  # noqa: E402
 from federated_gcn_spark.plans import ORACLE  # noqa: E402
 
 
+# Columns the grid inference misreads as rounded contracts: these are
+# UNROUNDED full-precision emits (verified against their SQL) whose
+# shortest reprs happen to stay under 13 fractional digits because the
+# integer part is large.  Their correctness instrument is the strict
+# gate's bit-identity comparison (tools/check_oracle.py, repr
+# normalization), which they pass at sf0.001/0.01/0.1.  Keep this list
+# in sync with SCALE.md "Round 9: audit results".
+_UNROUNDED_EMITS = {
+    ("bootstrap_revenue_ci", "mean_price"),
+    ("bootstrap_revenue_ci", "ci_lo"),
+    ("bootstrap_revenue_ci", "ci_hi"),
+    ("cuped_adjusted_lift", "lift_raw"),
+    ("cuped_adjusted_lift", "lift_cuped"),
+}
+
+
 def frac_digits(v: float) -> int:
     """Fractional decimal digits in the value's shortest repr."""
     r = repr(float(v))
@@ -80,7 +96,7 @@ def audit(sf_dir: str, margin: float = 1e-3):
                     kmax[c] = max(kmax.get(c, 0), frac_digits(v))
                     vmax[c] = max(vmax.get(c, 0.0), abs(v))
         for c, k in kmax.items():
-            if k > 12:
+            if k > 12 or (name, c) in _UNROUNDED_EMITS:
                 continue  # unrounded full-precision column
             slack = 10.0 ** -k / math.ulp(vmax[c])
             if slack < 1.0 / margin:
