@@ -152,6 +152,17 @@ def set_similarity_join(
     base = sets_df.select(
         F.col(id_col).alias("sid"), F.col(set_col).alias("elems")
     ).where(F.size("elems") > 0)
+    # ``base`` feeds FIVE consumers (the clone-pair guard, the df count,
+    # the rarest-first ordering, and both verification sides ea/eb), and
+    # callers typically pass a freshly tokenized frame — without a cut,
+    # each consumer re-runs the upstream tokenization subtree (measured
+    # at sf0.1: ~15 CPU-s per re-pass, the single largest cost of the
+    # pair join; guide §5 reuse rule).  Lazy checkpoint: materialized by
+    # the first action (the guard, when enabled), then every consumer
+    # reads the stored partitions.  Callers that already pass a
+    # materialized frame (e.g. clone-contracted reps) pay one cheap
+    # extra copy pass, nothing else.
+    base = base.localCheckpoint(eager=False)
 
     if max_pairs is not None:
         # Group on the 64-bit xxhash of the sorted set, not the set

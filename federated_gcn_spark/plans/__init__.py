@@ -62,12 +62,29 @@ from federated_gcn_spark.plans import queries_wave40  # noqa: F401  (registers)
 from federated_gcn_spark.plans.queries import ORACLE as _ORACLE
 from federated_gcn_spark.plans.queries import QUERIES as _QUERIES
 
-# Names with an official driver-recorded correctness row as of round 8
-# (CORRECTNESS_r01.json ∪ … ∪ r08).  Update after each round.
+# Names with an official driver-recorded correctness row as of round 9
+# (CORRECTNESS_r01.json ∪ … ∪ r09).  Update after each round.
 _DRIVER_RECORDED = {
+    # --- recorded in r09 (all 50 green; the other 15 slots refreshed
+    # names already listed in earlier blocks below, incl. the re-promoted
+    # `chow_break_test` which is now green under its round-9 contract) ---
+    "adstock_grid_fit", "atkinson_index_binned", "cramer_von_mises_binned",
+    "croston_demand_forecast", "dagostino_k2", "dau_wau_stickiness",
+    "december_effect_regression", "degree_attack_robustness",
+    "energy_distance_halves", "esd_outlier_rounds", "feature_scaling_stats",
+    "forecast_accuracy_report", "gini_gain_feature_ranking",
+    "handshake_matching_stats", "ipf_raking_weights", "jensen_shannon_drift",
+    "kmv_set_algebra", "markov_absorption_probabilities",
+    "markov_entropy_rate", "markov_mixing_curve",
+    "markov_stationary_distribution", "median_polish_weekday_month",
+    "mood_median_test", "newsvendor_stock_levels", "nmi_lang_source",
+    "order_lines_nested", "pinball_quantile_eval", "power_iteration_top_pc",
+    "qq_deciles_halves", "queueing_mmc_whatif", "rake_keyphrases",
+    "revenue_bridge_decomposition", "ridge_regression_path",
+    "target_encoding_smoothed", "unpivot_metrics",
     # --- recorded in r08 (49 green; `chow_break_test` was RED — hash
     # mismatch from a sub-ulp rounding contract + POWER() drift, fixed
-    # in round 9 and re-promoted via _PROMOTED below) ---
+    # in round 9 and re-recorded green in r09 slot 1) ---
     "anderson_darling_gap_test", "bartlett_test", "benjamini_hochberg_fdr",
     "breusch_pagan", "brown_forsythe_levene", "butterfly_count",
     "capture_recapture_estimate", "cart_depth2_tree", "chow_break_test",
@@ -195,20 +212,21 @@ _DRIVER_RECORDED = {
 }
 
 # Queries re-promoted to the front of the line despite an existing official
-# row.  Round 9: `chow_break_test`'s r08 row is RED (hash mismatch — the
-# contract rounded a ~1.16e15 double to 2 dp, below one ulp at that
-# magnitude, and the oracle used engine-libm POWER()); the round-9 fix
-# (plain-multiplication squarings + 10^9-eur^2 rescale) needs a fresh
-# official green row, so it leads the window.  With the 35 never-recorded
-# names behind it, round 9's 36 slots complete the registry: the official
-# union becomes 373/373 and from round 10 this rotation is a no-op.
-_PROMOTED: list = ["chow_break_test"]
+# row.  Round 10: the official union is complete (373/373), but four
+# contracts were re-specified by round 9's rounding audit AFTER their
+# official rows were recorded (renamed/rescaled/re-rounded output columns:
+# `anova_oneway`, `bollinger_bands`, `bartlett_test`,
+# `brown_forsythe_levene` — round-9 ADVICE, medium).  Their old green rows
+# describe outputs that no longer exist, so each leads the round-10 window
+# to earn a fresh official row under its current contract.
+_PROMOTED: list = [
+    "anova_oneway", "bollinger_bands", "bartlett_test",
+    "brown_forsythe_levene",
+]
 
 # Never-recorded names ordered to the very front of the fresh block.
-# Round 9: empty — both round-7 front doors (`set_similarity_topk`,
-# `set_similarity_counts`) got their green rows in r08 slots 1-2 and are
-# now in _DRIVER_RECORDED; no fresh name needs priority over plain
-# registration order because all 35 remaining fit in the window.
+# Round 10: empty — every registry name has an official recorded row
+# (union r01–r09 = 373/373), so there is no fresh block to order.
 _FRESH_FIRST: list = []
 
 

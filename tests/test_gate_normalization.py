@@ -8,9 +8,10 @@ the gate back below the driver's resolution.  Pure Python — no Spark.
 """
 
 import math
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from check_oracle import normalize  # noqa: E402
 

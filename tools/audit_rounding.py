@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 
 import duckdb
@@ -64,6 +65,33 @@ def frac_digits(v: float) -> int:
     return len(r.split(".")[1])
 
 
+# ``ROUND(expr, k) AS alias`` (one paren-nesting level inside expr, an
+# optional ``::TYPE`` cast between) — used to cross-check the grid k
+# inferred from observed values against the DECLARED contract precision.
+_ROUND_AS = re.compile(
+    r"ROUND\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?,\s*(\d+)\s*\)"
+    r"\s*(?:::\w+)?\s+AS\s+\"?(\w+)\"?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def declared_round_digits(sql: str) -> dict:
+    """Max declared ROUND precision per output alias found in the SQL.
+
+    The value-inferred grid underestimates k when every sampled row's
+    last contract digit happens to be 0 (each missing digit overstates
+    slack 10x and can hide a hazard at small SFs).  Taking
+    max(inferred, declared) closes that hole for the common
+    ``ROUND(.., k) AS col`` spelling; aliases the regex cannot see
+    simply keep the inferred grid.
+    """
+    out: dict[str, int] = {}
+    for k, alias in _ROUND_AS.findall(sql):
+        a = alias.lower()
+        out[a] = max(out.get(a, 0), int(k))
+    return out
+
+
 def audit(sf_dir: str, margin: float = 1e-3):
     con = duckdb.connect()
     for t in TABLES:
@@ -95,9 +123,11 @@ def audit(sf_dir: str, margin: float = 1e-3):
                 if isinstance(v, float) and math.isfinite(v) and v != 0:
                     kmax[c] = max(kmax.get(c, 0), frac_digits(v))
                     vmax[c] = max(vmax.get(c, 0.0), abs(v))
+        declared = declared_round_digits(sql)
         for c, k in kmax.items():
             if k > 12 or (name, c) in _UNROUNDED_EMITS:
                 continue  # unrounded full-precision column
+            k = max(k, declared.get(c.lower(), 0))
             slack = 10.0 ** -k / math.ulp(vmax[c])
             if slack < 1.0 / margin:
                 findings.append(

@@ -88,8 +88,12 @@ def main() -> int:
             if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
                 problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
             if not problems:
-                _, s_norm = normalize([tuple(r) for r in srows], scols)
-                _, d_norm = normalize(drows, dcols)
+                # lower-case the names fed to normalize so both engines
+                # sort columns identically even under casing-only drift
+                _, s_norm = normalize(
+                    [tuple(r) for r in srows], [c.lower() for c in scols]
+                )
+                _, d_norm = normalize(drows, [c.lower() for c in dcols])
                 if s_norm != d_norm:
                     diff = [
                         (a, b) for a, b in zip(s_norm, d_norm) if a != b

@@ -35,7 +35,15 @@ def main() -> int:
     import __spark_entry__ as mod
 
     # vanilla, like the driver: no ANSI/partition/nanos tuning beyond
-    # what the entry module itself applies to the session it is handed
+    # what the entry module itself applies to the session it is handed.
+    # A pre-existing (possibly tuned) session would be silently reused by
+    # getOrCreate() and defeat the whole premise — refuse to run.
+    if SparkSession.getActiveSession() is not None:
+        print(
+            "ERROR: an active SparkSession already exists in this process; "
+            "run this tool in a fresh interpreter so the session is vanilla."
+        )
+        return 2
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     queries = mod.queries()
     oracles = mod.oracle_sql()
@@ -56,11 +64,14 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # lower-case the names fed to normalize so both engines sort
+            # columns identically even if they disagree only in casing
             ok = (
                 len(srows) == len(drows)
                 and sorted(c.lower() for c in scols)
                 == sorted(c.lower() for c in dcols)
-                and normalize(srows, scols)[1] == normalize(drows, dcols)[1]
+                and normalize(srows, [c.lower() for c in scols])[1]
+                == normalize(drows, [c.lower() for c in dcols])[1]
             )
             print(("  ✓ " if ok else "  ✗ ") + f"{name} ({len(srows)} rows)")
             if not ok:
