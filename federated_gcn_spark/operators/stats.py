@@ -230,6 +230,114 @@ def exact_quantile_values(
     return got
 
 
+def exact_quantile_values_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ks_of_n,
+    n_buckets: int = 65536,
+) -> dict:
+    """Exact order statistics for EVERY group in one shared three-job
+    selection — the grouped form of :func:`exact_quantile_values`.
+
+    ``ks_of_n(group, n)`` maps a group and its row count to the list of
+    requested ranks (1-based), so callers can ask for e.g. deciles
+    ``ceil(d/10 * n)`` without a separate count job per group (and can
+    record the group's rank list for later lookup).  Returns
+    ``{group: {k: value}}`` with actual data values (exact under ties,
+    no interpolation).
+
+    Cost is flat in both the number of groups and the number of ranks:
+    one (min, max, n) aggregate per group, one (group, bucket) count
+    aggregate, one micro-sort of the boundary buckets — where the
+    per-group loop spelling pays ~4 sequential driver jobs PER GROUP
+    (measured on qq_deciles_halves: 8 collect jobs -> 3).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    stats = df.groupBy(g.alias("__g")).agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(value_col).alias("n"),
+    ).collect()
+    out: dict = {}
+    ks_by_group: dict = {}
+    meta = {}  # group -> (mn, width)
+    for r in stats:
+        grp, mn, mx, n = r["__g"], r["mn"], r["mx"], r["n"]
+        ks = sorted(set(int(k) for k in ks_of_n(grp, n)))
+        if n == 0 or any(k <= 0 or k > n for k in ks):
+            raise ValueError(f"ks={ks} out of range for n={n} (group {grp})")
+        if mn == mx:
+            out[grp] = {k: mn for k in ks}
+            continue
+        ks_by_group[grp] = ks
+        meta[grp] = (mn, (mx - mn) / n_buckets)
+    if not ks_by_group:
+        return out
+    bounds = df.sparkSession.createDataFrame(
+        [(grp, float(mn), float(w)) for grp, (mn, w) in meta.items()],
+        f"__g {df.schema[group_col].dataType.simpleString()}, "
+        "__mn double, __w double",
+    )
+    based = df.join(
+        F.broadcast(bounds), g == F.col("__g"), "inner"
+    ).select(
+        "__g",
+        F.col(value_col).alias("__v"),
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / F.col("__w")),
+            F.lit(n_buckets - 1),
+        ).alias("__b"),
+    )
+    counts = sorted(
+        based.groupBy("__g", "__b").count().collect(),
+        key=lambda r: (str(r["__g"]), r["__b"]),
+    )
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(r["__g"], []).append(r)
+    want = {}  # (group, boundary_bucket, in_bucket_rank) -> k
+    for grp, ks in ks_by_group.items():
+        cum = 0
+        it = iter(per_group[grp])
+        r = next(it)
+        for k in ks:
+            while cum + r["count"] < k:
+                cum += r["count"]
+                r = next(it)
+            want[(grp, r["__b"], k - cum)] = k
+    boundary = {(grp, b) for grp, b, _ in want}
+    w = Window.partitionBy("__g", "__b").orderBy("__v")
+    pred = None
+    for grp, b, rn in want:
+        h = (F.col("__g") == grp) & (F.col("__b") == b) & (F.col("__rn") == rn)
+        pred = h if pred is None else (pred | h)
+    bpred = None
+    for grp, b in boundary:
+        h = (F.col("__g") == grp) & (F.col("__b") == b)
+        bpred = h if bpred is None else (bpred | h)
+    rows = (
+        based.where(bpred)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(pred)
+        .collect()
+    )
+    for r in rows:
+        grp = r["__g"]
+        out.setdefault(grp, {})[want[(grp, r["__b"], r["__rn"])]] = r["__v"]
+    missing = [
+        (grp, k)
+        for grp, ks in ks_by_group.items()
+        for k in ks
+        if k not in out.get(grp, {})
+    ]
+    if missing:  # pragma: no cover - defensive
+        raise RuntimeError(f"grouped quantile selection missed {missing}")
+    return out
+
+
 def exact_group_median(
     df: DataFrame, group_col: str, value_col: str, n_buckets: int = 4096
 ) -> DataFrame:

@@ -762,14 +762,16 @@ def exact_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual data value, so the DuckDB ORDER-BY-OFFSET oracle matches it
     exactly.  quantity_percentiles remains the one-pass approximate
     path; this is the exactness anchor for selection machinery."""
-    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+    from federated_gcn_spark.operators.stats import exact_quantile_values
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     n = lineitem.count()
-    med = exact_kth_smallest_value(lineitem, "l_extendedprice", (n + 1) // 2)
-    p99 = exact_kth_smallest_value(
-        lineitem, "l_extendedprice", (99 * n + 99) // 100  # ceil, integer-only
-    )
+    k_med = (n + 1) // 2
+    k_p99 = (99 * n + 99) // 100  # ceil, integer-only
+    # one shared two-pass selection for both ranks (identical values;
+    # the sequential per-k spelling paid twice the driver jobs)
+    cuts = exact_quantile_values(lineitem, "l_extendedprice", [k_med, k_p99])
+    med, p99 = cuts[k_med], cuts[k_p99]
     return spark.createDataFrame(
         [(n, float(med), float(p99))],
         "n_rows long, median_price double, p99_price double",

@@ -282,7 +282,7 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clamped moments are one algebraic aggregate. The bounds are
     actual data values, so both engines clamp at bit-identical points;
     only the final avg/stddev carry FP accumulation (rounded)."""
-    from federated_gcn_spark.operators.stats import exact_kth_smallest_value
+    from federated_gcn_spark.operators.stats import exact_quantile_values
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
@@ -290,8 +290,11 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = li.count()
     k_lo = int(math.ceil(0.05 * n))
     k_hi = int(math.ceil(0.95 * n))
-    lo = float(exact_kth_smallest_value(li, "x", k_lo))
-    hi = float(exact_kth_smallest_value(li, "x", k_hi))
+    # one shared two-pass selection for both bounds (identical values;
+    # the sequential per-k spelling paid twice the driver jobs)
+    cuts = exact_quantile_values(li, "x", [k_lo, k_hi])
+    lo = float(cuts[k_lo])
+    hi = float(cuts[k_hi])
     wx = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("x")))
     return li.agg(
         F.round(F.lit(lo), 2).alias("lo_bound"),

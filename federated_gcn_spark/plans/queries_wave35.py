@@ -463,20 +463,28 @@ def qq_deciles_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-pass bounded histogram (operators/stats machinery) — the
     VALUES are identical, the plan scales.  Determinism: deciles are
     SELECTED exact integers."""
-    from federated_gcn_spark.operators.stats import exact_quantile_values
+    from federated_gcn_spark.operators.stats import (
+        exact_quantile_values_by_group,
+    )
 
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderkey") % 2).alias("half"),
     ).localCheckpoint(eager=True)
+    # both halves in ONE shared three-job selection (the per-half loop
+    # paid ~4 sequential driver jobs per half for identical values)
+    ks_by_half: dict = {}
+
+    def _deciles(h, n):
+        ks_by_half[h] = [-(-d * n // 10) for d in range(1, 10)]  # ceil
+        return ks_by_half[h]
+
+    got = exact_quantile_values_by_group(orders, "half", "cents", _deciles)
     halves = {}
     for h in (0, 1):
-        part = orders.where(F.col("half") == h)
-        n = part.count()
-        ks = [-(-d * n // 10) for d in range(1, 10)]  # ceil(d/10 * n)
-        got = exact_quantile_values(part, "cents", ks)
         halves[h] = [
-            (d / 10.0, float(got[k])) for d, k in zip(range(1, 10), ks)
+            (d / 10.0, float(got[h][k]))
+            for d, k in zip(range(1, 10), ks_by_half[h])
         ]
     rows = [
         (q, ev / 100.0, ov / 100.0, round((ov - ev) / 100.0, 2))

@@ -192,3 +192,44 @@ def test_exact_group_quantile_values_gstats_edge_cases(spark):
             df, "g", "x", lambda n: [max(n, 1)],
             gstats={"empty": (None, None, 0)},
         )
+
+
+def test_grouped_quantiles_match_per_group_sorted_lists(spark):
+    from federated_gcn_spark.operators.stats import (
+        exact_quantile_values_by_group,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (g, round(rng.uniform(-50, 50), 1))
+        for g in (0, 1, 2)
+        for _ in range(101 + 37 * g)
+    ]
+    df = spark.createDataFrame(rows, "g int, x double")
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    ks_seen = {}
+
+    def deciles(g, n):
+        ks_seen[g] = [-(-d * n // 10) for d in range(1, 10)]
+        return ks_seen[g]
+
+    got = exact_quantile_values_by_group(df, "g", "x", deciles, n_buckets=32)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        assert got[g] == {k: s[k - 1] for k in set(ks_seen[g])}
+
+
+def test_grouped_quantiles_constant_group_and_ties(spark):
+    from federated_gcn_spark.operators.stats import (
+        exact_quantile_values_by_group,
+    )
+
+    rows = [("a", 7.5)] * 20 + [("b", v) for v in (3.0, 3.0, 1.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = exact_quantile_values_by_group(
+        df, "g", "x", lambda g, n: [1, n // 2, n], n_buckets=8
+    )
+    assert got["a"] == {1: 7.5, 10: 7.5, 20: 7.5}
+    assert got["b"] == {1: 1.0, 2: 3.0, 4: 9.0}
