@@ -119,7 +119,15 @@ def luby_coloring(
         for w in round_winners[1:]:
             taken = taken.unionByName(w)
         colored_layers.append(taken.withColumn("color", F.lit(color)))
-        remaining = iteration_barrier(remaining.join(taken, ID, "left_anti"))
+        if color == n_colors - 1:
+            # last layer: the updated remaining feeds only the lazy
+            # leftover projection below — consumed once, so the eager
+            # barrier job would materialize a frame nobody loops on
+            remaining = remaining.join(taken, ID, "left_anti")
+        else:
+            remaining = iteration_barrier(
+                remaining.join(taken, ID, "left_anti")
+            )
 
     leftover = remaining.withColumn("color", F.lit(-1))
     if not colored_layers:  # n_colors=0 or rounds_per_color=0

@@ -252,7 +252,12 @@ def ktruss_trace(
         if r == 1:
             state = _first_round(cur, k).localCheckpoint()
         else:
-            if state.where(F.col("s") < k - 2).limit(1).count() == 0:
+            # Convergence rides on the counts the trace already pays
+            # for: a round that deleted nothing (equal consecutive
+            # n_edges) also left every support untouched (empty dead
+            # set -> empty decrement), so the state is a fixpoint and
+            # the emptiness-probe job per round is redundant.
+            if counts[-1] == counts[-2]:
                 converged = True
                 counts.append(counts[-1])
                 continue

@@ -208,6 +208,13 @@ def als_rank1(
     def _b(f: DataFrame) -> DataFrame:
         return F.broadcast(f) if broadcast_factors else f
 
+    # No per-half-step checkpoints: each half-step's factors feed
+    # exactly one downstream half-step (r itself IS checkpointed), so
+    # nothing recomputes without them and the 2*iterations eager
+    # materialization jobs (~0.1 s sequential driver latency each)
+    # disappear; with <= a handful of iterations the lineage stays
+    # bounded, and the per-half-step ROUND makes the plan shape
+    # irrelevant to the emitted factors.
     user_f = None
     for _ in range(iterations):
         user_f = (
@@ -220,7 +227,6 @@ def als_rank1(
                     round_to,
                 ).alias("u")
             )
-            .localCheckpoint(eager=True)
         )
         item_f = (
             r.join(_b(user_f), "user")
@@ -232,7 +238,6 @@ def als_rank1(
                     round_to,
                 ).alias("v")
             )
-            .localCheckpoint(eager=True)
         )
     return user_f, item_f
 

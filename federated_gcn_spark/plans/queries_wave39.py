@@ -164,6 +164,8 @@ def handshake_matching_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_married"),
         ).select("round", "n_married")
         out = row if out is None else out.unionByName(row)
+        if t == _MATCH_ROUNDS:
+            break  # the final round's free set feeds nothing — skip it
         gone = (
             marry.select(F.col("a").alias("id"))
             .unionByName(marry.select(F.col("bb").alias("id")))

@@ -1752,8 +1752,13 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("id"),
             F.round(F.col("x") / F.col("mx"), 12).alias("hub"),
         )
-        auth = auth.localCheckpoint(eager=True)
-        hub = hub.localCheckpoint(eager=True)
+    # No per-round checkpoints: each round's auth/hub is consumed
+    # exactly once by the next half-round (only the LAST auth feeds the
+    # output), so nothing is recomputed without them, the 4-round
+    # lineage is bounded, and the 8 eager materialization jobs they
+    # cost (~0.1 s of sequential driver latency each at sf0.1) vanish.
+    # The ROUND(,12) per half-round still resyncs FP drift — checkpoint
+    # placement never changed the arithmetic.
     return (
         auth.orderBy(F.desc("auth"), F.asc("id"))
         .limit(20)
