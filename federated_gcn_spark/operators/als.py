@@ -208,15 +208,17 @@ def als_rank1(
     def _b(f: DataFrame) -> DataFrame:
         return F.broadcast(f) if broadcast_factors else f
 
-    # No per-half-step checkpoints: each half-step's factors feed
-    # exactly one downstream half-step (r itself IS checkpointed), so
-    # nothing recomputes without them and the 2*iterations eager
-    # materialization jobs (~0.1 s sequential driver latency each)
-    # disappear; with <= a handful of iterations the lineage stays
-    # bounded, and the per-half-step ROUND makes the plan shape
-    # irrelevant to the emitted factors.
+    # Intermediate half-steps are LAZY: each factor frame feeds exactly
+    # one downstream half-step (r itself IS checkpointed), so nothing
+    # recomputes without per-step checkpoints and their 2*iterations
+    # eager materialization jobs (~0.1 s sequential driver latency
+    # each) disappear; references stay linear — no crossJoin-style tree
+    # doubling — and the per-half-step ROUND makes plan shape
+    # irrelevant to the emitted factors.  Only the LAST user half-step
+    # is cut: it is consumed twice (returned, and inside the final item
+    # half-step), and the checkpoint stops that one chain duplication.
     user_f = None
-    for _ in range(iterations):
+    for it in range(iterations):
         user_f = (
             r.join(_b(item_f), "item")
             .groupBy("user")
@@ -228,6 +230,8 @@ def als_rank1(
                 ).alias("u")
             )
         )
+        if it == iterations - 1:
+            user_f = user_f.localCheckpoint(eager=True)
         item_f = (
             r.join(_b(user_f), "user")
             .groupBy("item")

@@ -1752,13 +1752,14 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("id"),
             F.round(F.col("x") / F.col("mx"), 12).alias("hub"),
         )
-    # No per-round checkpoints: each round's auth/hub is consumed
-    # exactly once by the next half-round (only the LAST auth feeds the
-    # output), so nothing is recomputed without them, the 4-round
-    # lineage is bounded, and the 8 eager materialization jobs they
-    # cost (~0.1 s of sequential driver latency each at sf0.1) vanish.
-    # The ROUND(,12) per half-round still resyncs FP drift — checkpoint
-    # placement never changed the arithmetic.
+        # the per-half-round checkpoints are LOAD-BEARING here: the
+        # crossJoin-with-max normalization references its input twice,
+        # so an uncut recursion doubles the plan tree every half-round
+        # (measured: 508 joins / 762 broadcast exchanges in the 4-round
+        # uncut plan) — exponential optimizer work even though exchange
+        # reuse would dedupe the execution
+        auth = auth.localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=True)
     return (
         auth.orderBy(F.desc("auth"), F.asc("id"))
         .limit(20)
