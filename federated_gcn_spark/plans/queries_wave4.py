@@ -489,7 +489,7 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = per_part.groupBy("rev_e4").agg(
         F.count(F.lit(1)).alias("n_parts"),
         (F.col("rev_e4") * F.count(F.lit(1))).alias("grp_rev"),
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers — fact shuffle once
     tot = grp.agg(F.sum("grp_rev").alias("total"))
     ranked = partitioned_prefix_sum(
         grp.withColumn("__neg", -F.col("rev_e4")), "__neg", "grp_rev",
@@ -2987,7 +2987,7 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers — scan+spread once
     xh = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
     xr = partitioned_prefix_sum(xh, "x", "c", "cb").select(
         "x", (2 * F.col("cb") + F.col("c") + 1).alias("rank2x")
@@ -4525,7 +4525,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
         ).cast("long").alias("ym"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers — scan+spread once
     first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
     sizes = first.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers")
