@@ -99,7 +99,7 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"), F.col("rev_c").alias("member_c")
     )

@@ -315,7 +315,7 @@ def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     hist = daily.groupBy(F.col("rev_c").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt_eq")
     )

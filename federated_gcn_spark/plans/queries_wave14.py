@@ -92,7 +92,7 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
-    )
+    ).localCheckpoint(eager=False)
     xd = F.col("x").cast("decimal(38,0)")
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -352,7 +352,7 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"), F.col("rev_c").alias("wrev")
     )

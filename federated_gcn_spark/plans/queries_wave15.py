@@ -444,7 +444,7 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     rd = F.col("rev_c").cast("decimal(38,0)")
     glob = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -88,7 +88,7 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"),
         F.count(F.lit(1)).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     b = daily.select(
         F.col("day").alias("bday"), F.col("x").alias("xb"), F.col("y").alias("yb")
     )
@@ -295,7 +295,7 @@ def ses_gridsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers — scan+aggregate once
     nxt = daily.select(
         (F.col("day") - 1).alias("tday"), F.col("rev_c").alias("nxt_c")
     )

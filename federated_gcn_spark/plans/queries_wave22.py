@@ -424,7 +424,7 @@ def cooks_distance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("x"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     xd = F.col("x").cast("decimal(38,0)")
     mo = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -2101,7 +2101,7 @@ def moving_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"), F.col("rev_c").alias("member_rev")
     )
@@ -2339,7 +2339,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     cum = partitioned_prefix_sum(daily, "day", "rev_c", "prefix_before")
     pre = cum.withColumn(
         "prefix", (F.col("prefix_before") + F.col("rev_c")).cast("decimal(38,0)")
@@ -2416,7 +2416,7 @@ def weekday_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     tot = daily.agg(
         F.sum("rev_c").cast("decimal(38,0)").alias("total"),
         F.count(F.lit(1)).alias("n_total"),
@@ -2481,7 +2481,7 @@ def ewma_smoothed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"), F.col("rev_c").alias("member_rev")
     )
@@ -4068,7 +4068,7 @@ def rolling_correlation_revenue_orders(
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
         F.count(F.lit(1)).alias("n_ord"),
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"),
         F.col("rev_c").cast("decimal(38,0)").alias("x"),
