@@ -81,6 +81,9 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # Four consumers (odeg, sdeg, both pair-join sides) — pay the
+        # scan + distinct shuffle once instead of per consumer.
+        .localCheckpoint(eager=False)
     )
     odeg = e.groupBy("o").agg(F.count(F.lit(1)).alias("d"))
     sdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))

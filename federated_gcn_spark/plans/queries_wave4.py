@@ -898,7 +898,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ha = orders.where(F.col("half") == 0).groupBy("cents").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)  # na + prefix sum: one fact pass
     cum = partitioned_prefix_sum(ha, "cents", "c", "cum_before").withColumn(
         "cum_c", F.col("cum_before") + F.col("c")
     )
@@ -2906,7 +2906,7 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = orders.groupBy("cents").agg(
         F.count_if(F.col("half") == 0).alias("c1"),
         F.count_if(F.col("half") == 1).alias("c2"),
-    )
+    ).localCheckpoint(eager=False)  # tot + prefix sums: one fact pass
     tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     cum = partitioned_prefix_sum(hist, "cents", "c1", "cb1")
     cum = partitioned_prefix_sum(cum, "cents", "c2", "cb2")
@@ -3641,7 +3641,7 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)  # hist + rank join: one fact pass
     hist = orders.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     vr = partitioned_prefix_sum(hist, "cents", "c", "cb").select(
         "cents", (2 * F.col("cb") + F.col("c") + 1).alias("rank2"), "c"
@@ -3727,7 +3727,7 @@ def mann_whitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         (F.col("o_orderkey") % 2).alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)  # hist + rank join: one fact pass
     hist = orders.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     vr = partitioned_prefix_sum(hist, "cents", "c", "cb").select(
         "cents", (2 * F.col("cb") + F.col("c") + 1).alias("rank2")
@@ -3907,7 +3907,7 @@ def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = orders.groupBy("cents").agg(
         F.count_if(F.col("half") == 0).alias("c1"),
         F.count_if(F.col("half") == 1).alias("c2"),
-    )
+    ).localCheckpoint(eager=False)  # tot + prefix sums: one fact pass
     tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     cum = partitioned_prefix_sum(hist, "cents", "c1", "cb1")
     cum = partitioned_prefix_sum(cum, "cents", "c2", "cb2")
@@ -4275,8 +4275,13 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.round(quality_score("text"), 6) * 1000000)
         .cast("long")
         .alias("s"),
+        # Two consumers (histogram, bucket assignment) — score each
+        # document once, not once per consumer.
+    ).localCheckpoint(eager=False)
+    # One quality_score pass: na + the prefix sum both read this frame.
+    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
     )
-    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     cum = partitioned_prefix_sum(hist, "s", "c", "cb").withColumn(
         "cum_c", F.col("cb") + F.col("c")
     )

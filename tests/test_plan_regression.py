@@ -245,7 +245,11 @@ PLAN_BUDGET = {
     # SMJs are the triangle census's edge-edge joins — the correct
     # at-scale join for stat-less checkpointed inputs.
     "eigenvector_centrality": (6, 1),
-    "greedy_coloring_stats": (2, 0),
+    # r10: the last layer's remaining anti-join is no longer eagerly
+    # barriered (it feeds only the lazy leftover projection), so its
+    # exchanges now appear in the final plan instead of a construction
+    # job — plan-lifetime exchange total is unchanged, one job fewer.
+    "greedy_coloring_stats": (4, 0),
     "butterfly_count": (8, 0),
     "clustering_null_model": (23, 8),
     # round-4 wave 27 (snapshot diff's SMJ is the co-partitioned
