@@ -240,7 +240,12 @@ def ktruss_trace(
     """
     if k < 3:
         raise ValueError(f"k-truss needs k >= 3, got {k}")
-    cur = undirected_edges(edges).localCheckpoint()
+    # Lazy checkpoints throughout the trace: every round's state (and
+    # cur) is counted immediately for the trace output, and that count
+    # is the frame's ONLY consumer until the next round — so it both
+    # materializes the checkpoint and reports n_edges in one driver job
+    # instead of an eager-checkpoint job followed by a count job.
+    cur = undirected_edges(edges).localCheckpoint(eager=False)
     counts = [cur.count()]
     state = None
     deg0 = None
@@ -250,7 +255,7 @@ def ktruss_trace(
             counts.append(counts[-1])
             continue
         if r == 1:
-            state = _first_round(cur, k).localCheckpoint()
+            state = _first_round(cur, k).localCheckpoint(eager=False)
         else:
             # Convergence rides on the counts the trace already pays
             # for: a round that deleted nothing (equal consecutive
@@ -263,7 +268,9 @@ def ktruss_trace(
                 continue
             if deg0 is None:
                 deg0 = _degrees(cur).localCheckpoint()
-            state = _decrement_round(state, deg0, k).localCheckpoint()
+            state = _decrement_round(state, deg0, k).localCheckpoint(
+                eager=False
+            )
         counts.append(state.count())
     return spark.createDataFrame(
         [(i, int(c)) for i, c in enumerate(counts)],
