@@ -146,13 +146,15 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     class name.  Reference parity: the supervised classification
     surface of models/supervised.py:100-130, re-expressed relationally.
     """
-    toks = _doc_tokens(spark, sf_dir)
+    # tokenization feeds both the training pivot and the scoring join,
+    # and the pivoted count matrix feeds both tots and lp — stage each
+    toks = _doc_tokens(spark, sf_dir).localCheckpoint(eager=False)
 
     ct = toks.groupBy("term").pivot("lang", _LANGS).count()
     ct = ct.select(
         "term",
         *[F.coalesce(F.col(lang), F.lit(0)).alias(f"c_{lang}") for lang in _LANGS],
-    )
+    ).localCheckpoint(eager=False)
 
     tots = ct.agg(
         *[F.sum(f"c_{lang}").alias(f"t_{lang}") for lang in _LANGS],
@@ -305,7 +307,7 @@ def chi2_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(lang), F.lit(0)).alias(f"c_{lang}") for lang in _LANGS],
     ).withColumn(
         "tf", sum(F.col(f"c_{lang}") for lang in _LANGS)
-    )
+    ).localCheckpoint(eager=False)  # tots + long: one tokenize/pivot pass
 
     tots = ct.agg(
         *[F.sum(f"c_{lang}").alias(f"t_{lang}") for lang in _LANGS],
@@ -2770,7 +2772,7 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.expr("__sec div 86400").alias("day"))
     span = ev.groupBy("user_id").agg(
         F.min("day").alias("first_day"), F.max("day").alias("last_day")
-    )
+    ).localCheckpoint(eager=False)  # mx + obs: one events pass
     mx = span.agg(F.max("last_day").alias("max_day"))
     obs = span.crossJoin(F.broadcast(mx)).select(
         (F.col("last_day") - F.col("first_day")).alias("duration"),
