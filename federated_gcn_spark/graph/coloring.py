@@ -122,8 +122,14 @@ def luby_coloring(
         if color == n_colors - 1:
             # last layer: the updated remaining feeds only the lazy
             # leftover projection below — consumed once, so the eager
-            # barrier job would materialize a frame nobody loops on
-            remaining = remaining.join(taken, ID, "left_anti")
+            # barrier job would materialize a frame nobody loops on.
+            # The lazy checkpoint keeps that job saving while cutting
+            # the anti-join out of the caller's STATIC plan (it would
+            # otherwise compile as a stats-blind SortMergeJoin there;
+            # inside the checkpoint RDD, AQE plans it at run time).
+            remaining = remaining.join(taken, ID, "left_anti").localCheckpoint(
+                eager=False
+            )
         else:
             remaining = iteration_barrier(
                 remaining.join(taken, ID, "left_anti")
