@@ -169,17 +169,25 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("text")) != ""
     )
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
-    ).distinct()
+    # tok (tokenize + distinct) feeds the vocab aggregate and both pair
+    # sides; vt feeds both sides again — unstaged, the final plan
+    # re-tokenized the corpus five times.  Two lazy checkpoints -> one
+    # tokenize pass (n keeps its own pruned count scan).
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "term")
         .limit(200)
     )
-    vt = tok.join(F.broadcast(vocab), "term")
+    vt = tok.join(F.broadcast(vocab), "term").localCheckpoint(eager=False)
     a = vt.select("doc_id", F.col("term").alias("t1"), F.col("df").alias("_df1"))
     b = vt.select(
         F.col("doc_id").alias("_doc"),

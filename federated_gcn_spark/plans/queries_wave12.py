@@ -185,12 +185,16 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank sums and squares are exact integers/decimals; one fixed
     double expression at emit."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
+    # cell (the one data-sized orders aggregate, months x 5 rows) feeds
+    # the completeness filter and both self-join sides; unstaged, the
+    # final plan re-ran the orders scan + aggregate five times.  One
+    # lazy checkpoint -> one scan.
     cell = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("block"),
         F.col("o_orderpriority").alias("trt"),
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     complete = cell.groupBy("block").agg(F.count(F.lit(1)).alias("kc")).filter(
         F.col("kc") == 5
     ).select("block")

@@ -97,6 +97,11 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one division, 12-dp DECIMAL distance terms, max/ratio over
     identical doubles."""
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    # The exploded point table feeds two aggregate chains (centroids,
+    # own-centroid distances) and the centroid/scatter frames each feed
+    # three consumers; unstaged, the final plan re-ran the explode scan
+    # eight times.  Lazy checkpoints: pts once (N*d rows), cent (k*d =
+    # 640 cells) and scat (k rows) once each — 8 heavy passes -> 3.
     pts = emb.select(
         "vec_id",
         F.col("label").alias("own"),
@@ -106,13 +111,13 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "own",
         F.col("pos").alias("i"),
         F.round(F.col("col"), 9).alias("x"),
-    )
+    ).localCheckpoint(eager=False)
     cent = pts.groupBy(F.col("own").alias("clabel"), "i").agg(
         (
             F.sum(F.col("x").cast("decimal(20,9)")).cast("double")
             / F.count(F.lit(1))
         ).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     cent_o = cent.select(
         F.col("clabel"), F.col("i").alias("ci"), F.col("c")
     )
@@ -140,7 +145,7 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.count(F.lit(1))
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     ca = cent.select(
         F.col("clabel").alias("la"), F.col("i").alias("ia"), F.col("c").alias("c1")
     )
@@ -148,8 +153,11 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clabel").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("c2")
     )
     cd = (
+        # broadcast: the checkpointed cent is a stats-less LogicalRDD,
+        # and k*d = 640 cells is structurally bounded at any data scale
         ca.join(
-            cb, (F.col("ia") == F.col("ib")) & (F.col("la") != F.col("lb"))
+            F.broadcast(cb),
+            (F.col("ia") == F.col("ib")) & (F.col("la") != F.col("lb")),
         )
         .groupBy("la", "lb")
         .agg(
@@ -173,7 +181,8 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max((F.col("s_a") + F.col("s_b")) / F.col("m")).alias("db_i"))
     )
     return (
-        scat.join(ratio, scat["own"] == ratio["la"])
+        # broadcast: ratio is k rows (one per label), bounded at any scale
+        scat.join(F.broadcast(ratio), scat["own"] == ratio["la"])
         .select(
             F.col("own").cast("int").alias("label"),
             "n_points",

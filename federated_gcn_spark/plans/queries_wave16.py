@@ -420,6 +420,11 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: histogram products are exact DECIMAL; one division at
     emit."""
     lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    # ed feeds both union arms and hist feeds three consumers (self
+    # cross join sides + totals); unstaged, the final plan re-ran the
+    # lineitem scan + distinct six times.  Two lazy checkpoints (ed is
+    # the sampled edge list, hist is bounded by distinct degree
+    # values) -> one scan.
     ed = (
         lineitem.where(F.col("l_orderkey") % 50 == 0)
         .select(
@@ -427,12 +432,17 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 10_000_000).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = ed.union(
         ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist = (
+        deg.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     hb = hist.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
     cross_h = hist.crossJoin(F.broadcast(hb)).agg(
         F.sum(

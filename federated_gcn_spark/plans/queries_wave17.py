@@ -452,6 +452,11 @@ def neighbor_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by distinct degree values.  Determinism: exact integer
     endpoint tallies, one division."""
     lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    # ed feeds both union arms, sym feeds the degree aggregate AND the
+    # pair join, deg joins back twice — unstaged, the final plan re-ran
+    # the lineitem scan + distinct six times.  Three lazy checkpoints
+    # -> one scan (the standard two-pass degree join, now actually two
+    # passes).
     ed = (
         lineitem.where(F.col("l_orderkey") % 50 == 0)
         .select(
@@ -459,12 +464,19 @@ def neighbor_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 10_000_000).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sym = ed.union(
-        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    sym = (
+        ed.union(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("id").alias("uid"), F.col("d").alias("d_self"))
     dv = deg.select(F.col("id").alias("vid"), F.col("d").alias("d_nbr"))
