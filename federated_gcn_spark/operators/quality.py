@@ -96,11 +96,14 @@ def dsir_log_weights(
     The bucket tables are n_buckets rows regardless of corpus size and
     ride as broadcast joins; the only large exchanges are the token
     explode the caller already paid and the per-document sum."""
+    # b feeds the raw/target bucket tallies, the totals and the scoring
+    # join — unstaged, the caller's tokenize explode re-ran four times.
+    # One lazy checkpoint -> one tokenize+hash pass.
     b = tok.select(
         F.col(id_col).alias("__id"),
         F.col(target_col).alias("__t"),
         F.pmod(F.xxhash64(token_col), F.lit(n_buckets)).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt = b.where("__t").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     tot = b.agg(

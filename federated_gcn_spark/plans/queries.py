@@ -4861,7 +4861,14 @@ def supplier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-cross-product discipline as the LSH bucket joins — and the
     marginals broadcast back onto the top pairs."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    ok = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    # ok (distinct order-supplier) feeds both pair sides and the
+    # marginals; singles joins back twice — unstaged, lineitem was
+    # scanned + deduplicated four times.  Two lazy checkpoints -> one.
+    ok = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = ok.toDF("l_orderkey", "supp_a")
     b = ok.toDF("l_orderkey", "supp_b")
     pairs = (
@@ -4872,7 +4879,7 @@ def supplier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     singles = ok.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_orders")
-    )
+    ).localCheckpoint(eager=False)
     orders = load_table(spark, sf_dir, "orders")
     total = orders.agg(
         F.countDistinct("o_orderkey").cast("double").alias("n")
@@ -4917,16 +4924,22 @@ def weighted_neighbor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # aggregate_messages joins the vertex attrs twice (src/dst sides)
+    # and edges feed both the triplets and the degree count — unstaged,
+    # the vertex union+groupBy shuffle ran twice and lineitem was
+    # scanned four times.  Two lazy checkpoints -> one scan each.
     vertices = orders.select(
         F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("price")
     ).unionByName(
         lineitem.select(F.col("l_suppkey").alias("id"), F.lit(0.0).alias("price"))
-    ).groupBy("id").agg(F.max("price").alias("price"))
+    ).groupBy("id").agg(F.max("price").alias("price")).localCheckpoint(
+        eager=False
+    )
     edges = lineitem.select(
         F.col("l_orderkey").alias("src"),
         F.col("l_suppkey").alias("dst"),
         F.col("l_quantity").alias("weight"),
-    )
+    ).localCheckpoint(eager=False)
     g = Graph(vertices, edges)
     msgs = g.aggregate_messages(
         msg=F.col("weight") * F.col("src_price"),
@@ -5052,13 +5065,18 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     median passes and the flag pass all shuffle on event_type only, and
     the tiny per-type stats broadcast back onto the scan."""
     events = load_table(spark, sf_dir, "events")
+    # med's full percentile shuffle fed three consumers (mad, the flag
+    # join, the emit) and re-ran per consumer; the tiny per-type stats
+    # are staged once each (events itself stays scan-per-pass — the
+    # three passes shuffle different expressions).
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("med")
-    )
+    ).localCheckpoint(eager=False)
     mad = (
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+        .localCheckpoint(eager=False)
     )
     flagged = events.join(F.broadcast(med), "event_type").join(
         F.broadcast(mad), "event_type"
@@ -5490,9 +5508,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # toks feeds corpus stats, doc lengths and the postings filter; tfc
+    # feeds the df aggregate and the scorer — unstaged, the corpus was
+    # scanned + tokenized four times.  Two lazy checkpoints (tokenized
+    # corpus once, query-term postings once) -> one tokenize pass.
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     stats = toks.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size("toks").cast("double")).alias("avgdl"),
@@ -5503,6 +5525,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfc = tfc.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")

@@ -90,6 +90,11 @@ def bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from federated_gcn_spark.operators.bloom import bloom_bits, bloom_prune
 
+    # fo feeds the filter build and the exact semi join; bits is
+    # referenced once per hash inside bloom_prune; probe feeds the
+    # pruned, exact and total counts — unstaged, orders was scanned
+    # four times and lineitem three.  Three lazy checkpoints (fo and
+    # bits are filter-sized, probe is one key column) -> one scan each.
     fo = (
         load_table(spark, sf_dir, "orders")
         .where(
@@ -97,9 +102,16 @@ def bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
         )
         .select("o_orderkey")
+        .localCheckpoint(eager=False)
     )
-    probe = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    bits = bloom_bits(fo, "o_orderkey", _BLOOM_BITS, _BLOOM_HASHES)
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .localCheckpoint(eager=False)
+    )
+    bits = bloom_bits(fo, "o_orderkey", _BLOOM_BITS, _BLOOM_HASHES).localCheckpoint(
+        eager=False
+    )
     passed = bloom_prune(probe, bits, "l_orderkey", _BLOOM_BITS, _BLOOM_HASHES)
     exact = probe.join(
         fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"

@@ -1208,9 +1208,13 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # d (tokenized arrays) feeds the vocab count and the bigram stream;
+    # bi feeds both count aggregates and the scoring join — unstaged,
+    # the corpus was scanned + tokenized four times.  Two lazy
+    # checkpoints -> one tokenize pass, one bigram build.
     d = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")
-    )
+    ).localCheckpoint(eager=False)
     toks = d.select(F.explode("l").alias("term"))
     v = toks.agg(F.countDistinct("term").cast("double").alias("vsz"))
     bi = d.select(
@@ -1219,7 +1223,7 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr("slice(l, 1, size(l) - 1)")).alias("pos", "w1"),
     ).select(
         "doc_id", "w1", F.expr("element_at(l, pos + 2)").alias("w2")
-    )
+    ).localCheckpoint(eager=False)
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     return (

@@ -250,9 +250,13 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization sum (exact), and each weight is one single
     division."""
     documents = load_table(spark, sf_dir, "documents", parallel=True)
+    # src (the one corpus-sized tally, a handful of rows) feeds the
+    # total and the weight table; t feeds the normalizer and the emit —
+    # unstaged, the corpus was counted four times.  Two lazy
+    # checkpoints -> one scan.
     src = documents.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
     tot = src.agg(F.sum("n_docs").cast("long").alias("n"))
     p = F.col("n_docs").cast("double") / F.col("n").cast("double")
 
@@ -267,7 +271,7 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         temp(0.5).alias("t05"),
         temp(0.7).alias("t07"),
         F.round(p, 12).cast("decimal(24,12)").alias("t10"),
-    )
+    ).localCheckpoint(eager=False)
     z = t.agg(
         F.sum("t05").alias("z05"),
         F.sum("t07").alias("z07"),

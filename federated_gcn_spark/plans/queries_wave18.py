@@ -187,12 +187,20 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact; Jaccard is one division; ordering ties break on
     (s1, s2)."""
     lineitem = load_table(spark, sf_dir, "lineitem", parallel=True)
+    # baskets feeds the degree tally and both pair sides; deg joins
+    # back twice — unstaged, lineitem was scanned + deduplicated four
+    # times.  Two lazy checkpoints -> one scan.
     baskets = (
         lineitem.where(F.col("l_orderkey") % 10 == 0)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    deg = baskets.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = (
+        baskets.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     b = baskets.select(F.col("ok").alias("ok2"), F.col("s").alias("s2"))
     pairs = (
         baskets.join(

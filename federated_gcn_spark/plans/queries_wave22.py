@@ -101,10 +101,14 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bin"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
+    # hist (~100 bins) feeds the totals and the cumulative; keyed feeds
+    # the argmax and the tie-break join — unstaged, the final plan
+    # re-ran the lineitem scan + histogram four times.  Two lazy
+    # checkpoints on bounded-size frames -> one scan.
     hist = s.groupBy("bin").agg(
         F.sum("y").cast("long").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
-    )
+    ).localCheckpoint(eager=False)
     tot = hist.agg(
         F.sum("pos").cast("long").alias("p"),
         F.sum("neg").cast("long").alias("n"),
@@ -121,7 +125,7 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = cum.withColumn(
         "jkey", F.col("tp") * F.col("n") - F.col("fp") * F.col("p")
-    )
+    ).localCheckpoint(eager=False)
     best = keyed.agg(F.max("jkey").alias("maxkey"))
     j = keyed.join(
         F.broadcast(best), F.col("jkey") == F.col("maxkey")

@@ -421,12 +421,15 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX(doc_id)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     mx = docs.agg((F.max("doc_id") + 1).alias("span"))
+    # assign feeds both per-scheme tallies; unstaged, each tally re-ran
+    # the scan + hash (4 scans counting mx).  One lazy checkpoint on
+    # the two-column shard table -> one assignment pass.
     assign = docs.crossJoin(F.broadcast(mx)).select(
         F.pmod(F.xxhash64("doc_id"), F.lit(_SHARDS)).alias("hash_shard"),
         F.floor(F.col("doc_id") * _SHARDS / F.col("span"))
         .cast("long")
         .alias("range_shard"),
-    )
+    ).localCheckpoint(eager=False)
 
     def stats(col: str, prefix: str) -> DataFrame:
         cnt = assign.groupBy(col).agg(

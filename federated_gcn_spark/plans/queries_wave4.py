@@ -768,10 +768,14 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.explode(tokens(F.lower(F.col("text")))).alias("term"),
     )
+    # ct (the vocabulary-sized count table) feeds the totals and the
+    # scorer; contrib feeds the KL summary and the top-10 ranking —
+    # unstaged, the corpus was tokenized four times.  Two lazy
+    # checkpoints at vocabulary scale -> one tokenize pass.
     ct = toks.groupBy("term").agg(
         F.count_if(F.col("half") == 0).alias("c_a"),
         F.count_if(F.col("half") == 1).alias("c_b"),
-    )
+    ).localCheckpoint(eager=False)
     tots = ct.agg(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),
@@ -803,7 +807,7 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_b") * F.log(F.col("p_b") / F.col("p_a")), 12)
         .cast("decimal(20,12)")
         .alias("kl_ba_term"),
-    )
+    ).localCheckpoint(eager=False)
     summary = contrib.agg(
         F.round(F.sum("kl_ab_term").cast("double"), 6).alias("kl_ab"),
         F.round(F.sum("kl_ba_term").cast("double"), 6).alias("kl_ba"),
@@ -3076,9 +3080,12 @@ def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-double expression rounded to decimal before the exact
     sums; three IEEE emits."""
     li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    # ct (|A|x|B| cells, tiny) feeds both marginals, the totals and the
+    # term table — unstaged, lineitem was scanned + aggregated four
+    # times.  One lazy checkpoint -> one scan.
     ct = li.groupBy(
         F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     marg = ct.groupBy("a").agg(F.sum("c").alias("ca"))
     margb = ct.groupBy("b").agg(F.sum("c").alias("cb"))
     tot = ct.agg(

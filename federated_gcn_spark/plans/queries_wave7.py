@@ -253,23 +253,31 @@ def brier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2),
         ).alias("fold"),
     )
-    train = (
-        li.where(F.col("fold") == 0)
-        .groupBy("score_bin")
+    # Both folds' bin moments in ONE conditional aggregate (was: two
+    # separate filtered aggregates inner-joined, each its own scan, and
+    # the join re-ran per downstream consumer — four scans total).  The
+    # inner join's bins-present-in-both-folds semantics is the n0>0 AND
+    # n_k>0 filter; p = pos0/n0 is the identical integer division.  The
+    # bin-sized result is staged once.
+    joined = (
+        li.groupBy("score_bin")
         .agg(
-            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("p")
+            F.count_if(F.col("fold") == 0).alias("n0"),
+            F.sum(F.when(F.col("fold") == 0, F.col("y"))).alias("pos0"),
+            F.count_if(F.col("fold") == 1).alias("n_k"),
+            F.sum(F.when(F.col("fold") == 1, F.col("y")))
+            .cast("long")
+            .alias("pos_k"),
         )
-    )
-    test = (
-        li.where(F.col("fold") == 1)
-        .groupBy("score_bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_k"),
-            F.sum("y").cast("long").alias("pos_k"),
+        .where((F.col("n0") > 0) & (F.col("n_k") > 0))
+        .select(
+            "score_bin",
+            "n_k",
+            "pos_k",
+            (F.col("pos0").cast("double") / F.col("n0")).alias("p"),
         )
-    )
-    joined = test.join(train, "score_bin").withColumn(
-        "ybar_k", F.col("pos_k").cast("double") / F.col("n_k")
+        .withColumn("ybar_k", F.col("pos_k").cast("double") / F.col("n_k"))
+        .localCheckpoint(eager=False)
     )
     tot = joined.agg(
         F.sum("n_k").cast("long").alias("n"),
