@@ -1603,12 +1603,15 @@ def link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     n = emb.count()
-    edges = emb.select(
+    # the (id, vector) projection feeds the edge derivation and both
+    # attribute sides; staged once -> one scan instead of three
+    base = emb.select("vec_id", "embedding").localCheckpoint(eager=False)
+    edges = base.select(
         F.col("vec_id").alias("u"),
         ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("v"),
     )
-    eu = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("h_u"))
-    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("h_v"))
+    eu = base.select(F.col("vec_id").alias("u"), F.col("embedding").alias("h_u"))
+    ev = base.select(F.col("vec_id").alias("v"), F.col("embedding").alias("h_v"))
     return (
         edges.join(eu, "u")
         .join(ev, "v")
@@ -1689,11 +1692,12 @@ def embedding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.operators.merge import union_keep_first
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # base feeds all three overlapping slices; staged once -> one scan
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("label").cast("long").alias("label"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
-    )
+    ).localCheckpoint(eager=False)
     parts = [
         base.where(F.col("vec_id") % 2 == 0),
         base.where(F.col("vec_id") % 3 == 0),
@@ -1967,9 +1971,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # tf already has exactly one row per (doc, term) — document frequency
-    # is a plain count, and the identical scan→explode→agg subtree on
-    # both join sides lets Spark reuse the exchange instead of running
-    # the tokenize pipeline twice (count_distinct would break the match).
+    # is a plain count.  The (doc, term) aggregate is staged once (lazy
+    # checkpoint) instead of leaning on exchange reuse to dedupe the
+    # identical tokenize subtrees on the two join sides.
+    tf = tf.localCheckpoint(eager=False)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(dfc, "term")
@@ -2316,10 +2321,14 @@ def graphsage_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"),
         ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("dst"),
     )
+    # hx feeds the neighbor-mean join and the concat union; staged once
+    # -> one explode pass instead of two
     hx = emb.select(
         F.col("vec_id").alias("id"),
         F.posexplode(F.slice("embedding", 1, 8)).alias("k0", "v"),
-    ).select("id", (F.col("k0") + 1).alias("k"), F.col("v").cast("double").alias("v"))
+    ).select(
+        "id", (F.col("k0") + 1).alias("k"), F.col("v").cast("double").alias("v")
+    ).localCheckpoint(eager=False)
     mean_n = (
         edges.join(hx.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").alias("id"), (F.col("k") + 8).alias("k"))
@@ -3145,7 +3154,14 @@ def domain_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the fact side stays a single codegen'd filter pass."""
     from federated_gcn_spark.operators.sample import mixture_sample
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # project to the two columns the sampler and the emit need, staged
+    # once: mixture_sample consumes its input twice (domain tally +
+    # fact filter)
+    docs = (
+        load_table(spark, sf_dir, "documents", parallel=True)
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
     out = mixture_sample(
         docs, domain_col="lang",
         target_shares={"en": 0.5, "de": 0.3, "fr": 0.2},
@@ -4102,9 +4118,11 @@ def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # toks feeds the total, the LM counts and the scoring join; one
+    # lazy checkpoint -> one tokenize pass instead of three.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
     p = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     return (

@@ -196,9 +196,11 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches. The supplier dim joins last, against the already-reduced
     per-supplier counts, and broadcasts.
     """
+    # The 3-column fact projection feeds all three legs (semi, anti,
+    # probe); one lazy checkpoint -> one scan instead of three.
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
-    )
+    ).localCheckpoint(eager=False)
     supplier = load_table(spark, sf_dir, "supplier")
     l1 = lineitem.where(F.col("l_returnflag") == "R")
     other = lineitem.select(

@@ -199,6 +199,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # tc (vocab counts) feeds the sketch build and the exact top-20;
+    # top feeds the probe and the final join — staged once each -> one
+    # tokenize pass instead of three
     tc = (
         docs.select(
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
@@ -206,9 +209,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     counters = cms_counters(tc, "term", "cnt", depth=3, width=16)
-    top = tc.orderBy(F.col("cnt").desc(), "term").limit(20)
+    top = (
+        tc.orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+        .localCheckpoint(eager=False)
+    )
     est = cms_estimate(top.select("term"), counters, "term", depth=3, width=16)
     return (
         top.join(est, "term")
@@ -378,6 +386,9 @@ def merge_upsert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("SUPPLIER").alias("c_mktsegment"),
             )
         )
+        # the update trickle feeds both merge legs (anti join + union);
+        # staged once instead of re-running both source scans per leg
+        .localCheckpoint(eager=False)
     )
     merged = merge_upsert(customer, upd, ["c_custkey"])
     return (

@@ -213,21 +213,29 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free) and a 4-row tally.  Determinism: categories are
     exact integer / hash-bucket comparisons."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    bucket = F.pmod(F.xxhash64("o_orderkey", F.lit(7)), F.lit(100))
-    v1 = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+    # One staged (key, cents, bucket) projection feeds v1 and both v2
+    # arms — unstaged, the scan + hash ran three times.
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.pmod(F.xxhash64("o_orderkey", F.lit(7)), F.lit(100)).alias(
+            "bucket"
+        ),
+    ).localCheckpoint(eager=False)
+    v1 = base.select("k", "cents")
     v2 = (
-        orders.where(bucket != 0)
+        base.where(F.col("bucket") != 0)
         .select(
-            F.col("o_orderkey").alias("k"),
-            (cents + F.when(bucket.isin(1, 2), 100).otherwise(0)).alias(
-                "cents"
-            ),
+            "k",
+            (
+                F.col("cents")
+                + F.when(F.col("bucket").isin(1, 2), 100).otherwise(0)
+            ).alias("cents"),
         )
         .unionAll(
-            orders.where(bucket == 3).select(
-                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
-                cents.alias("cents"),
+            base.where(F.col("bucket") == 3).select(
+                (F.col("k") + 1_000_000_000).alias("k"),
+                F.col("cents"),
             )
         )
     )

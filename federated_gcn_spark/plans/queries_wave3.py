@@ -734,10 +734,17 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.plans.queries import _event_epoch_sec
 
     events = load_table(spark, sf_dir, "events")
+    # e feeds the first-seen aggregate and the activity join;
+    # first_seen feeds the join and the cohort sizes — staged once
+    # each -> one scan instead of three
     e = events.select(
         "user_id", _event_epoch_sec(events).alias("sec")
-    ).withColumn("day", F.expr("sec div 86400"))
-    first_seen = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    ).withColumn("day", F.expr("sec div 86400")).localCheckpoint(eager=False)
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
     activity = (
         e.join(first_seen, "user_id")
         .select(

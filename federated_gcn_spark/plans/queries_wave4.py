@@ -1297,10 +1297,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sums accumulate in DECIMAL(38,0) — exact, order-independent —
     so the single double expression at the emit is IEEE-identical; no
     float accumulates anywhere."""
+    # the distinct edge list feeds both degree aggregates and the
+    # re-join; staged once -> one scan + distinct instead of three
     e = (
         load_table(spark, sf_dir, "lineitem", parallel=True)
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
     dp = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg_p"))

@@ -231,10 +231,12 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistics over the {b} means cannot diverge across engines.
     """.format(b=_BOOT_B)
     orders = load_table(spark, sf_dir, "orders", parallel=True)
+    # o feeds the point estimate and the replicate explode; reps feeds
+    # both CI tails — staged once each -> one scan instead of three
     o = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     pt = o.agg(
         F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("tot")
     ).select(
@@ -262,6 +264,7 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(100.0) * F.sum("wt"))
             ).alias("m")
         )
+        .localCheckpoint(eager=False)
     )
     lo = reps.orderBy("m").limit(2).agg(F.max("m").alias("ci_lo"))
     hi = reps.orderBy(F.desc("m")).limit(2).agg(F.min("m").alias("ci_hi"))

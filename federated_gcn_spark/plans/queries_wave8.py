@@ -76,12 +76,15 @@ def sequence_support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.plans.queries import _event_epoch_sec
 
     events = load_table(spark, sf_dir, "events", parallel=True)
+    # t feeds the journey reduction and the distinct-user count; m
+    # feeds both pair sides — unstaged, events was scanned three times.
+    # Two lazy checkpoints -> one scan.
     t = events.select(
         "user_id", "event_type", _event_epoch_sec(events).alias("sec")
-    )
+    ).localCheckpoint(eager=False)
     m = t.groupBy("user_id", "event_type").agg(
         F.min("sec").alias("mn"), F.max("sec").alias("mx")
-    )
+    ).localCheckpoint(eager=False)
     u = t.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     a = m.select("user_id", F.col("event_type").alias("first_type"),
                  F.col("mn").alias("a_mn"))
