@@ -359,9 +359,11 @@ def embedding_near_dup_pairs(
     lsh = RandomHyperplaneLSH(
         dim=len(embeddings.select(vec_col).first()[0]), n_planes=n_planes, seed=seed
     )
+    # the bucketed table feeds both self-join sides; staged once -> one
+    # scan + signature pass instead of two
     b = lsh.with_buckets(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         b.alias("a")
         .join(

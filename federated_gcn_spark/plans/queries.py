@@ -1651,11 +1651,14 @@ def neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     n = emb.count()
-    edges = emb.select(
+    # the (id, vector) projection feeds the edge derivation and the
+    # feature side; staged once -> one scan instead of two
+    base = emb.select("vec_id", "embedding").localCheckpoint(eager=False)
+    edges = base.select(
         F.col("vec_id").alias("src"),
         ((F.col("vec_id") * 31 + 7) % F.lit(n)).alias("dst"),
     )
-    feats = emb.select(F.col("vec_id").alias("src"), "embedding")
+    feats = base.select(F.col("vec_id").alias("src"), "embedding")
     ex = edges.join(feats, "src").select(
         "dst", F.posexplode("embedding").alias("pos", "x")
     )
@@ -2021,9 +2024,11 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.functions.text import shingles
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # sh feeds both sides of the adjacent-pair join; staged once -> one
+    # shingle pass instead of two
     sh = docs.select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
                   F.col("s").alias("sb"))
@@ -3119,7 +3124,10 @@ def decontam_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory is post-distinct small — AQE broadcasts it, no hint."""
     from federated_gcn_spark.operators.decontam import contamination_report
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # both split filters read the same corpus; staged once -> one scan
+    docs = load_table(spark, sf_dir, "documents", parallel=True).localCheckpoint(
+        eager=False
+    )
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return contamination_report(train, eval_df, n=3)
@@ -3224,7 +3232,11 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.operators.chunk import chunk_documents
     from federated_gcn_spark.operators.pack import pack_sequences, packing_stats
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # docs feeds the chunker and the lang join-back; staged once -> one
+    # scan instead of two
+    docs = load_table(spark, sf_dir, "documents", parallel=True).localCheckpoint(
+        eager=False
+    )
     chunks = chunk_documents(docs, size=64, stride=64).join(
         docs.select("doc_id", "lang"), "doc_id"
     )
@@ -4007,9 +4019,11 @@ def edit_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/banding at scale; here the adjacent-id pairing keeps the checked
     pair set deterministic, as in ngram_jaccard_adjacent)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # t feeds both sides of the adjacent-pair join; staged once -> one
+    # scan instead of two
     t = docs.select(
         "doc_id", F.substring(F.lower(F.col("text")), 1, 40).alias("head")
-    )
+    ).localCheckpoint(eager=False)
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
@@ -4220,11 +4234,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. A left_anti join on md5(text): at 100 TB the history side is
     a fingerprint-only table (16 bytes/doc), partitioned by fingerprint
     prefix, so each increment shuffles only the new batch."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
-    hist = docs.where(F.col("doc_id") < 250).select(F.md5("text").alias("fp"))
-    novel = docs.where(F.col("doc_id") >= 250).select(
-        "doc_id", F.md5("text").alias("fp")
+    # one staged (doc_id, fingerprint) projection feeds both snapshot
+    # filters: one scan, md5 computed once per row instead of twice
+    fps = (
+        load_table(spark, sf_dir, "documents", parallel=True)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .localCheckpoint(eager=False)
     )
+    hist = fps.where(F.col("doc_id") < 250).select("fp")
+    novel = fps.where(F.col("doc_id") >= 250).select("doc_id", "fp")
     return novel.join(hist, "fp", "left_anti").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )

@@ -275,6 +275,8 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     ).where(F.size("toks") >= 8)
+    # sh feeds the shingle-frequency aggregate and the scoring join;
+    # staged once -> one shingle pass instead of two
     sh = toks.select(
         "doc_id",
         F.explode(
@@ -285,7 +287,7 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     dup = F.when(F.col("df") >= 2, F.lit(1)).otherwise(F.lit(0))
     return (

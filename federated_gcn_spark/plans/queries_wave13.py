@@ -268,7 +268,13 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every rule is an exact integer comparison
     (cross-multiplied, no ratio division); one single division at
     emit."""
-    documents = load_table(spark, sf_dir, "documents", parallel=True)
+    # the (id, text) projection feeds the string-rule battery and the
+    # token aggregate; staged once -> one scan instead of two
+    documents = (
+        load_table(spark, sf_dir, "documents", parallel=True)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     base = documents.select(
         "doc_id",
         F.length("text").alias("len"),

@@ -124,9 +124,11 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is left-to-right; ratios round to 9 dp before the exact
     DECIMAL-sum mean."""
     signs = _jl_signs()
+    # the (id, vector) projection feeds both pair sides; staged once ->
+    # one scan instead of two
     emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).localCheckpoint(eager=False)
 
     def proj(col: str, k: int):
         lit = F.array(*[F.lit(float(s)) for s in signs[k]])
@@ -401,6 +403,8 @@ def ngram_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # grams feeds the train inventory and the held side; staged once ->
+    # one shingle explode instead of two
     grams = docs.select(
         "doc_id",
         "source",
@@ -408,7 +412,7 @@ def ngram_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(word_ngrams(F.col("text"), _NOV_N))).alias(
             "gram"
         ),
-    )
+    ).localCheckpoint(eager=False)
     train_inv = grams.where(~F.col("held")).select("gram").distinct()
     held = grams.where(F.col("held"))
     j = held.join(

@@ -1835,7 +1835,13 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), so cell means sit far from rounding boundaries."""
     from federated_gcn_spark.functions.text import quality_score, token_count
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # the 4-column projection feeds the quality pass and the duplicate
+    # tally; staged once -> one scan instead of two
+    docs = (
+        load_table(spark, sf_dir, "documents", parallel=True)
+        .select("source", "lang", "text", "n_chars")
+        .localCheckpoint(eager=False)
+    )
     q = docs.select(
         "source",
         "lang",
@@ -2656,9 +2662,11 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).where(
         F.trim(F.col("text")) != ""
     )
+    # toks feeds the per-doc counts and the first-occurrence aggregate;
+    # staged once -> one tokenize pass instead of two
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     firsts = (
         toks.groupBy("term")
@@ -3350,7 +3358,11 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     One contingency aggregate; entropy contributions rounded to 12 dp
     and decimal-summed per the drift-family rule."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    ct = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # ct (|sources| x |langs| cells) feeds the totals and the entropy
+    # terms; staged once -> one scan instead of two
+    ct = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     tot = ct.groupBy("source").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n")
     terms = ct.join(tot, "source").select(

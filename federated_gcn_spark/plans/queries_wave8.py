@@ -162,6 +162,8 @@ def clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, squared-diff terms are 12-dp DECIMAL sums, and sqrt/
     min/max over identical doubles cannot diverge."""
     emb = load_table(spark, sf_dir, "embeddings", parallel=True)
+    # pts feeds the centroid aggregate and the distance join; staged
+    # once -> one explode pass instead of two
     pts = emb.select(
         "vec_id",
         F.col("label").alias("own"),
@@ -169,7 +171,7 @@ def clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "own", F.col("pos").alias("i"),
         F.round("col", 9).alias("x"),
-    )
+    ).localCheckpoint(eager=False)
     cent = pts.groupBy(F.col("own").alias("clabel"), "i").agg(
         (
             F.sum(F.col("x").cast("decimal(20,9)")).cast("double")
