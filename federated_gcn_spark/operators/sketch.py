@@ -239,6 +239,9 @@ def hll_rolling_estimate(
         )
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("mr"))
+        # daily feeds both the existing-day probe and the window
+        # expansion; staged once -> one corpus-sized register build
+        .localCheckpoint(eager=False)
     )
     days = daily.select("day").distinct()
     expanded = daily.select(

@@ -3831,9 +3831,14 @@ def retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned equi join, never a cross of days."""
     events = load_table(spark, sf_dir, "events")
     sec = _event_epoch_sec(events)
+    # the join keys differ per side ((user, day) vs (user, day+1)), so
+    # exchange reuse cannot dedup the two dedup subtrees; staged once ->
+    # one corpus-sized distinct instead of two
     d = events.select(
         "user_id", (sec - sec % 86400).alias("day_sec")
-    ).select("user_id", (F.col("day_sec") / 86400).cast("long").alias("day")).distinct()
+    ).select(
+        "user_id", (F.col("day_sec") / 86400).cast("long").alias("day")
+    ).distinct().localCheckpoint(eager=False)
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(
@@ -3988,13 +3993,18 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events.select(
         "event_type", ((sec - sec % 86400) / 86400).cast("long").alias("day")
     )
-    bounds = t.groupBy("event_type").agg(
+    # one fact aggregate: bounds derive from the (type, day) counts
+    # (min/max day are invariant under the day-level rollup), staged so
+    # the calendar generation and the join-back share it
+    counts = t.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    bounds = counts.groupBy("event_type").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     days = bounds.select(
         "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
     )
-    counts = t.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
     return days.join(counts, ["event_type", "day"], "left").select(
         "event_type",
         "day",
@@ -4401,6 +4411,9 @@ def node2vec_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 10_000_000).alias("dst"),
         )
         .distinct()
+        # edges feeds both the vertex derivation and the walk steps;
+        # staged once -> one filtered distinct over the fact
+        .localCheckpoint(eager=False)
     )
     g = Graph.from_edges(edges)
     starts = g.vertices.orderBy("id").limit(100)

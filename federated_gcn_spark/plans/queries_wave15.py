@@ -335,6 +335,9 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("delta", F.col("rev_c") - F.lag("rev_c").over(wd))
         .filter(F.col("delta").isNotNull())
         .select("day", "delta")
+        # deltas self-joins for the trailing window; staged once -> one
+        # daily aggregate + lag instead of two
+        .localCheckpoint(eager=False)
     )
     w = deltas.select(
         F.col("day").alias("wday"), F.col("delta").alias("wdelta")

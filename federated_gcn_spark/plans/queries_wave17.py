@@ -348,6 +348,9 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             "rev_c",
         )
+        # blk feeds both the block moments and the cumulative walk;
+        # staged once -> one daily aggregate + window instead of two
+        .localCheckpoint(eager=False)
     )
     rd = F.col("rev_c").cast("decimal(38,0)")
     bsum = blk.groupBy("k", "b").agg(

@@ -305,7 +305,11 @@ def exponential_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull() & (F.col("g") > 0))
         .select("g")
     )
-    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # hist feeds both the totals and the CDF walk; staged once -> one
+    # per-customer window + histogram over the fact instead of two
+    hist = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
     tot = hist.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("c") * F.col("g")).cast("long").alias("sg"),
@@ -398,7 +402,9 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("v"), F.asc("o_orderkey")))
         .alias("rn"),
-    )
+        # top feeds both the threshold probe and the term pass; staged
+        # once -> one fact TakeOrdered instead of two
+    ).localCheckpoint(eager=False)
     thresh = top.agg(
         F.max(F.when(F.col("rn") == 51, F.col("v"))).alias("vk")
     )

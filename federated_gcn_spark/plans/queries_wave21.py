@@ -209,7 +209,11 @@ def anderson_darling_gap_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull() & (F.col("g") > 0))
         .select("g")
     )
-    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # hist feeds both the totals and the ranked walk; staged once ->
+    # one per-customer window + histogram over the fact instead of two
+    hist = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
     tot = hist.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("c") * F.col("g")).cast("long").alias("sg"),

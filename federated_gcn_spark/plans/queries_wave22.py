@@ -335,7 +335,9 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "t",
         (F.col("mt") - F.min("mt").over(wd)).alias("ph_t"),
-    )
+        # ph feeds both the max probe and the peak pick; staged once ->
+        # one daily aggregate + window chain instead of two
+    ).localCheckpoint(eager=False)
     mx = ph.agg(F.max("ph_t").alias("max_ph"))
     j = ph.crossJoin(F.broadcast(mx))
     return j.agg(

@@ -253,6 +253,9 @@ def hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
         )
+        # spend feeds both the nation totals and the deviation pass;
+        # staged once -> one join+aggregate over the fact instead of two
+        .localCheckpoint(eager=False)
     )
     tot = spend.groupBy(F.col("c_nationkey").alias("nk")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -684,9 +684,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
+    # pairs feeds both the row-normalizing totals and the emit; staged
+    # once -> one user-window pass over the fact instead of two
     pairs = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return pairs.join(F.broadcast(tot), "from_type").select(
         "from_type",

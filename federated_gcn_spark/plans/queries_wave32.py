@@ -115,7 +115,9 @@ def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one bounded-bucket tally, one reduce.  Determinism:
     per-bucket terms round to 12 dp into exact DECIMAL sums; the
     emits are fixed expressions (hellinger_price_drift's pattern)."""
-    b = _bucketed(_halved(spark, sf_dir), 100_000)
+    # b feeds both the totals and the term pass; staged once -> one
+    # bucket tally over the fact instead of two
+    b = _bucketed(_halved(spark, sf_dir), 100_000).localCheckpoint(eager=False)
     tot = b.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),

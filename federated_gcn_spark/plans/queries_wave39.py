@@ -339,10 +339,17 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.select("user_id", day.alias("day")).withColumn(
         "week", F.floor(F.col("day") / 7).cast("long")
     )
-    daily = ev.groupBy("week", "day").agg(
-        F.countDistinct("user_id").cast("long").alias("dau")
+    # one corpus-sized distinct serves both granularities: DAU is a
+    # count over the (week, day, user) distinct set, WAU a distinct-user
+    # count over the same set (a user active in a week is active on at
+    # least one of its days) — instead of two independent fact shuffles
+    wdu = ev.select("week", "day", "user_id").distinct().localCheckpoint(
+        eager=False
     )
-    weekly = ev.groupBy("week").agg(
+    daily = wdu.groupBy("week", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    weekly = wdu.groupBy("week").agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )
     per = daily.join(weekly, "week").groupBy("week").agg(

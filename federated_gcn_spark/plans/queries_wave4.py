@@ -1475,7 +1475,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    # obs feeds both the total and the scored pass; staged once -> one
+    # fact aggregate instead of two
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    ).localCheckpoint(eager=False)
     tot = obs.agg(F.sum("observed").alias("n"))
     p_expr = F.lit(None).cast("double")
     expected_map = None
@@ -3290,6 +3294,9 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
         )
         .distinct()
+        # e feeds both the candidate draws and the collision join-back;
+        # staged once -> one filtered distinct over the fact
+        .localCheckpoint(eager=False)
     )
     ns = load_table(spark, sf_dir, "supplier").agg(
         F.count(F.lit(1)).alias("n")
@@ -3589,7 +3596,11 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds both the min probe and the terms pass; staged once ->
+    # one distinct+aggregate over the fact instead of two
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
     mn = deg.agg(F.min("d").alias("dmin"))
     terms = deg.crossJoin(F.broadcast(mn)).select(
         "dmin",
@@ -4010,12 +4021,14 @@ def hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderkey") % 2).alias("half"),
     )
+    # b feeds both the totals and the term pass; staged once -> one
+    # bucket tally over the fact instead of two
     b = orders.groupBy(
         F.expr("cents div 100000").alias("bucket")
     ).agg(
         F.count_if(F.col("half") == 0).alias("c1"),
         F.count_if(F.col("half") == 1).alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     tot = b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     terms = b.crossJoin(F.broadcast(tot)).select(
         F.round(

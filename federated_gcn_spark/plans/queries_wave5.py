@@ -598,7 +598,9 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 2).alias("t"),
         F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
+    # cust feeds both the pooled moments and the per-arm sums; staged
+    # once -> one customer-keyed fact aggregate instead of two
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     mom = cust.agg(
         F.count(F.lit(1)).alias("n"),

@@ -463,11 +463,13 @@ def double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,6) (exact, order-independent); s1/s2/level/forecast are
     fixed double expressions of those exact sums."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
+    # daily self-joins for the trailing window; staged once -> one fact
+    # aggregate instead of two
     daily = orders.groupBy(
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)
     w = daily.select(
         F.col("day").alias("wday"), F.col("rev_c").alias("member_rev")
     )
