@@ -97,9 +97,12 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame and reused for both the total and the filter.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Catalyst does NOT dedup the two consumers' subtrees by itself;
+    # the lazy checkpoint is what makes the reuse real (one fact
+    # aggregate instead of two)
     s_rev = lineitem.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-    )
+    ).localCheckpoint(eager=False)
     total = s_rev.agg(F.sum("rev").alias("_total"))
     return (
         s_rev.crossJoin(F.broadcast(total))
@@ -561,7 +564,13 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_type") == "SMALL"
     ).select("p_partkey")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # only SMALL partkeys survive the join back, so pre-filter the
+    # aggregate side with the same broadcast dim (exact-equivalent:
+    # per-part averages keep all their rows) — the aggregate shuffle
+    # shrinks by the part-filter selectivity
+    pa = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (

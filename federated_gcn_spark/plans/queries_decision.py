@@ -344,9 +344,12 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supplier = load_table(spark, sf_dir, "supplier")
+    # revenue feeds both the MAX probe and the filter; the lazy
+    # checkpoint is what makes the documented reuse real (one
+    # date-pruned fact aggregate instead of two)
     revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).localCheckpoint(eager=False)
     max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))

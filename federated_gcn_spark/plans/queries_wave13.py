@@ -431,7 +431,9 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("llr") <= -lna, -1)
         .otherwise(0)
         .alias("verdict"),
-    )
+        # marked feeds both the first-crossing probe and the emit;
+        # staged once -> one daily aggregate + window instead of two
+    ).localCheckpoint(eager=False)
     first_cross = marked.filter(F.col("verdict") != 0).agg(
         F.min("day").alias("dday")
     )

@@ -172,9 +172,11 @@ def tukey_fences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
+    # hist feeds both the quartile walk and the fence counts; staged
+    # once -> one fact histogram instead of two
     hist = vals.groupBy("grp", "v").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     wcm = (
         Window.partitionBy("grp")
         .orderBy("v")

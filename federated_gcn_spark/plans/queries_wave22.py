@@ -210,9 +210,11 @@ def somers_d_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("y"),
     )
+    # cell feeds both sides of the pair cross; staged once -> one
+    # fact join+aggregate instead of two
     cell = joined.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     b = cell.select(
         F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
     )

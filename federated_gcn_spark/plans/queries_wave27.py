@@ -323,11 +323,22 @@ def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") / 4096).cast("long").alias("file_id"),
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
     )
+    # one fact pass: the global tallies are exact sums of per-file
+    # tallies, so they fold into the zone aggregate and derive from the
+    # staged (file-count-sized) result instead of a second fact scan
     zone = r.groupBy("file_id").agg(
         F.min("day").alias("mn"),
         F.max("day").alias("mx"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+        F.sum(
+            F.when((F.col("day") >= _D0) & (F.col("day") < _D1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("matching_f"),
+        F.sum(F.when(F.col("day") < _D0, 1).otherwise(0))
+        .cast("long")
+        .alias("before_f"),
+    ).localCheckpoint(eager=False)
     keyed = zone.agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
         F.sum(
@@ -336,14 +347,10 @@ def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_skipped"),
     )
-    tot = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when((F.col("day") >= _D0) & (F.col("day") < _D1), 1).otherwise(0))
-        .cast("long")
-        .alias("matching"),
-        F.sum(F.when(F.col("day") < _D0, 1).otherwise(0))
-        .cast("long")
-        .alias("before_start"),
+    tot = zone.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("matching_f").cast("long").alias("matching"),
+        F.sum("before_f").cast("long").alias("before_start"),
     )
     j = keyed.crossJoin(F.broadcast(tot))
     files_sorted = F.floor((F.col("n") + 4095) / 4096).cast("long")

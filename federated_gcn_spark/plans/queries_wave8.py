@@ -395,6 +395,9 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("pos_k"),
             (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_k"),
         )
+        # bins feeds both the totals and the WOE pass; staged once ->
+        # one fact aggregate instead of two
+        .localCheckpoint(eager=False)
     )
     tot = bins.agg(
         F.sum("pos_k").cast("long").alias("pos"),
