@@ -272,33 +272,53 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-centering makes it robust to the heavy right tail of order
     values.
 
-    100 TB shape: the group median comes from the two-pass histogram
-    selection (operators/stats.py:exact_group_median — no full per-group
-    sort); deviations then reduce to one 5-row moment tally.
+    100 TB shape: ONE fact pass to the bounded (priority, cents)
+    value-domain histogram; the group median is a cumulative walk over
+    it (no full per-group sort) and the deviation moments fold the
+    per-row sums exactly through the counts.
     Determinism: the median is a SELECTED data element (lower-median
     convention), so |x - med| is an exact integer in cents; fold terms
     round to 2 dp euros^2 and sum exactly; the F emit is one fixed
     expression."""
-    from federated_gcn_spark.operators.stats import exact_group_median
+    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders", parallel=True).select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    # 5 rows; checkpoint so the broadcast build side is the literal
-    # median table, not a re-execution of the selection pipeline
-    med = (
-        exact_group_median(orders, "grp", "cents")
-        .select("grp", F.col("median").cast("long").alias("med_c"))
-        .localCheckpoint(eager=True)
+    # ONE fact pass: values are exact integer cents, so the bounded
+    # value-domain histogram serves both the median selection (lower
+    # median = smallest cents with cum >= (n+1) div 2, the same
+    # k = (n+1)//2 order statistic exact_group_median selects) and the
+    # deviation moments (sum c*z, sum c*z^2 fold the per-row sums
+    # exactly) — instead of the generic three-scan two-pass selection
+    # plus a fourth deviation scan
+    hist = orders.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    wcm = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dev = orders.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(F.col("cents") - F.col("med_c")).alias("z")
+    cum = hist.select(
+        "grp",
+        "cents",
+        F.sum("c").over(wcm).alias("cm"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
     )
-    g = dev.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("ng"),
-        F.sum("z").cast("long").alias("sg"),
-        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("qg"),
+    med = cum.groupBy("grp").agg(
+        F.min(
+            F.when(F.col("cm") >= F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("med_c")
+    )
+    z = F.abs(F.col("cents") - F.col("med_c"))
+    g = hist.join(F.broadcast(med), "grp").groupBy("grp").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c") * z).cast("long").alias("sg"),
+        F.sum(F.col("c").cast("decimal(38,0)") * z * z).alias("qg"),
     )
     tot = g.agg(
         F.sum("ng").cast("long").alias("n"),

@@ -2044,12 +2044,16 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(pred != F.col("y"), F.col("w")).otherwise(
                         F.lit(0).cast("decimal(24,12)")
                     )
-                ).alias("err")
+                ).alias("err"),
+                # every candidate group contains every row of feats, so
+                # the group's weight sum IS the total weight — folding
+                # it here saves a second full feats scan + collect per
+                # round (exact DECIMAL sum, order-independent)
+                F.sum("w").alias("tw"),
             )
         )
         best = errs.orderBy("err", "fid", "thr", "pol").limit(1).collect()[0]
-        tw = feats.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
-        e = float(best["err"]) / float(tw)
+        e = float(best["err"]) / float(best["tw"])
         alpha = rh(0.5 * math.log((1 - e) / e), 9)
         fw = rh(math.exp(alpha), 9)
         fc = rh(math.exp(-alpha), 9)
