@@ -33,9 +33,11 @@ explode the wedge pair count.  Every later round costs
 Θ(Σ_{e∈D} min-degree(e)) candidate wedges — the work shrinks with the
 frontier instead of re-paying the full enumeration (the round-5 profile:
 at sf1 the full re-enumeration dominated 9 rounds at ~8 s each).  The
-per-round state is one (a, b, support) table, checkpointed so the
-iteration REPLACES lineage rather than stacking it (the
-components/split lesson); no triangle table is materialized.
+per-round state is one (a, b, support, alo) table — ``alo`` is the
+round-1 (degree, id) expansion orientation, carried so delta rounds
+never re-join a degree table — checkpointed so the iteration REPLACES
+lineage rather than stacking it (the components/split lesson); no
+triangle table is materialized.
 Everything is equi-join/aggregate — shuffle-partitioned and
 AQE-skew-splittable, nothing driver-side except the per-round count.
 
@@ -107,6 +109,7 @@ def _apply_dec(state: DataFrame, dec: DataFrame, k: int) -> DataFrame:
             "a",
             "b",
             (F.col("s") - F.coalesce("ndec", F.lit(0))).alias("s"),
+            "alo",
         )
     )
 
@@ -129,8 +132,9 @@ def _first_round(cur: DataFrame, k: int) -> DataFrame:
     Θ(triangles) transient state, dropped as soon as the round-1
     survivors are materialized.
     """
+    ori = oriented_by_degree(cur).localCheckpoint(eager=False)
     tri = (
-        _oriented_wedge_triangles(oriented_by_degree(cur))
+        _oriented_wedge_triangles(ori)
         .select(F.array_sort(F.array("u", "x", "y")).alias("t"))
         .localCheckpoint(eager=False)
     )
@@ -138,9 +142,22 @@ def _first_round(cur: DataFrame, k: int) -> DataFrame:
         F.explode(_edge_structs(F.col("t"))).alias("e"), "t"
     ).select("e.a", "e.b", "t")
     supp = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    # ``alo`` ("a is the low-(degree, id) endpoint") is the SAME
+    # orientation the wedge enumeration just computed: carrying it in
+    # the state lets every delta round pick its expansion endpoint with
+    # a column expression instead of re-joining a degree table twice
+    # (2 fewer joins — i.e. 2 fewer AQE stage materializations — per
+    # peel round, for one boolean per edge of checkpoint width).
     state0 = (
-        cur.join(supp, ["a", "b"], "left")
-        .select("a", "b", F.coalesce("support", F.lit(0)).alias("s"))
+        ori.select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+            (F.col("u") < F.col("v")).alias("alo"),
+        )
+        .join(supp, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("s"), "alo"
+        )
         .localCheckpoint()
     )
     dead = state0.where(F.col("s") < k - 2).select("a", "b")
@@ -150,37 +167,33 @@ def _first_round(cur: DataFrame, k: int) -> DataFrame:
     return _apply_dec(state0, _dec_from_killed(killed), k)
 
 
-def _decrement_round(state: DataFrame, deg0: DataFrame, k: int) -> DataFrame:
-    """One delta peel round over ``state`` = (a, b, s) (checkpointed).
+def _decrement_round(state: DataFrame, k: int) -> DataFrame:
+    """One delta peel round over ``state`` = (a, b, s, alo)
+    (checkpointed).
 
     Deletes the weak edges, enumerates ONLY the triangles that
     contained one — expanding each deleted edge from one endpoint into
     the pre-peel adjacency and closing against the pre-peel edge set —
-    and returns the surviving (a, b, s) with supports decremented once
-    per dead triangle (distinct on the sorted node triple, so a
+    and returns the surviving (a, b, s, alo) with supports decremented
+    once per dead triangle (distinct on the sorted node triple, so a
     triangle whose 2 or 3 edges died together decrements its other
     edges exactly once).
 
-    ``deg0``: ORIGINAL-graph degrees, computed once.  They only choose
-    which endpoint expands (Σ min-degree candidates, the hub-skew
-    guard); stale upper bounds are correctness-neutral — both endpoints
-    enumerate the same common-neighbor triangles.
+    ``alo`` is the ORIGINAL-graph (degree, id) orientation, computed
+    once in round 1.  It only chooses which endpoint expands
+    (Σ min-degree candidates, the hub-skew guard); stale upper bounds
+    are correctness-neutral — both endpoints enumerate the same
+    common-neighbor triangles.
     """
-    dead = state.where(F.col("s") < k - 2).select("a", "b")
+    dead = state.where(F.col("s") < k - 2)
     # adjacency over the PRE-peel edge set: a dead triangle's other two
     # edges may themselves be dead this same round
     adj = state.select(
         F.col("a").alias("p"), F.col("b").alias("q")
     ).unionAll(state.select(F.col("b").alias("p"), F.col("a").alias("q")))
-    d_ab = dead.join(
-        deg0.select(F.col("p").alias("a"), F.col("d").alias("da")), "a"
-    ).join(deg0.select(F.col("p").alias("b"), F.col("d").alias("db")), "b")
-    a_lo = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    frontier = d_ab.select(
-        F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("p"),
-        F.when(a_lo, F.col("b")).otherwise(F.col("a")).alias("o"),
+    frontier = dead.select(
+        F.when(F.col("alo"), F.col("a")).otherwise(F.col("b")).alias("p"),
+        F.when(F.col("alo"), F.col("b")).otherwise(F.col("a")).alias("o"),
     )
     # (p, q) is an edge by construction; (o, q) ∈ edges closes the
     # triangle {p, o, q} which contains the deleted edge (p, o).  The
@@ -205,16 +218,6 @@ def _decrement_round(state: DataFrame, deg0: DataFrame, k: int) -> DataFrame:
     return _apply_dec(state, _dec_from_killed(killed), k)
 
 
-def _degrees(cur: DataFrame) -> DataFrame:
-    """(p, d): vertex degrees of the canonical edge set ``cur``."""
-    return (
-        cur.select(F.col("a").alias("p"))
-        .unionAll(cur.select(F.col("b").alias("p")))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-
-
 def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """Early-exit k-truss: canonical (a, b) edges of the k-truss subgraph."""
     if k < 3:
@@ -223,15 +226,12 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         return undirected_edges(edges)
     cur = undirected_edges(edges).localCheckpoint()
     state = _first_round(cur, k).localCheckpoint()
-    deg0 = None
     for _ in range(max_rounds - 1):
         # the dead count is a filter over the checkpointed state — one
         # cheap scan decides convergence BEFORE paying a delta round
         if state.where(F.col("s") < k - 2).limit(1).count() == 0:
             break
-        if deg0 is None:
-            deg0 = _degrees(cur).localCheckpoint()
-        state = _decrement_round(state, deg0, k).localCheckpoint()
+        state = _decrement_round(state, k).localCheckpoint()
     return state.select("a", "b")
 
 
@@ -254,7 +254,6 @@ def ktruss_trace(
     cur = undirected_edges(edges).localCheckpoint(eager=False)
     counts = [cur.count()]
     state = None
-    deg0 = None
     converged = rounds < 1
     for r in range(1, rounds + 1):
         if converged:
@@ -272,11 +271,7 @@ def ktruss_trace(
                 converged = True
                 counts.append(counts[-1])
                 continue
-            if deg0 is None:
-                deg0 = _degrees(cur).localCheckpoint()
-            state = _decrement_round(state, deg0, k).localCheckpoint(
-                eager=False
-            )
+            state = _decrement_round(state, k).localCheckpoint(eager=False)
         counts.append(state.count())
     return spark.createDataFrame(
         [(i, int(c)) for i, c in enumerate(counts)],
