@@ -171,14 +171,22 @@ def set_similarity_join(
         # bytes/row.  A hash collision can only MERGE groups, i.e. only
         # raise the bound — the fail-fast stays sound, with a ~2^-40
         # spurious-trip probability at 10^6 rows (same family of
-        # fingerprint the MinHash stack already trusts).
-        clone_pairs = (
+        # fingerprint the MinHash stack already trusts).  The same pass
+        # also returns the total set count (sum of group sizes) for the
+        # ordering aggregate's partition sizing below — no extra job.
+        guard_row = (
             base.groupBy(F.xxhash64(F.array_sort("elems")).alias("k"))
             .agg(F.count(F.lit(1)).alias("m"))
-            .where(F.col("m") > 1)
-            .agg(F.sum(F.expr("m * (m - 1) DIV 2")).alias("p"))
-            .first()["p"]
-        ) or 0
+            .agg(
+                F.sum(
+                    F.when(F.col("m") > 1, F.expr("m * (m - 1) DIV 2"))
+                ).alias("p"),
+                F.sum("m").alias("n"),
+            )
+            .first()
+        )
+        clone_pairs = guard_row["p"] or 0
+        n_sets = guard_row["n"] or 0
         if _guard_tripped(clone_pairs, max_pairs):
             bound = "an int64-overflowing number of" if clone_pairs < 0 \
                 else f">= {clone_pairs}"
@@ -192,13 +200,33 @@ def set_similarity_join(
                 "max_pairs=None to opt out explicitly."
             )
 
+    else:
+        # Unguarded callers (already clone-contracted reps): one cheap
+        # count over the checkpointed base — it doubles as the
+        # checkpoint's materialization job.
+        n_sets = base.count()
+
     tok = base.select("sid", F.explode("elems").alias("elem"))
     dfc = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
 
     # Rarest-first per-set element order, without any global rank window:
     # ride df along each element and array_sort the (df, elem) structs.
+    # The per-set sort aggregate is CPU-dense relative to its bytes
+    # (collect_list of every element, then an O(sz log sz) array sort
+    # per set), so AQE's byte-based partition coalescing starves it —
+    # measured at sf0.1: 23 task-CPU-s squeezed into 10 post-shuffle
+    # partitions on 32 cores.  Size its exchange from the ROW count
+    # instead (known for free from the guard pass / base count):
+    # explicit numPartitions, which AQE preserves, floored at the
+    # cluster's defaultParallelism and growing with the data — never a
+    # local-mode constant, never a cap at scale.
+    agg_parts = max(
+        sets_df.sparkSession.sparkContext.defaultParallelism,
+        int(n_sets) // 20_000 + 1,
+    )
     ordered = (
         tok.join(dfc, "elem")
+        .repartition(agg_parts, "sid")
         .groupBy("sid")
         .agg(F.array_sort(F.collect_list(F.struct("df", "elem"))).alias("arr"))
         .select(
