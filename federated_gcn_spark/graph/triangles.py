@@ -67,12 +67,44 @@ def oriented_by_degree(und: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_wedge_triangles(ori: DataFrame) -> DataFrame:
+def wedge_partitions(df: DataFrame, n_edges: int) -> int:
+    """Row-count-derived partition count for the wedge enumeration.
+
+    The wedge self-join stage is CPU-dense relative to its input bytes
+    (each task expands out-neighbor pairs, filters, and probes the
+    closing side), and its task count is the ORIENTED-EDGE checkpoint's
+    partition count — which AQE's byte-based coalescing squeezes to 1-3
+    on a few MB of edges (the ppjoin §regime-3 starvation shape,
+    measured at sf0.1).  Size it from the row count instead: floored at
+    the cluster's defaultParallelism and growing with the data — never
+    a local-mode constant, never a cap at scale.
+    """
+    return max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(n_edges) // 20_000 + 1,
+    )
+
+
+def _oriented_wedge_triangles(
+    ori: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """(u, x, y) rows, one per triangle, from degree-oriented edges.
 
     The wedge pair (x, y) is ordered by (deg, id) — the orientation key
     — so the closing edge is always stored as (x → y) and the lookup is
     a plain equi join.
+
+    When the caller has already COUNTED the edges (``n_edges``), the
+    join sides are hinted from that exact size (guide §3.1: hint when
+    you know; a checkpointed edge list is a stats-blind LogicalRDD, so
+    the planner otherwise guesses — measured at sf0.1: the same query
+    flapped between a broadcast plan and a sort-merge plan that
+    shuffled the 75 MB wedge-pair intermediate, run to run).  Small
+    edge sets broadcast (the wedge expansion and the closing probe then
+    run inside the edge scan's stage, at its full task count); big ones
+    fall through to AQE's shuffle planning, where real byte sizes make
+    the right call — the hint is data-derived, never a local-mode
+    constant.
     """
     e1 = ori.select(
         F.col("u"), F.col("v").alias("x"), F.col("deg_v").alias("dx")
@@ -83,8 +115,21 @@ def _oriented_wedge_triangles(ori: DataFrame) -> DataFrame:
     x_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
-    wedge_pairs = e1.join(e2, "u").where(x_first)
     closing = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    if n_edges is not None:
+        # ~24 bytes per (long, long, long/deg) row; broadcast only when
+        # the measured size sits comfortably under the session's own
+        # broadcast threshold, exactly like AQE would with real stats.
+        try:
+            thresh = int(
+                ori.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except Exception:  # pragma: no cover - conf may be "10MB"-style
+            thresh = 10 * 1024 * 1024
+        if thresh > 0 and int(n_edges) * 24 < thresh:
+            e2 = F.broadcast(e2)
+            closing = F.broadcast(closing)
+    wedge_pairs = e1.join(e2, "u").where(x_first)
     return wedge_pairs.join(closing, ["x", "y"]).select("u", "x", "y")
 
 
@@ -131,13 +176,35 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     union + groupBy — per-vertex counts cost one extra combinable
     aggregate over 3·|triangles| rows, nothing quadratic."""
     und = edges.transform(undirected_edges).localCheckpoint(eager=False)
-    ori = oriented_by_degree(und).localCheckpoint(eager=False)
+    # One cheap count: doubles as und's materialization job and hands
+    # the wedge stage its row-count-derived partition count — the
+    # ppjoin n_sets pattern.  The repartition sits BEFORE the
+    # checkpoint so the stored blocks — and therefore the CPU-dense
+    # wedge stage that scans them — carry the full parallelism, and it
+    # keys on ``u`` (the wedge join key; degree-orientation bounds the
+    # per-u row count at O(sqrt m), so the key cannot concentrate a
+    # hub's load).  The closing side stays AQE-planned: broadcast at
+    # small scale, sort-merge + skew-split at large.
+    n_edges = und.count()
+    ori = (
+        oriented_by_degree(und)
+        .repartition(wedge_partitions(und, n_edges), "u")
+        .localCheckpoint(eager=False)
+    )
 
-    tris = _oriented_wedge_triangles(ori)
+    # The triangle list feeds all three corner credits; staged once —
+    # narrow rows (3 longs, never a payload column) — so the wedge
+    # enumeration runs ONCE instead of once per corner branch (the
+    # un-staged union re-ran the whole two-join subtree 3x, each copy
+    # squeezed into the checkpoint's 1-3 stored partitions).  One
+    # explode pass replaces the 3-scan union over the checkpoint.
+    tris = _oriented_wedge_triangles(ori, n_edges=n_edges).localCheckpoint(
+        eager=False
+    )
     corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+        tris.select(
+            F.explode(F.array("u", "x", "y")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

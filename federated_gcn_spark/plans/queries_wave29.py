@@ -124,11 +124,17 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is left-to-right; ratios round to 9 dp before the exact
     DECIMAL-sum mean."""
     signs = _jl_signs()
-    # the (id, vector) projection feeds both pair sides; staged once ->
-    # one scan instead of two
+    # NOT staged: both pair sides re-read the (vec_id, embedding)
+    # columns from parquet.  A lazy checkpoint here would store the full
+    # 64-double embedding payload in the block manager to save a pruned
+    # 2-column columnar re-scan — the §14 anti-pattern this repo
+    # documented and reverted elsewhere (decontam_report,
+    # sequence_packing): deserialized array blocks cost far more memory
+    # pressure than the scan they save, and the r10 driver measured the
+    # staged spelling 2.4-3.3x slower at 32 cores (6.98 s vs 2.15-2.87).
     emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).localCheckpoint(eager=False)
+    )
 
     def proj(col: str, k: int):
         lit = F.array(*[F.lit(float(s)) for s in signs[k]])
