@@ -206,7 +206,20 @@ def set_similarity_join(
         # checkpoint's materialization job.
         n_sets = base.count()
 
-    tok = base.select("sid", F.explode("elems").alias("elem"))
+    # Candidate phase runs on 64-bit xxhash64 TOKENS, not the element
+    # strings (guide §2.3: shuffle keys, not payloads — the tok/df/
+    # ordering/prefix/candidate exchanges carry 8 bytes per element
+    # instead of whole n-grams, and every sort/join/hash over them gets
+    # cheaper).  Correctness is screening-only: renaming elements to
+    # their hashes preserves equality, and a collision can only MERGE
+    # tokens — intersections grow, unions shrink, so hash-Jaccard >=
+    # true Jaccard and the prefix/size screens stay COMPLETE (never
+    # drop a true pair); spurious candidates are discarded by the exact
+    # array_intersect verification below, which reads the ORIGINAL
+    # arrays.  The emitted pairs are bit-identical.
+    tok = base.select("sid", F.explode("elems").alias("e")).select(
+        "sid", F.xxhash64("e").alias("elem")
+    )
     dfc = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
 
     # Rarest-first per-set element order, without any global rank window:
