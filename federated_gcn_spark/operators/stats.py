@@ -236,6 +236,7 @@ def exact_quantile_values_by_group(
     value_col: str,
     ks_of_n,
     n_buckets: int = 65536,
+    max_groups: int = 1024,
 ) -> dict:
     """Exact order statistics for EVERY group in one shared three-job
     selection — the grouped form of :func:`exact_quantile_values`.
@@ -256,11 +257,31 @@ def exact_quantile_values_by_group(
     from pyspark.sql import Window
 
     g = F.col(group_col)
-    stats = df.groupBy(g.alias("__g")).agg(
-        F.min(value_col).alias("mn"),
-        F.max(value_col).alias("mx"),
-        F.count(value_col).alias("n"),
-    ).collect()
+    # Driver-collection guard: this operator collects one (min, max, n)
+    # row per group and up to n_groups x n_buckets histogram rows.  Its
+    # callers pass a handful of groups (halves, deciles, priorities);
+    # a high-cardinality group column would OOM the driver, so fail
+    # fast — with the LIMIT probe, before anything big is pulled — and
+    # name the cap.  Raise ``max_groups`` deliberately (the driver pull
+    # is ~n_groups x n_buckets x ~40 bytes) or pre-aggregate instead.
+    stats = (
+        df.groupBy(g.alias("__g"))
+        .agg(
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+            F.count(value_col).alias("n"),
+        )
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"exact_quantile_values_by_group: more than {max_groups} "
+            f"distinct '{group_col}' groups; the histogram selection "
+            f"collects O(n_groups * n_buckets) rows to the driver. "
+            "Raise max_groups only if the driver can hold that, or "
+            "reduce n_buckets / pre-filter the groups."
+        )
     out: dict = {}
     ks_by_group: dict = {}
     meta = {}  # group -> (mn, width)
@@ -276,6 +297,17 @@ def exact_quantile_values_by_group(
         meta[grp] = (mn, (mx - mn) / n_buckets)
     if not ks_by_group:
         return out
+    # Second driver pull: the (group, bucket) histogram is at most
+    # n_groups x n_buckets rows.  Cap the worst case at ~4M rows
+    # (~160 MB of driver Rows) — the same fail-fast-before-the-shuffle
+    # discipline as ppjoin's pair guard.
+    if len(ks_by_group) * n_buckets > 4_000_000:
+        raise ValueError(
+            f"exact_quantile_values_by_group: {len(ks_by_group)} groups x "
+            f"{n_buckets} buckets could collect "
+            f"{len(ks_by_group) * n_buckets} histogram rows to the "
+            "driver; reduce n_buckets or the group count."
+        )
     bounds = df.sparkSession.createDataFrame(
         [(grp, float(mn), float(w)) for grp, (mn, w) in meta.items()],
         f"__g {df.schema[group_col].dataType.simpleString()}, "

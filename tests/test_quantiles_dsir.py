@@ -233,3 +233,31 @@ def test_grouped_quantiles_constant_group_and_ties(spark):
     )
     assert got["a"] == {1: 7.5, 10: 7.5, 20: 7.5}
     assert got["b"] == {1: 1.0, 2: 3.0, 4: 9.0}
+
+
+def test_grouped_quantiles_guard_high_cardinality_groups(spark):
+    """Round-11 hardening: the grouped selection collects O(groups x
+    buckets) rows to the driver, so a high-cardinality group column
+    must fail fast (named cap in the message), and so must a
+    groups-x-buckets product that would blow the second collect."""
+    from federated_gcn_spark.operators.stats import (
+        exact_quantile_values_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "g int, x double"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_quantile_values_by_group(
+            df, "g", "x", lambda g, n: [1], n_buckets=8, max_groups=10
+        )
+    # product cap: 40 groups (each with a real min<max spread) x
+    # 200_000 buckets > 4M histogram rows
+    spread = spark.createDataFrame(
+        [(i, float(v)) for i in range(40) for v in (i, i + 1)],
+        "g int, x double",
+    )
+    with pytest.raises(ValueError, match="histogram rows"):
+        exact_quantile_values_by_group(
+            spread, "g", "x", lambda g, n: [1], n_buckets=200_000
+        )

@@ -48,14 +48,55 @@ def load(path: str) -> dict:
     return data
 
 
+def steal_guard(path: str, data: dict, cap: float) -> list[str]:
+    """Names of bracketing probes in ``data`` whose CPU steal exceeds
+    ``cap`` percent — a run measured under hypervisor contention is not
+    certifiable for absolute round-over-round comparison (SCALE.md
+    round-8 rule)."""
+    bad = []
+    for key in ("machine", "machine_end"):
+        probe = data.get(key) or {}
+        steal = probe.get("steal_pct_under_load")
+        if steal is not None and steal > cap:
+            bad.append(f"{path}: {key} steal {steal}% > {cap}%")
+    return bad
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("old", help="baseline bench JSON")
     p.add_argument("new", help="candidate bench JSON")
     p.add_argument("--tol", type=float, default=0.20, help="regression gate")
+    p.add_argument(
+        "--max-steal",
+        type=float,
+        default=5.0,
+        help="refuse the comparison when either side's bracketing "
+        "machine probe saw more CPU steal than this (percent); "
+        "uncertifiable totals must not enter the record",
+    )
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="compare anyway despite a steal-guard violation "
+        "(prints the violation first)",
+    )
     ns = p.parse_args()
     old, new = load(ns.old), load(ns.new)
     tol = ns.tol
+    violations = steal_guard(ns.old, old, ns.max_steal) + steal_guard(
+        ns.new, new, ns.max_steal
+    )
+    if violations:
+        for v in violations:
+            print(f"STEAL GUARD: {v}")
+        if not ns.force:
+            print(
+                "refusing the comparison (absolute seconds under >5% "
+                "steal are noise; re-run in a quiet window, compare "
+                "same-run ratios, or pass --force to override)"
+            )
+            return 2
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     regressions = []
