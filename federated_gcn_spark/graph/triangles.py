@@ -140,6 +140,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     und = edges.transform(undirected_edges).localCheckpoint(eager=False)
     ori = oriented_by_degree(und)
 
+    # NOT given the local_clustering treatment (count + sized
+    # repartition + broadcast hints): measured at sf0.1 on the sparse
+    # mod-10 co-purchase projections this census runs on (wedge output
+    # ~ edge count), spreading the cheap wedge stage costs more than it
+    # saves — clustering_null_model regressed 2.8 -> 4.0 s wall / 16 ->
+    # 42 task-CPU-s under the treatment.  local_clustering's graph is
+    # the opposite regime (1.79M triangles from 107k edges), where the
+    # same treatment wins 1.8x; the difference is per-callsite and
+    # measured, not a policy.
     tri = _oriented_wedge_triangles(ori).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )

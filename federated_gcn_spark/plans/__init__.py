@@ -212,17 +212,11 @@ _DRIVER_RECORDED = {
 }
 
 # Queries re-promoted to the front of the line despite an existing official
-# row.  Round 10: the official union is complete (373/373), but four
-# contracts were re-specified by round 9's rounding audit AFTER their
-# official rows were recorded (renamed/rescaled/re-rounded output columns:
-# `anova_oneway`, `bollinger_bands`, `bartlett_test`,
-# `brown_forsythe_levene` — round-9 ADVICE, medium).  Their old green rows
-# describe outputs that no longer exist, so each leads the round-10 window
-# to earn a fresh official row under its current contract.
-_PROMOTED: list = [
-    "anova_oneway", "bollinger_bands", "bartlett_test",
-    "brown_forsythe_levene",
-]
+# row.  Round 11: empty — the four contracts round 9's rounding audit
+# re-specified (`anova_oneway`, `bollinger_bands`, `bartlett_test`,
+# `brown_forsythe_levene`) earned fresh official rows in CORRECTNESS_r10
+# (all green), so nothing is owed a slot out of order.
+_PROMOTED: list = []
 
 # Never-recorded names ordered to the very front of the fresh block.
 # Round 10: empty — every registry name has an official recorded row
