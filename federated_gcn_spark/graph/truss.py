@@ -158,7 +158,7 @@ def _first_round(cur: DataFrame, k: int) -> DataFrame:
         .select(
             "a", "b", F.coalesce("support", F.lit(0)).alias("s"), "alo"
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dead = state0.where(F.col("s") < k - 2).select("a", "b")
     killed = (
@@ -246,33 +246,47 @@ def ktruss_trace(
     """
     if k < 3:
         raise ValueError(f"k-truss needs k >= 3, got {k}")
-    # Lazy checkpoints throughout the trace: every round's state (and
-    # cur) is counted immediately for the trace output, and that count
-    # is the frame's ONLY consumer until the next round — so it both
-    # materializes the checkpoint and reports n_edges in one driver job
-    # instead of an eager-checkpoint job followed by a count job.
+    # Lazy checkpoints throughout the trace, TWO peel rounds batched per
+    # driver action: round r+1 is built on round r's lazy checkpoint and
+    # both are counted in one union-aggregate job — the round-r
+    # checkpoint materializes inside that job, shared by its own count
+    # branch and round r+1's plan, so the per-round job-submit barrier
+    # is paid once per pair.  The same aggregate also counts each
+    # round's weak (s < k-2) edges: a round with zero weak edges is a
+    # fixpoint (empty dead set -> empty decrement), so convergence is
+    # known WITHOUT the one-round lag of comparing consecutive n_edges,
+    # and the remaining rows are filled with the fixpoint size.
     cur = undirected_edges(edges).localCheckpoint(eager=False)
     counts = [cur.count()]
     state = None
     converged = rounds < 1
-    for r in range(1, rounds + 1):
+    r = 1
+    while r <= rounds:
         if converged:
             counts.append(counts[-1])
+            r += 1
             continue
-        if r == 1:
-            state = _first_round(cur, k).localCheckpoint(eager=False)
-        else:
-            # Convergence rides on the counts the trace already pays
-            # for: a round that deleted nothing (equal consecutive
-            # n_edges) also left every support untouched (empty dead
-            # set -> empty decrement), so the state is a fixpoint and
-            # the emptiness-probe job per round is redundant.
-            if counts[-1] == counts[-2]:
-                converged = True
-                counts.append(counts[-1])
-                continue
-            state = _decrement_round(state, k).localCheckpoint(eager=False)
-        counts.append(state.count())
+        state = (
+            _first_round(cur, k) if r == 1 else _decrement_round(state, k)
+        ).localCheckpoint(eager=False)
+        if r == rounds:
+            counts.append(state.count())
+            r += 1
+            continue
+        nxt = _decrement_round(state, k).localCheckpoint(eager=False)
+
+        def _probe(frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("s") < F.lit(k - 2)).cast("long")).alias("w"),
+            )
+
+        rows = _probe(state).unionAll(_probe(nxt)).collect()
+        counts.append(int(rows[0]["n"]))
+        counts.append(int(rows[1]["n"]))
+        converged = int(rows[1]["w"] or 0) == 0
+        state = nxt
+        r += 2
     return spark.createDataFrame(
         [(i, int(c)) for i, c in enumerate(counts)],
         "round int, n_edges bigint",
