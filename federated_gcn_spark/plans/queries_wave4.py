@@ -1603,18 +1603,27 @@ def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).localCheckpoint(eager=False)
+    members = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )  # consumed by labels0, the self-loop union, and the iso anti-join
+    # Self-loops fold the keep-own-label join into the neighbor
+    # aggregate: min over N(u) ∪ {u} == least(own, min over N(u)), so
+    # each round is ONE join + ONE aggregate instead of join + aggregate
+    # + join (the old per-round nb-rejoin) — 1 exchange fewer per round.
+    eself = e.unionAll(
+        members.select(F.col("node").alias("u"), F.col("node").alias("v"))
     ).localCheckpoint(eager=False)  # joined every round — never rebuilt
-    members = e.select(F.col("u").alias("node")).distinct()
     labels = members.select("node", F.col("node").alias("label"))
     for _ in range(_DEDUP_CLUSTER_ROUNDS):
-        nb = (
-            e.join(labels.withColumnRenamed("node", "v2"), e["v"] == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("label").alias("nb_min"))
-        )
         labels = (
-            labels.join(nb, labels["node"] == nb["u"])
-            .select("node", F.least(F.col("label"), F.col("nb_min")).alias("label"))
+            eself.join(
+                labels.withColumnRenamed("node", "v2"),
+                eself["v"] == F.col("v2"),
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("node"), "label")
             # cut lineage per round: without this the visible plan tree
             # (and the scheduler's work) compounds geometrically — 1398
             # exchanges at 4 rounds, measured
