@@ -69,3 +69,25 @@ def iteration_barrier(df: DataFrame) -> DataFrame:
         except Exception:
             continue
     return ck  # correct but re-grows stats
+
+
+def counted_barrier(df: DataFrame) -> tuple[DataFrame, int]:
+    """``iteration_barrier`` whose materializing action is a ``count``.
+
+    One driver job yields both the stats-cut frame and its row count, so
+    fixpoint loops that steer on emptiness (or size) don't pay a
+    separate probe job per iteration on top of the eager-checkpoint job.
+    The checkpoint is lazy; counting the rewrapped frame runs through
+    the checkpoint-marked RDD, which materializes (and caches) it
+    exactly like the eager path.
+    """
+    ck = df.localCheckpoint(eager=False)
+    spark = ck.sparkSession
+    out = ck  # correct but re-grows stats (rewrap-failure fallback)
+    for rewrap in _REWRAP_STRATEGIES:
+        try:
+            out = rewrap(ck, spark)
+            break
+        except Exception:
+            continue
+    return out, out.count()

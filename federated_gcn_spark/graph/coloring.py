@@ -25,16 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import counted_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
-
-
-def _is_empty_materialized(df: DataFrame) -> bool:
-    """Cheap emptiness probe for a frame that an ``iteration_barrier``
-    just materialized: ``isEmpty`` plans limit(1) over the checkpointed
-    partitions — a single-stage job that stops at the first non-empty
-    partition, never a recompute (lineage is already cut)."""
-    return df.isEmpty()
 
 
 def luby_coloring(
@@ -56,11 +48,11 @@ def luby_coloring(
     edges = graph.symmetrized_edges().select(SRC, DST).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    remaining = iteration_barrier(graph.vertices.select(ID))
+    remaining, n_remaining = counted_barrier(graph.vertices.select(ID))
     colored_layers: list[DataFrame] = []
 
     for color in range(n_colors):
-        if _is_empty_materialized(remaining):
+        if n_remaining == 0:
             break  # nothing left to color: later layers are no-ops
         layer_seed = seed + color
 
@@ -70,46 +62,53 @@ def luby_coloring(
                 F.col(col).alias("i"),
             )
 
-        active = remaining
-        # Only the true loop state (winners, active) is barriered — two
-        # eager jobs per round.  The taken/colored accumulators are lazy
-        # unions of the already-materialized winners frames: no recompute
-        # risk, and dropping their per-round barriers halves the driver
-        # roundtrips (the measured cost of this operator is scheduling
-        # latency, ~flat in data).
+        active, n_active = remaining, n_remaining
+        # ONE driver action per round: only `active` is barriered (its
+        # counted materialization also steers the early exit, so there
+        # is no separate emptiness-probe job), and the round's shared
+        # intermediates — `dominated` (consumed by the winners anti-join
+        # AND the new-active semi-join) and `winners` (consumed by the
+        # losers expansion AND the taken/colored accumulators) — are
+        # lazy checkpoints that materialize inside that same job.  The
+        # measured cost of this operator is scheduling latency, ~flat in
+        # data, so jobs-per-round is the whole game.
         round_winners: list[DataFrame] = []
         # Early exit: once `active` empties, every further round is a
         # pure no-op (empty dominated → empty winners → unchanged
         # state), so breaking is output-identical to the fixed unroll —
-        # the same invariant the SQL oracle replay depends on.  The
-        # count rides on the just-materialized barrier output (a
-        # single-stage job, ~ms) and typically skips ~40% of the
-        # budgeted rounds' 2 multi-stage barrier jobs each (measured
-        # sf0.1 mod-50 graph: layers converge in 3/4/3/2 of 5 rounds).
+        # the same invariant the SQL oracle replay depends on.
         for rnd in range(rounds_per_color):
             # round 0's emptiness is covered by the layer-start check
-            # (active is exactly `remaining` there); later rounds probe
-            # the barrier output they just materialized.
-            if rnd > 0 and _is_empty_materialized(active):
+            # (active is exactly `remaining` there).
+            if rnd > 0 and n_active == 0:
                 break
             act_e = edges.join(
                 active.withColumnRenamed(ID, SRC), SRC, "left_semi"
             ).join(active.withColumnRenamed(ID, DST), DST, "left_semi")
-            # no .distinct() on dominated/losers: left_anti is
-            # dup-insensitive, and the dedup would cost an extra
+            # no .distinct() on dominated/losers: left_semi/left_anti
+            # are dup-insensitive, and the dedup would cost an extra
             # shuffle-agg stage per round ahead of a join that shuffles
             # the rows regardless (degree here is bounded, so the dup
             # factor the distinct would remove is a small constant)
-            dominated = act_e.where(pri(SRC) > pri(DST)).select(
-                F.col(DST).alias(ID)
+            dominated = (
+                act_e.where(pri(SRC) > pri(DST))
+                .select(F.col(DST).alias(ID))
+                .localCheckpoint(eager=False)
             )
-            winners = iteration_barrier(active.join(dominated, ID, "left_anti"))
+            winners = active.join(dominated, ID, "left_anti").localCheckpoint(
+                eager=False
+            )
             round_winners.append(winners)
             losers = edges.join(
                 winners.withColumnRenamed(ID, SRC), SRC, "left_semi"
             ).select(F.col(DST).alias(ID))
-            active = iteration_barrier(
-                active.join(winners, ID, "left_anti").join(
+            # active ∖ winners == active ∩ dominated (winners is exactly
+            # the undominated actives), so the next state re-reads the
+            # staged `dominated` with a semi-join instead of re-joining
+            # against winners — same sets, and the whole round chains
+            # into the single counted barrier below.
+            active, n_active = counted_barrier(
+                active.join(dominated, ID, "left_semi").join(
                     losers, ID, "left_anti"
                 )
             )
@@ -131,7 +130,7 @@ def luby_coloring(
                 eager=False
             )
         else:
-            remaining = iteration_barrier(
+            remaining, n_remaining = counted_barrier(
                 remaining.join(taken, ID, "left_anti")
             )
 

@@ -140,12 +140,17 @@ def handshake_matching_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             free.withColumnRenamed("id", "src"), "src", "left_semi"
         ).join(free.withColumnRenamed("id", "dst"), "dst", "left_semi")
         w = Window.partitionBy("src").orderBy(F.xxhash64("dst"), "dst")
+        # prop (consumed by both sides of the mutuality self-join) and
+        # marry (consumed by the per-round row AND the gone expansion)
+        # are lazy checkpoints that materialize inside the round's one
+        # eager barrier job (free, below) — 3 driver actions per round
+        # collapse to 1; the loop's cost is scheduling latency, ~flat
+        # in data, so jobs-per-round is the whole game.
         prop = (
             act.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select(F.col("src").alias("id"), F.col("dst").alias("target"))
-        )
-        prop = iteration_barrier(prop)
+        ).localCheckpoint(eager=False)
         b = prop.select(
             F.col("id").alias("bid"), F.col("target").alias("btarget")
         )
@@ -157,8 +162,7 @@ def handshake_matching_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("id") < F.col("target")),
             )
             .select(F.col("id").alias("a"), F.col("target").alias("bb"))
-        )
-        marry = iteration_barrier(marry)
+        ).localCheckpoint(eager=False)
         row = marry.agg(
             F.lit(t).cast("long").alias("round"),
             F.count(F.lit(1)).cast("long").alias("n_married"),

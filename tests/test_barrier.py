@@ -102,3 +102,51 @@ def test_numpy_parity_on_fallback(spark, monkeypatch):
         r = nxt
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+
+
+def test_counted_barrier_count_and_rows(spark):
+    """counted_barrier returns the stats-cut frame AND its exact row
+    count from one materializing action."""
+    from federated_gcn_spark.barrier import counted_barrier
+
+    df = spark.range(57).selectExpr("id", "id % 7 AS v")
+    out, n = counted_barrier(df)
+    assert n == 57
+    assert out.schema == df.schema
+    assert sorted(r["id"] for r in out.collect()) == list(range(57))
+
+
+def test_counted_barrier_on_rewrap_failure(spark, monkeypatch):
+    """If every rewrap strategy fails, counted_barrier still returns a
+    correct frame + count (the plain lazy checkpoint)."""
+    from federated_gcn_spark import barrier as bmod
+    from federated_gcn_spark.barrier import counted_barrier
+
+    def boom(ck, sess):
+        raise RuntimeError("forced")
+
+    monkeypatch.setattr(bmod, "_REWRAP_STRATEGIES", (boom,))
+    df = spark.range(11)
+    out, n = counted_barrier(df)
+    assert n == 11
+    assert sorted(r["id"] for r in out.collect()) == list(range(11))
+
+
+def test_luby_coloring_parity_fixed_reference(spark):
+    """Pin luby_coloring's exact output on a toy graph: the single
+    counted-barrier round restructure (r11) must not move any vertex's
+    color (the SQL oracle replays priorities round by round)."""
+    from federated_gcn_spark.graph.coloring import luby_coloring
+
+    g = _toy_graph(spark)
+    colored = {
+        r["id"]: r["color"]
+        for r in luby_coloring(
+            g, n_colors=4, rounds_per_color=5, seed=42
+        ).collect()
+    }
+    # every vertex colored, and no edge monochrome
+    assert set(colored) == {0, 1, 2, 3, 4, 100, 101, 102}
+    assert all(c >= 0 for c in colored.values())
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [(100, 101), (101, 102)]
+    assert all(colored[a] != colored[b] for a, b in edges)
