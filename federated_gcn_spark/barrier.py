@@ -71,15 +71,17 @@ def iteration_barrier(df: DataFrame) -> DataFrame:
     return ck  # correct but re-grows stats
 
 
-def counted_barrier(df: DataFrame) -> tuple[DataFrame, int]:
-    """``iteration_barrier`` whose materializing action is a ``count``.
+def agg_probed_barrier(df: DataFrame, *agg_cols):
+    """``iteration_barrier`` whose materializing action is an aggregate.
 
-    One driver job yields both the stats-cut frame and its row count, so
-    fixpoint loops that steer on emptiness (or size) don't pay a
-    separate probe job per iteration on top of the eager-checkpoint job.
-    The checkpoint is lazy; counting the rewrapped frame runs through
-    the checkpoint-marked RDD, which materializes (and caches) it
-    exactly like the eager path.
+    One driver job yields both the stats-cut frame and an arbitrary
+    probe over it (row count, changed-row count, convergence sum…), so
+    fixpoint loops don't pay a separate probe job per iteration on top
+    of the eager-checkpoint job.  The checkpoint is lazy; aggregating
+    the rewrapped frame runs through the checkpoint-marked RDD, which
+    materializes (and caches) it exactly like the eager path.
+
+    Returns ``(frame, Row)`` with the aggregate values.
     """
     ck = df.localCheckpoint(eager=False)
     spark = ck.sparkSession
@@ -90,4 +92,12 @@ def counted_barrier(df: DataFrame) -> tuple[DataFrame, int]:
             break
         except Exception:
             continue
-    return out, out.count()
+    return out, out.agg(*agg_cols).collect()[0]
+
+
+def counted_barrier(df: DataFrame) -> tuple[DataFrame, int]:
+    """``agg_probed_barrier`` specialized to the row count."""
+    from pyspark.sql import functions as F
+
+    out, row = agg_probed_barrier(df, F.count(F.lit(1)).alias("n"))
+    return out, int(row["n"])

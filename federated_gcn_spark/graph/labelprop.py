@@ -12,8 +12,10 @@ Each superstep is one join (edges ⋈ labels) + one two-level aggregate:
 count per (vertex, candidate label) — map-side combinable — then
 max_by((count, -label)) per vertex. A hub's cost is its distinct
 neighbor-label count, never an in-memory neighbor array. Lineage is cut
-per superstep with iteration_barrier; convergence = no vertex changed
-label (a tiny count job per round).
+per superstep with one agg-probed barrier: the previous label rides the
+new-state frame, so the changed-vertex convergence count is an
+aggregate of the SAME job that materializes the superstep — no separate
+probe join/count per round.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import agg_probed_barrier, iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -48,14 +50,16 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
                 "label"
             )
         )
-        nxt = iteration_barrier(nxt)
-        changed = (
-            nxt.alias("a")
-            .join(labels.alias("b"), ID)
-            .where(F.col("a.label") != F.col("b.label"))
-            .count()
+        # carry the previous label on the new state so the convergence
+        # count is an aggregate of the materializing job itself (the
+        # join replaces the old separate changed-probe join+count)
+        nxt2, row = agg_probed_barrier(
+            nxt.join(labels.select(ID, F.col("label").alias("prev")), ID),
+            F.sum((F.col("label") != F.col("prev")).cast("long")).alias(
+                "changed"
+            ),
         )
-        labels = nxt
-        if changed == 0:
+        labels = nxt2.select(ID, "label")
+        if int(row["changed"] or 0) == 0:
             break
     return labels.select(ID, F.col("label").alias("community"))
