@@ -101,3 +101,25 @@ def counted_barrier(df: DataFrame) -> tuple[DataFrame, int]:
 
     out, row = agg_probed_barrier(df, F.count(F.lit(1)).alias("n"))
     return out, int(row["n"])
+
+
+def lazy_barrier(df: DataFrame) -> DataFrame:
+    """Lineage + stats cut WITHOUT a materializing action.
+
+    For fixed-round loops that never probe per-round state on the
+    driver: each round still gets a checkpoint-marked RDD behind a
+    fresh stats-free LogicalRDD (so plans stay flat and the optimizer's
+    size estimates don't compound), but materialization is deferred to
+    whatever action finally consumes the chain — the checkpoint caches
+    on first computation, so multiple consumers inside that one job
+    still compute each round once.  Collapses a loop's N barrier jobs
+    into the consumer's single job cascade.
+    """
+    ck = df.localCheckpoint(eager=False)
+    spark = ck.sparkSession
+    for rewrap in _REWRAP_STRATEGIES:
+        try:
+            return rewrap(ck, spark)
+        except Exception:
+            continue
+    return ck  # correct but re-grows stats

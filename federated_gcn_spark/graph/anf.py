@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import (
+    agg_probed_barrier,
+    counted_barrier,
+    lazy_barrier,
+)
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -45,14 +49,12 @@ def neighborhood_function(
         .groupBy(ID)
         .agg(F.hll_sketch_agg(F.col(ID), F.lit(lg_k)).alias("sketch"))
     )
-    cur = iteration_barrier(cur)
+    # the per-hop N(h) total rides each barrier's materialization job
+    # (agg_probed_barrier): one driver action per hop, not two
+    probe = F.sum(F.hll_sketch_estimate(F.col("sketch"))).alias("t")
+    cur, row = agg_probed_barrier(cur, probe)
 
-    def total(df: DataFrame) -> float:
-        return df.agg(
-            F.sum(F.hll_sketch_estimate(F.col("sketch")))
-        ).collect()[0][0]
-
-    rows = [(0, float(total(cur)))]
+    rows = [(0, float(row["t"]))]
     for hop in range(1, max_hops + 1):
         msgs = edges.join(cur.withColumnRenamed(ID, SRC), SRC).select(
             F.col(DST).alias(ID), "sketch"
@@ -62,9 +64,8 @@ def neighborhood_function(
             .groupBy(ID)
             .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
         )
-        nxt = iteration_barrier(nxt)
-        cur = nxt
-        rows.append((hop, float(total(cur))))
+        cur, row = agg_probed_barrier(nxt, probe)
+        rows.append((hop, float(row["t"])))
     return spark.createDataFrame(rows, "hop int, reachable_pairs double")
 
 
@@ -88,14 +89,15 @@ def exact_neighborhood_function(graph: Graph, max_hops: int = 6) -> DataFrame:
     reach = graph.vertices.select(
         F.col(ID).alias("origin"), F.col(ID).alias("reached")
     )
-    reach = iteration_barrier(reach)
-    rows = [(0, reach.count())]
+    # the per-hop pair count IS the barrier's materializing action
+    reach, n = counted_barrier(reach)
+    rows = [(0, n)]
     for hop in range(1, max_hops + 1):
         step = reach.join(
             edges.withColumnRenamed(SRC, "reached"), "reached"
         ).select("origin", F.col(DST).alias("reached"))
-        reach = iteration_barrier(reach.unionByName(step).distinct())
-        rows.append((hop, reach.count()))
+        reach, n = counted_barrier(reach.unionByName(step).distinct())
+        rows.append((hop, n))
     return spark.createDataFrame(rows, "hop int, reachable_pairs bigint")
 
 
@@ -154,13 +156,14 @@ def register_anf(
         h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
         (F.lit(wbits + 1) - bitlen).alias("mr"),
     )
-    state = iteration_barrier(state)
+    # Fixed-hop loop with no driver-side probe: every superstep sits
+    # behind a LAZY stats-cut barrier, so the caller's single action
+    # materializes the whole chain — each hop's checkpoint caches on
+    # first computation and is shared by its two consumers (the per-hop
+    # summary and the next hop's merge), with zero per-hop driver jobs.
+    state = lazy_barrier(state)
 
     def summary(df: DataFrame, hop: int) -> DataFrame:
-        # lazy: derived from the already-checkpointed state, so ONE
-        # final action computes every per-hop summary (no collect-job
-        # per hop — the supersteps themselves stay eager via the
-        # barrier, which is where the real work is).
         return df.agg(
             F.countDistinct(ID).cast("long").alias("nodes"),
             F.count(F.lit(1)).cast("long").alias("filled_regs"),
@@ -173,7 +176,7 @@ def register_anf(
         msgs = edges.join(state.withColumnRenamed(ID, SRC), SRC).select(
             F.col(DST).alias(ID), "bucket", "mr"
         )
-        state = iteration_barrier(
+        state = lazy_barrier(
             msgs.unionByName(state).groupBy(ID, "bucket").agg(
                 F.max("mr").alias("mr")
             )

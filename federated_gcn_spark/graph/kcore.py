@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import agg_probed_barrier, counted_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -50,8 +50,11 @@ def core_numbers(
         F.count(F.lit(1)).alias("deg")
     )
     cur = deg.select(ID, F.col("deg").cast("long").alias("c"))
-    cur = iteration_barrier(cur)
-    prev_sum = cur.agg(F.sum("c")).collect()[0][0]
+    # the coreness-sum convergence probe rides each round's barrier
+    # materialization job (agg_probed_barrier) instead of a separate
+    # collect per round — 2 driver actions per round fold into 1
+    cur, row = agg_probed_barrier(cur, F.sum("c").alias("s"))
+    prev_sum = row["s"]
 
     iterations = 0
     for _ in range(max_iterations):
@@ -76,9 +79,8 @@ def core_numbers(
             .groupBy(ID)
             .agg(F.max(F.least(F.col("val"), F.col("n_ge"))).alias("c"))
         )
-        nxt = iteration_barrier(nxt)
-        cur_sum = nxt.agg(F.sum("c")).collect()[0][0]
-        cur = nxt
+        cur, row = agg_probed_barrier(nxt, F.sum("c").alias("s"))
+        cur_sum = row["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -90,8 +92,7 @@ def core_numbers(
 def k_core(graph: Graph, k: int, max_iterations: int = 100) -> Graph:
     """The maximal subgraph where every vertex has (undirected) degree >= k."""
     edges = graph.symmetrized_edges().select(SRC, DST).distinct()
-    edges = iteration_barrier(edges)
-    n_prev = edges.count()
+    edges, n_prev = counted_barrier(edges)
     for _ in range(max_iterations):
         deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
             F.count(F.lit(1)).alias("deg")
@@ -101,9 +102,7 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> Graph:
             edges.join(survivors.withColumnRenamed(ID, SRC), SRC, "left_semi")
             .join(survivors.withColumnRenamed(ID, DST), DST, "left_semi")
         )
-        pruned = iteration_barrier(pruned)
-        n_now = pruned.count()
-        edges = pruned
+        edges, n_now = counted_barrier(pruned)
         if n_now == n_prev:
             break
         n_prev = n_now
