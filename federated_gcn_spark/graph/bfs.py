@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import counted_barrier, iteration_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -41,10 +41,14 @@ def bfs_distances(
             .join(settled.select(ID), ID, "left_anti")
             .withColumn("distance", F.lit(hop))
         )
-        nxt = iteration_barrier(nxt)
-        if nxt.count() == 0:
+        # ONE driver action per hop: the frontier-emptiness probe rides
+        # the barrier materialization, and `settled` accumulates as a
+        # lazy union of the already-materialized frontier frames (each a
+        # flat checkpoint RDD — no recompute risk, no stats growth)
+        nxt, n = counted_barrier(nxt)
+        if n == 0:
             break
-        settled = iteration_barrier(settled.unionByName(nxt))
+        settled = settled.unionByName(nxt)
         frontier = nxt
     return settled
 
@@ -82,9 +86,9 @@ def multi_source_bfs(
             .join(settled.select("origin", ID), ["origin", ID], "left_anti")
             .withColumn("distance", F.lit(hop))
         )
-        nxt = iteration_barrier(nxt)
-        if nxt.count() == 0:
+        nxt, n = counted_barrier(nxt)
+        if n == 0:
             break
-        settled = iteration_barrier(settled.unionByName(nxt))
+        settled = settled.unionByName(nxt)
         frontier = nxt
     return settled
