@@ -122,7 +122,7 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference anchor: SURVEY §2.7 (graph/pagerank.py's superstep
     machinery with the damping replaced by pure A-multiplication)."""
-    from federated_gcn_spark.barrier import iteration_barrier
+    from federated_gcn_spark.barrier import lazy_barrier
     from federated_gcn_spark.graph import Graph
 
     edges = _edges_mod10(spark, sf_dir)
@@ -138,7 +138,12 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("v", F.lit(1).cast("decimal(38,0)"))
     )
-    x = iteration_barrier(x)
+    # fixed 6 supersteps, no driver probe anywhere: lazy stats-cut
+    # barriers let the query's single final action materialize the whole
+    # chain (each superstep caches on first computation and is shared by
+    # its consumers — the next superstep, the norm, and the Rayleigh
+    # quotient) with zero per-step driver jobs
+    x = lazy_barrier(x)
     prev = x
     for _ in range(6):
         prev = x
@@ -148,7 +153,7 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("v").cast("decimal(38,0)").alias("v"))
             .select(F.col("id2").alias("id"), "v")
         )
-        x = iteration_barrier(x)
+        x = lazy_barrier(x)
     norm = x.agg(F.max("v").alias("mx"))
     rq = (
         prev.alias("a")

@@ -200,8 +200,13 @@ def _reach_step(pres: list, ex: list) -> list:
 
 
 def _iterate_pi(spark, trans: DataFrame, pi: DataFrame, steps: int):
-    """pi_{t+1}(j) = sum_i pi_t(i) P(i,j), terms rounded to 12 dp."""
-    from federated_gcn_spark.barrier import iteration_barrier
+    """pi_{t+1}(j) = sum_i pi_t(i) P(i,j), terms rounded to 12 dp.
+
+    Fixed step count, no driver probe: lazy stats-cut barriers defer
+    every step to the caller's single action (the k-state frames cache
+    on first computation), so the power iteration costs zero per-step
+    driver jobs."""
+    from federated_gcn_spark.barrier import lazy_barrier
 
     for _ in range(steps):
         pi = (
@@ -214,7 +219,7 @@ def _iterate_pi(spark, trans: DataFrame, pi: DataFrame, steps: int):
             )
             .select(F.col("s2").alias("s"), "pi")
         )
-        pi = iteration_barrier(pi)
+        pi = lazy_barrier(pi)
     return pi
 
 

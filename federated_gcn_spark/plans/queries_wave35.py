@@ -267,7 +267,7 @@ def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer deviation |n*x - S| (day tie-break) — never a sort.
     Determinism: argmax compares exact DECIMAL integers; R_i is one
     fixed expression per round."""
-    from federated_gcn_spark.barrier import iteration_barrier
+    from federated_gcn_spark.barrier import lazy_barrier
 
     orders = load_table(spark, sf_dir, "orders", parallel=True)
     rem = orders.groupBy(
@@ -275,7 +275,12 @@ def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
     )
-    rem = iteration_barrier(rem)
+    # Fixed round count, no driver probe: the whole peel chain is lazy
+    # (stats-cut barriers + lazy argmax checkpoints), materialized by
+    # the query's single final action — each round's rem/pick caches on
+    # first computation and is shared by its 2-3 consumers.  Zero
+    # per-round driver jobs.
+    rem = lazy_barrier(rem)
     out = None
     for i in range(1, _ESD_ROUNDS + 1):
         st = rem.agg(
@@ -291,7 +296,7 @@ def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dev", dev)
             .orderBy(F.col("dev").desc(), "day")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         nd = F.col("n").cast("double")
         sd = F.sqrt(
@@ -308,7 +313,7 @@ def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_stat"),
         )
         out = row if out is None else out.unionByName(row)
-        rem = iteration_barrier(
+        rem = lazy_barrier(
             rem.join(pick.select("day"), "day", "left_anti")
         )
     return out.orderBy("round")
