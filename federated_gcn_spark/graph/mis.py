@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import counted_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -40,15 +40,18 @@ def luby_mis(graph: Graph, max_rounds: int = 8, seed: int = 42) -> DataFrame:
             F.col(col).alias("i"),
         )
 
-    active = iteration_barrier(graph.vertices.select(ID))
-    # Only the true loop state (winners, active) is barriered; the MIS
-    # accumulator is a lazy union of the already-materialized winners
-    # frames, and the dup-insensitive anti-join inputs skip their
-    # distinct — the luby_coloring round-5 thinning (per-round cost is
-    # scheduling latency, ~flat in data).
+    active, n_active = counted_barrier(graph.vertices.select(ID))
+    # ONE driver action per round (the luby_coloring r11 shape): only
+    # `active` is barriered, its counted materialization steers the
+    # early exit, and the round's shared intermediates — `dominated`
+    # (consumed by the winners anti-join AND the new-active semi-join)
+    # and `winners` (consumed by the losers expansion AND the MIS
+    # accumulator) — are lazy checkpoints materialized inside that job.
+    # The dup-insensitive semi/anti-join inputs skip their distinct
+    # (per-round cost is scheduling latency, ~flat in data).
     round_winners: list[DataFrame] = []
     for _ in range(max_rounds):
-        if active.isEmpty():
+        if n_active == 0:
             break
         act_e = (
             edges.join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
@@ -56,17 +59,25 @@ def luby_mis(graph: Graph, max_rounds: int = 8, seed: int = 42) -> DataFrame:
         )
         # a vertex is dominated if some ACTIVE neighbor has a higher
         # (hash, id); winners = active minus dominated
-        dominated = act_e.where(pri(SRC) > pri(DST)).select(
-            F.col(DST).alias(ID)
+        dominated = (
+            act_e.where(pri(SRC) > pri(DST))
+            .select(F.col(DST).alias(ID))
+            .localCheckpoint(eager=False)
         )
-        winners = iteration_barrier(active.join(dominated, ID, "left_anti"))
+        winners = active.join(dominated, ID, "left_anti").localCheckpoint(
+            eager=False
+        )
         round_winners.append(winners)
-        # deactivate winners and their whole neighborhoods
+        # deactivate winners and their whole neighborhoods; the next
+        # state re-reads the staged `dominated` with a semi-join
+        # (active minus winners == active intersect dominated)
         losers = edges.join(
             winners.withColumnRenamed(ID, SRC), SRC, "left_semi"
         ).select(F.col(DST).alias(ID))
-        active = iteration_barrier(
-            active.join(winners, ID, "left_anti").join(losers, ID, "left_anti")
+        active, n_active = counted_barrier(
+            active.join(dominated, ID, "left_semi").join(
+                losers, ID, "left_anti"
+            )
         )
     if not round_winners:  # empty graph: no rounds ran
         return graph.vertices.sparkSession.createDataFrame(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import agg_probed_barrier, iteration_barrier
 
 
 def sssp(
@@ -61,14 +61,21 @@ def sssp(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        nxt = iteration_barrier(nxt)
-        # converged iff nothing improved and nothing new was reached
-        changed = (
-            nxt.join(dist.withColumnRenamed("dist", "old"), "id", "left")
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .count()
+        # converged iff nothing improved and nothing new was reached;
+        # the previous distance rides the new state so the convergence
+        # count is an aggregate of the SAME job that materializes the
+        # relaxation (1 driver action per iteration, not 2)
+        nxt2, row = agg_probed_barrier(
+            nxt.join(
+                dist.withColumnRenamed("dist", "old"), "id", "left"
+            ),
+            F.sum(
+                (
+                    F.col("old").isNull() | (F.col("dist") < F.col("old"))
+                ).cast("long")
+            ).alias("changed"),
         )
-        dist = nxt
-        if changed == 0:
+        dist = nxt2.select("id", "dist")
+        if int(row["changed"] or 0) == 0:
             break
     return dist
