@@ -30,8 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import agg_probed_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+def _snapshot_probe():
+    """Order-insensitive (n, bit_xor-hash) edge-set fingerprint, as an
+    aggregate probe that rides each round's barrier materialization
+    job (built lazily: Columns need an active session)."""
+    return (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    )
 
 
 def _edge_snapshot(e: DataFrame) -> tuple[int, int]:
@@ -97,10 +106,13 @@ def connected_components(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        # iteration_barrier, not localCheckpoint: e joins itself next round,
-        # so carried stats would square per round (see barrier.py)
-        e = iteration_barrier(_small_star(_large_star(e)))
-        cur = _edge_snapshot(e)
+        # stats-cut barrier, not localCheckpoint: e joins itself next
+        # round, so carried stats would square per round (barrier.py);
+        # the convergence fingerprint is an aggregate of the same job
+        e, row = agg_probed_barrier(
+            _small_star(_large_star(e)), *_snapshot_probe()
+        )
+        cur = (int(row["n"]), int(row["h"]))
         if cur == prev:
             break
         prev = cur

@@ -16,8 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import agg_probed_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
+
+
+def _dangling_probe():
+    """The dangling-mass reduction, as an aggregate probe that rides
+    each superstep's barrier materialization job (agg_probed_barrier)
+    instead of a separate collect per superstep — 2 driver actions per
+    superstep fold into 1.  Built lazily: Columns need a session."""
+    return F.sum(
+        F.when(F.col("out_degree") == 0, F.col("rank"))
+    ).alias("dm")
 
 
 def pagerank(
@@ -46,12 +56,12 @@ def pagerank(
     )
     edges = edges.localCheckpoint(eager=True)
 
-    ranks = degrees.select(ID, F.lit(1.0 / n).alias("rank"), "out_degree")
+    ranks, row = agg_probed_barrier(
+        degrees.select(ID, F.lit(1.0 / n).alias("rank"), "out_degree"),
+        _dangling_probe(),
+    )
     for _ in range(max_iterations):
-        dangling_mass = (
-            ranks.where(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        dangling_mass = float(row["dm"] or 0.0)
         contribs = (
             ranks.where(F.col("out_degree") > 0)
             .join(edges, ranks[ID] == edges[SRC])
@@ -63,9 +73,9 @@ def pagerank(
             .agg(F.sum("contrib").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling_mass / n
-        # iteration_barrier: ranks feeds next superstep's join — carried
-        # stats would compound across supersteps (see barrier.py)
-        ranks = iteration_barrier(
+        # barrier: ranks feeds next superstep's join — carried stats
+        # would compound across supersteps (see barrier.py)
+        ranks, row = agg_probed_barrier(
             degrees.join(contribs, ID, "left")
             .select(
                 ID,
@@ -73,7 +83,8 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
                 "out_degree",
-            )
+            ),
+            _dangling_probe(),
         )
     return ranks.select(ID, "rank")
 
@@ -117,12 +128,14 @@ def personalized_pagerank(
     )
     edges = edges.localCheckpoint(eager=True)
 
-    ranks = degrees.select(ID, F.col("tele").alias("rank"), "out_degree", "tele")
+    ranks, row = agg_probed_barrier(
+        degrees.select(
+            ID, F.col("tele").alias("rank"), "out_degree", "tele"
+        ),
+        _dangling_probe(),
+    )
     for _ in range(max_iterations):
-        dangling_mass = (
-            ranks.where(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        dangling_mass = float(row["dm"] or 0.0)
         contribs = (
             ranks.where(F.col("out_degree") > 0)
             .join(edges, ranks[ID] == edges[SRC])
@@ -133,7 +146,7 @@ def personalized_pagerank(
             .groupBy(ID)
             .agg(F.sum("contrib").alias("contrib"))
         )
-        ranks = iteration_barrier(
+        ranks, row = agg_probed_barrier(
             degrees.join(contribs, ID, "left")
             .select(
                 ID,
@@ -144,6 +157,7 @@ def personalized_pagerank(
                 ).alias("rank"),
                 "out_degree",
                 "tele",
-            )
+            ),
+            _dangling_probe(),
         )
     return ranks.select(ID, "rank")
