@@ -29,7 +29,11 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import (
+    agg_probed_barrier,
+    counted_barrier,
+    lazy_barrier,
+)
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -73,15 +77,6 @@ def take_n_smallest_by_hash(
     return below.unionByName(edge_of)
 
 
-def _pair_snapshot(df: DataFrame, a: str, b: str) -> int:
-    """Order-insensitive fingerprint of a two-column table (bit_xor of row
-    hashes: ANSI-safe, no long overflow)."""
-    row = df.agg(
-        F.coalesce(F.expr(f"bit_xor(xxhash64({a}, {b}))"), F.lit(0)).alias("h")
-    ).first()
-    return int(row["h"])
-
-
 def spanning_forest(
     graph: Graph,
     max_rounds: int = 40,
@@ -116,22 +111,34 @@ def spanning_forest(
     forest = None
     rounds = 0
     total_jumps = 0
+
+    def _pair_probe(a: str, b: str):
+        # the fingerprint as an aggregate probe riding a barrier job
+        return F.coalesce(
+            F.expr(f"bit_xor(xxhash64({a}, {b}))"), F.lit(0)
+        ).alias("h")
+
     for _ in range(max_rounds):
-        # every materialization in this loop feeds the next iteration's
-        # joins — iteration_barrier (not localCheckpoint) keeps carried
-        # size stats from squaring per superstep (see barrier.py)
-        el = iteration_barrier(
+        # Loop state crosses rounds through stats-cut barriers (carried
+        # size stats would square per superstep — see barrier.py), but
+        # only TWO driver actions run per round: the counted cross-edge
+        # barrier (whose count is the emptiness probe) and each
+        # pointer-jump's fingerprint-probed barrier.  Everything else —
+        # picks, the forest accumulator, labels — is lazy and
+        # materializes inside those jobs (picks in the hooking
+        # barrier's, labels in the next round's cross-edge job).
+        el, n_cross = counted_barrier(
             e.join(labels.select(F.col(ID).alias(SRC), F.col("comp").alias("cs")), SRC)
             .join(labels.select(F.col(ID).alias(DST), F.col("comp").alias("cd")), DST)
             .where(F.col("cs") != F.col("cd"))
         )
-        if el.limit(1).count() == 0:
+        if n_cross == 0:
             break
         rounds += 1
         # min-weight cross edge per component (struct min = lexicographic:
         # weight first, then (src, dst) as the deterministic tiebreak)
         pick = F.struct(F.col("__w"), F.col(SRC), F.col(DST), F.col("cs"), F.col("cd"))
-        picks = iteration_barrier(
+        picks = lazy_barrier(
             el.select(F.col("cs").alias("comp"), pick.alias("p"))
             .unionByName(el.select(F.col("cd").alias("comp"), pick.alias("p")))
             .groupBy("comp")
@@ -140,7 +147,6 @@ def spanning_forest(
         )
         new_edges = picks.select(SRC, DST).distinct()
         forest = new_edges if forest is None else forest.unionByName(new_edges)
-        forest = iteration_barrier(forest)
 
         # hooking graph: comp -> other endpoint's comp; break 2-cycles by
         # rooting the smaller id (mutual picks share one edge)
@@ -150,7 +156,7 @@ def spanning_forest(
             .otherwise(F.col("cs"))
             .alias("to"),
         )
-        p = iteration_barrier(
+        p, row = agg_probed_barrier(
             hooks.alias("x")
             .join(hooks.alias("y"), F.col("x.to") == F.col("y.comp"), "left")
             .select(
@@ -162,26 +168,28 @@ def spanning_forest(
                 )
                 .otherwise(F.col("x.to"))
                 .alias("to"),
-            )
+            ),
+            _pair_probe("comp", "to"),
         )
         # pointer-jump to the root: to := to.to until fixpoint (O(log depth))
-        prev = _pair_snapshot(p, "comp", "to")
+        prev = int(row["h"])
         while True:
             total_jumps += 1
-            p = iteration_barrier(
+            p, row = agg_probed_barrier(
                 p.alias("x")
                 .join(
                     p.select(F.col("comp").alias("to"), F.col("to").alias("to2")),
                     "to",
                     "left",
                 )
-                .select("comp", F.coalesce("to2", "to").alias("to"))
+                .select("comp", F.coalesce("to2", "to").alias("to")),
+                _pair_probe("comp", "to"),
             )
-            cur = _pair_snapshot(p, "comp", "to")
+            cur = int(row["h"])
             if cur == prev:
                 break
             prev = cur
-        labels = iteration_barrier(
+        labels = lazy_barrier(
             labels.join(p, labels["comp"] == p["comp"], "left")
             .select(ID, F.coalesce(p["to"], labels["comp"]).alias("comp"))
         )
