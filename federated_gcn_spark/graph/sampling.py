@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from federated_gcn_spark.barrier import iteration_barrier
+from federated_gcn_spark.barrier import lazy_barrier
 from federated_gcn_spark.graph.graph import DST, ID, SRC, Graph
 
 
@@ -69,9 +69,13 @@ def uniform_random_walks(
             _pseudo_rand(F.col("walk_id"), F.lit(step), F.col("next_vertex"), F.lit(seed)),
             F.col("next_vertex"),
         )
-        # iteration_barrier: picked feeds the next step's join with edges —
-        # carried stats would compound across steps (see barrier.py)
-        picked = iteration_barrier(
+        # lazy stats-cut barrier: picked feeds the next step's join with
+        # edges — carried stats would compound across steps (barrier.py)
+        # — but these loops run a FIXED number of steps with no driver
+        # probe, so materialization defers to the caller's one action
+        # (each step caches on first computation, shared by the walk
+        # accumulator and the next step's join)
+        picked = lazy_barrier(
             cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select("walk_id", "start", F.col("next_vertex").alias("vertex"))
@@ -160,7 +164,7 @@ def fanout_sample(
             ),
             F.col("child"),
         )
-        picked = iteration_barrier(
+        picked = lazy_barrier(
             cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select("root", "parent", F.col("child").alias("vertex"), *gcols)
@@ -247,7 +251,7 @@ def node2vec_walks(
         w = Window.partitionBy("walk_id").orderBy(
             (-F.log(_u(step)) / F.col("__w")).asc(), F.col("next_vertex")
         )
-        picked = iteration_barrier(
+        picked = lazy_barrier(
             weighted.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select(
